@@ -1,0 +1,122 @@
+"""Layered runtime configuration.
+
+Parity: ``src/runtime/config.rs:51-119`` — the reference layers
+``~/.config/futuresdr/config.toml`` → project ``config.toml`` → env
+(``FUTURESDR_*``) → programmatic ``config::set``. We keep the same layering
+with env prefix ``FUTURESDR_TPU_``.
+
+Typed keys (defaults mirror ``config.rs:180-210`` where meaningful; TPU-only
+keys replace CPU ring-buffer knobs):
+
+================== ========= =====================================================
+key                default   meaning
+================== ========= =====================================================
+chunk_size         32768     items per compiled step on the base-rate edge
+                             (replaces ``buffer_size`` bytes of the ring buffers)
+steps_per_call     1         chunks fused into one device dispatch via lax.scan
+queue_size         8192      host-side bounded queue depth (source/sink staging)
+precision          highest   matmul/conv precision for DSP paths (60 dB SNR target)
+ctrlport_enable    False     start the REST control port with the runtime
+ctrlport_bind      127.0.0.1:1337   control port bind address
+log_level          info      tracing level
+frontend_path      None      static files dir served by the control port
+================== ========= =====================================================
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+try:  # python >= 3.11
+    import tomllib as _toml
+except ImportError:  # pragma: no cover
+    _toml = None
+
+ENV_PREFIX = "FUTURESDR_TPU_"
+
+_DEFAULTS: Dict[str, Any] = {
+    "chunk_size": 32768,
+    "steps_per_call": 1,
+    "queue_size": 8192,
+    "precision": "highest",
+    "ctrlport_enable": False,
+    "ctrlport_bind": "127.0.0.1:1337",
+    "log_level": "info",
+    "frontend_path": None,
+}
+
+_lock = threading.Lock()
+_store: Optional[Dict[str, Any]] = None
+
+
+def _coerce(key: str, value: Any) -> Any:
+    default = _DEFAULTS.get(key)
+    if isinstance(default, bool):
+        if isinstance(value, str):
+            return value.strip().lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    if isinstance(default, int) and not isinstance(default, bool):
+        return int(value)
+    return value
+
+
+def _load_toml(path: Path) -> Dict[str, Any]:
+    if _toml is None or not path.is_file():
+        return {}
+    try:
+        with open(path, "rb") as f:
+            return dict(_toml.load(f))
+    except Exception:
+        return {}
+
+
+def _build() -> Dict[str, Any]:
+    store = dict(_DEFAULTS)
+    # layer 1: user config
+    home = Path(os.environ.get("XDG_CONFIG_HOME", Path.home() / ".config"))
+    store.update(_load_toml(home / "futuresdr_tpu" / "config.toml"))
+    # layer 2: project config (cwd)
+    store.update(_load_toml(Path.cwd() / "config.toml"))
+    # layer 3: environment
+    for k, v in os.environ.items():
+        if k.startswith(ENV_PREFIX):
+            key = k[len(ENV_PREFIX):].lower()
+            store[key] = _coerce(key, v)
+    return store
+
+
+def _ensure() -> Dict[str, Any]:
+    global _store
+    with _lock:
+        if _store is None:
+            _store = _build()
+        return _store
+
+
+def get(key: str, default: Any = None) -> Any:
+    """Read a config value (typed keys + misc map, like ``config::config()``)."""
+    store = _ensure()
+    if key in store:
+        return store[key]
+    return default
+
+
+def set(key: str, value: Any) -> None:  # noqa: A001 - parity with config::set
+    """Programmatic override (layer 4, highest priority)."""
+    store = _ensure()
+    with _lock:
+        store[key] = _coerce(key, value) if key in _DEFAULTS else value
+
+
+def reload() -> None:
+    """Drop the cached store; next access re-reads files/env (test helper)."""
+    global _store
+    with _lock:
+        _store = None
+
+
+def snapshot() -> Dict[str, Any]:
+    return dict(_ensure())

@@ -1,0 +1,163 @@
+"""Polyphase filter bank kernels (channelizer / synthesizer / arb resampler).
+
+Parity: ``src/blocks/pfb/channelizer.rs:71-224`` (liquid-dsp derivation),
+``pfb/synthesizer.rs``, ``pfb/arb_resampler.rs``. TPU-first formulation:
+
+Analysis (channelizer), critically sampled, M channels:
+
+    y_k[m] = Σ_n x[n] e^{-j2πkn/M} h[mM − n]
+           = FFT_{p→k} ( Σ_r x[rM+p] · h[(m−r)M − p] )
+
+i.e. M polyphase branch FIRs (one grouped conv, MXU-friendly) followed by a
+batched length-M FFT per output time step. Channel k is centered at
+f = k/M cycles/sample and decimated by M.
+
+Synthesis is the exact transpose: batched IFFT then branch interpolation
+filters, interleaved back to the wideband stream.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from futuresdr_tpu.ops.fir import conv1d_valid
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def analysis_branch_taps(proto: np.ndarray, n_ch: int) -> np.ndarray:
+    """[M, L] branch matrix: ``G[p, s] = h[sM − p]`` (h zero-padded)."""
+    proto = np.asarray(proto, dtype=np.float64)
+    T = len(proto)
+    M = n_ch
+    L = _cdiv(T + M - 1, M)
+    q = np.zeros(L * M, dtype=proto.dtype)
+    q[M - 1 : M - 1 + T] = proto
+    # q[sM + (M-1-p)] = h[sM - p]
+    return q.reshape(L, M)[:, ::-1].T.copy()  # [M, L]
+
+
+def synthesis_branch_taps(proto: np.ndarray, n_ch: int) -> np.ndarray:
+    """[M, L] branch matrix: ``H̃[p, s] = h[sM + p]``."""
+    proto = np.asarray(proto, dtype=np.float64)
+    T = len(proto)
+    M = n_ch
+    L = _cdiv(T, M)
+    q = np.zeros(L * M, dtype=proto.dtype)
+    q[:T] = proto
+    return q.reshape(L, M).T.copy()  # [M, L]
+
+
+def _branch_convs(xb: jax.Array, taps_b: jax.Array) -> jax.Array:
+    """Per-branch FIR: xb [M, R], taps_b [M, L] → [M, R-L+1].
+
+    vmapped conv — XLA batches this into one grouped convolution.
+    """
+    return jax.vmap(conv1d_valid, in_axes=(0, 0))(xb, taps_b)
+
+
+def pfb_channelize(
+    x: jax.Array,
+    branch_taps: jax.Array,
+    n_ch: int,
+    state: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Critically-sampled M-channel analysis filter bank.
+
+    x: chunk of ``R*M`` samples (complex). branch_taps: [M, L] from
+    :func:`analysis_branch_taps`. state: [M, L-1] branch history.
+    Returns ``(state, y)`` with y: [R, M] — rows are channelized time steps,
+    columns channels (channel k at center frequency k/M).
+    """
+    M = n_ch
+    L = branch_taps.shape[1]
+    N = x.shape[-1]
+    if N % M != 0:
+        raise ValueError(f"chunk {N} not a multiple of n_ch {M}")
+    R = N // M
+    xb = x.reshape(R, M).T  # branch p gets x[rM + p]
+    if state is None:
+        state = jnp.zeros((M, L - 1), dtype=x.dtype)
+    ext = jnp.concatenate([state, xb], axis=-1)
+    v = _branch_convs(ext, branch_taps)  # [M, R]
+    new_state = ext[:, ext.shape[-1] - (L - 1) :]
+    y = jnp.fft.fft(v.T, axis=-1)  # FFT over branch axis per time step
+    return new_state, y.astype(x.dtype)
+
+
+def pfb_synthesize(
+    y: jax.Array,
+    branch_taps: jax.Array,
+    n_ch: int,
+    state: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """M-channel synthesis bank (transpose of :func:`pfb_channelize`).
+
+    y: [R, M] channel samples; returns ``(state, x)`` with x: [R*M]
+    wideband samples.
+    """
+    M = n_ch
+    L = branch_taps.shape[1]
+    R = y.shape[0]
+    u = jnp.fft.ifft(y, axis=-1) * M  # [R, M]
+    ub = u.T  # [M, R]
+    if state is None:
+        state = jnp.zeros((M, L - 1), dtype=y.dtype)
+    ext = jnp.concatenate([state, ub], axis=-1)
+    xb = _branch_convs(ext, branch_taps)  # [M, R]
+    new_state = ext[:, ext.shape[-1] - (L - 1) :]
+    x = xb.T.reshape(R * M)
+    return new_state, x.astype(y.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-rate polyphase resampler (pfb/arb_resampler.rs parity)
+# ---------------------------------------------------------------------------
+
+
+def arb_resampler_plan(rate_num: int, rate_den: int, n_filters: int, n_out: int):
+    """Static gather plan for a rational-rate polyphase arb resampler.
+
+    Output m consumes input at fractional position ``m · den/num``; the
+    fractional part selects one of ``n_filters`` phases. Returns host
+    arrays ``(input_index[n_out], phase_index[n_out])``.
+    """
+    m = np.arange(n_out, dtype=np.int64)
+    pos = m * rate_den / rate_num
+    idx = np.floor(pos).astype(np.int64)
+    frac = pos - idx
+    phase = np.floor(frac * n_filters).astype(np.int64) % n_filters
+    return idx, phase
+
+
+def arb_resample(
+    x: jax.Array,
+    phase_taps: jax.Array,  # [P, L] per-phase filters
+    input_index: jax.Array,  # [n_out] static
+    phase_index: jax.Array,  # [n_out] static
+    state: Optional[jax.Array] = None,
+):
+    """Apply an arbitrary-rate PFB resampler with a precomputed plan.
+
+    ``y[m] = Σ_k phase_taps[phase[m], k] · x[input_index[m] − k]``.
+    state: last L-1 input samples.
+    """
+    P, L = phase_taps.shape
+    if state is None:
+        state = jnp.zeros(x.shape[:-1] + (L - 1,), dtype=x.dtype)
+    ext = jnp.concatenate([state, x], axis=-1)
+    # window gather: rows ext[idx + L-1 - k] for k=0..L-1 → start = idx
+    starts = input_index  # ext offset already includes the L-1 history shift
+    win = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(ext, s, L, axis=-1))(
+        starts
+    )  # [n_out, L]
+    taps = phase_taps[phase_index][..., ::-1]  # newest-sample-last ordering
+    y = jnp.sum(win * taps, axis=-1)
+    new_state = ext[..., ext.shape[-1] - (L - 1) :]
+    return new_state, y.astype(x.dtype)

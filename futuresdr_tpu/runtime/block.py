@@ -1,0 +1,205 @@
+"""Block model.
+
+Parity: the reference ``Kernel`` trait (``src/runtime/kernel.rs:54-90``) and
+``WorkIo`` (``src/runtime/work_io.rs``) — redesigned for XLA:
+
+* A **pure block** is a function ``apply(state, inputs, params) ->
+  (state, outputs, aux)`` plus a declared rational *rate signature*
+  (items consumed/produced per work unit). The graph compiler solves exact
+  chunk sizes, so the imperative back-pressure protocol (``WorkIo``,
+  ``ComputationStatus``) disappears: buffers are always exactly sufficient.
+* **Host blocks** (sources/sinks) sit at the graph boundary and move numpy
+  chunks in/out of the device program (the reference's ``#[blocking]``
+  hardware blocks, ``block.rs:62-65``).
+* ``WorkIo::finished`` becomes: host sources return EOS; pure blocks signal
+  via their ``aux`` output (see :meth:`Block.host_valid_limit`).
+* Message ports/handlers run host-side between steps; retunable values are
+  **params** — device scalars passed as jit arguments so updates never
+  recompile (replaces ``kernel.call_handler`` dispatch,
+  ``kernel_interface.rs:55-62``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from futuresdr_tpu.runtime.tags import ItemTag, TagPropagation
+from futuresdr_tpu.types.pmt import Pmt
+
+
+@dataclass(frozen=True)
+class PortSpec:
+    """A stream port: name + dtype (numpy dtype-like)."""
+
+    name: str
+    dtype: Any = np.complex64
+
+
+@dataclass
+class BlockSpec:
+    """Static interface description (what #[derive(Block)] generates in the
+    reference, ``crates/macros/src/lib.rs:419-431``)."""
+
+    type_name: str
+    stream_inputs: List[PortSpec]
+    stream_outputs: List[PortSpec]
+    message_inputs: List[str]
+    message_outputs: List[str]
+
+
+def message_handler(name: Optional[str] = None):
+    """Decorator marking a method as a message-port handler.
+
+    Handlers have signature ``(self, pmt: Pmt) -> Pmt`` and run host-side
+    between compiled steps (parity: ``#[message_handler]`` methods reached
+    via ``kernel.call_handler``).
+    """
+
+    def deco(fn):
+        fn._handler_name = name or fn.__name__
+        return fn
+
+    return deco
+
+
+class Block:
+    """Base class for all blocks.
+
+    Subclasses set ports/rates in ``__init__`` and implement either the
+    pure-device API (:meth:`make_state`, :meth:`apply`) or the host API
+    (:meth:`host_produce` / :meth:`host_consume`).
+    """
+
+    # ---- interface (set by subclass __init__) --------------------------
+    def __init__(self, name: Optional[str] = None):
+        self.instance_name = name or type(self).__name__
+        self.stream_inputs: List[PortSpec] = []
+        self.stream_outputs: List[PortSpec] = []
+        self.message_outputs: List[str] = []
+        # items consumed/produced per work unit, one entry per port
+        self.rate_in: Tuple[int, ...] = ()
+        self.rate_out: Tuple[int, ...] = ()
+        self.tag_propagation = TagPropagation.PROPAGATE
+        self.is_blocking = False  # host-I/O bound (drivers, audio, network)
+        self._params: Dict[str, np.ndarray] = {}
+        self._finished_requested = False
+
+    # ---- classification ------------------------------------------------
+    @property
+    def type_name(self) -> str:
+        return type(self).__name__
+
+    @property
+    def is_host_source(self) -> bool:
+        return not self.stream_inputs and hasattr(self, "host_produce")
+
+    @property
+    def is_host_sink(self) -> bool:
+        return not self.stream_outputs and hasattr(self, "host_consume")
+
+    @property
+    def is_pure(self) -> bool:
+        return not (self.is_host_source or self.is_host_sink)
+
+    # ---- pure-device API -------------------------------------------------
+    def make_state(self, in_sizes: Sequence[int], out_sizes: Sequence[int]):
+        """Initial device state pytree for the solved chunk sizes."""
+        return ()
+
+    def apply(self, state, inputs: List[Any], params: Dict[str, Any]):
+        """Pure chunk transform: returns ``(state, outputs, aux)``.
+
+        Must be traceable (jnp ops only, static shapes). ``inputs`` /
+        ``outputs`` are lists of arrays matching the port lists; ``aux`` is
+        a (possibly empty) dict of small arrays surfaced to the host.
+        """
+        raise NotImplementedError
+
+    # ---- host API (sources/sinks implement these) ----------------------
+    # def host_produce(self, n: int) -> Optional[np.ndarray]:
+    #     """Return up to n items; fewer/None signals EOS (pad handled by
+    #     the executor)."""
+    # def host_consume(self, arr: np.ndarray, tags: List[ItemTag]) -> None:
+    #     """Receive a chunk of valid output items."""
+
+    # ---- params (retunable device scalars) -----------------------------
+    def params(self) -> Dict[str, np.ndarray]:
+        """Current device params; passed as jit args every step."""
+        return dict(self._params)
+
+    def set_param(self, key: str, value) -> None:
+        if key in self._params:
+            old = np.asarray(self._params[key])
+            new = np.asarray(value, dtype=old.dtype).reshape(old.shape)
+            self._params[key] = new
+        else:
+            self._params[key] = np.asarray(value)
+
+    # ---- aux / lifecycle hooks ------------------------------------------
+    def on_aux(self, aux: Dict[str, np.ndarray]) -> None:
+        """Host hook: called after each step with this block's aux output."""
+
+    def host_valid_limit(self, aux: Dict[str, np.ndarray]) -> Optional[int]:
+        """If not None, caps the number of valid output items this step
+        (Head-style limiting); the executor also finishes the flowgraph
+        when a block requests it via :meth:`request_finish`."""
+        return None
+
+    def request_finish(self) -> None:
+        self._finished_requested = True
+
+    @property
+    def finish_requested(self) -> bool:
+        return self._finished_requested
+
+    def propagate_tags(
+        self,
+        tags_in: List[List[ItemTag]],
+        in_items: Sequence[int],
+        out_items: Sequence[int],
+    ) -> List[List[ItemTag]]:
+        """Custom tag propagation (used when tag_propagation == CUSTOM)."""
+        raise NotImplementedError
+
+    # ---- message handlers -----------------------------------------------
+    def handlers(self) -> Dict[str, Callable[[Pmt], Pmt]]:
+        out: Dict[str, Callable[[Pmt], Pmt]] = {}
+        for cls in type(self).__mro__:
+            for attr, val in vars(cls).items():
+                hname = getattr(val, "_handler_name", None)
+                if hname and hname not in out:
+                    out[hname] = getattr(self, attr)
+        return out
+
+    def call_handler(self, name: str, pmt: Pmt) -> Pmt:
+        h = self.handlers().get(name)
+        if h is None:
+            raise KeyError(
+                f"block {self.instance_name} has no message handler {name!r}"
+            )
+        result = h(pmt)
+        return result if isinstance(result, Pmt) else Pmt.from_py(result)
+
+    # message posting is wired by the executor at start
+    _post_fn: Optional[Callable[[str, Pmt], None]] = None
+
+    def post(self, port: str, pmt: Pmt) -> None:
+        """Emit a Pmt on a named message output port (host-side)."""
+        if self._post_fn is not None:
+            self._post_fn(port, pmt)
+
+    # ---- description -----------------------------------------------------
+    def spec(self) -> BlockSpec:
+        return BlockSpec(
+            type_name=self.type_name,
+            stream_inputs=list(self.stream_inputs),
+            stream_outputs=list(self.stream_outputs),
+            message_inputs=sorted(self.handlers().keys()),
+            message_outputs=list(self.message_outputs),
+        )
+
+    def __repr__(self) -> str:
+        return f"<{self.type_name} {self.instance_name!r}>"
