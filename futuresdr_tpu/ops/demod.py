@@ -4,23 +4,27 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from futuresdr_tpu.ops import cplx
+
 
 def quadrature_demod(x, last, gain=1.0):
     """FM/quadrature demod: ``y[n] = gain · arg(x[n] · conj(x[n-1]))``.
 
     Parity: the Apply closure in ``examples/fm-receiver/src/main.rs:100-105``.
-    ``last`` is the final sample of the previous chunk (shape ``x.shape[:-1]
-    + (1,)``). Consumes N, produces N.
+    ``x`` is a CArray; ``last`` is the final sample of the previous chunk
+    (CArray of shape ``x.shape[:-1] + (1,)``). Consumes N, produces N (f32).
     """
-    prev = jnp.concatenate([last, x[..., :-1]], axis=-1)
-    d = x * jnp.conj(prev)
-    y = jnp.arctan2(jnp.imag(d), jnp.real(d)) * gain
-    return x[..., -1:], y.astype(jnp.float32)
+    x = cplx.asarray(x)
+    prev = cplx.concat([last, x[..., :-1]], axis=-1)
+    d = x * prev.conj()
+    y = (d.angle() * gain).astype(jnp.float32)
+    return x[..., -1:], y
 
 
 def am_demod(x, gain=1.0):
     """Envelope detector: |x| (stateless)."""
-    return (jnp.abs(x) * gain).astype(jnp.float32)
+    x = cplx.asarray(x)
+    return x.abs() * gain
 
 
 def fm_deemphasis_coeffs(sample_rate: float, tau: float = 75e-6):

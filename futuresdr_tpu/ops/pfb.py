@@ -24,6 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from futuresdr_tpu.ops import cplx
+from futuresdr_tpu.ops.cplx import ArrayLike, CArray
+from futuresdr_tpu.ops.fft import fft_c, ifft_c
 from futuresdr_tpu.ops.fir import conv1d_valid
 
 
@@ -54,66 +57,70 @@ def synthesis_branch_taps(proto: np.ndarray, n_ch: int) -> np.ndarray:
     return q.reshape(L, M).T.copy()  # [M, L]
 
 
-def _branch_convs(xb: jax.Array, taps_b: jax.Array) -> jax.Array:
+def _branch_convs(xb: ArrayLike, taps_b: ArrayLike) -> ArrayLike:
     """Per-branch FIR: xb [M, R], taps_b [M, L] → [M, R-L+1].
 
-    vmapped conv — XLA batches this into one grouped convolution.
+    vmapped conv — XLA batches this into one grouped convolution (CArray is
+    a pytree, so re/im map together).
     """
     return jax.vmap(conv1d_valid, in_axes=(0, 0))(xb, taps_b)
 
 
 def pfb_channelize(
-    x: jax.Array,
-    branch_taps: jax.Array,
+    x: ArrayLike,
+    branch_taps: ArrayLike,
     n_ch: int,
-    state: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
+    state: Optional[ArrayLike] = None,
+) -> Tuple[ArrayLike, ArrayLike]:
     """Critically-sampled M-channel analysis filter bank.
 
-    x: chunk of ``R*M`` samples (complex). branch_taps: [M, L] from
+    x: chunk of ``R*M`` samples (CArray). branch_taps: [M, L] from
     :func:`analysis_branch_taps`. state: [M, L-1] branch history.
     Returns ``(state, y)`` with y: [R, M] — rows are channelized time steps,
     columns channels (channel k at center frequency k/M).
     """
+    x = cplx.asarray(x)
     M = n_ch
-    L = branch_taps.shape[1]
+    L = branch_taps.shape[-1]
     N = x.shape[-1]
     if N % M != 0:
         raise ValueError(f"chunk {N} not a multiple of n_ch {M}")
     R = N // M
-    xb = x.reshape(R, M).T  # branch p gets x[rM + p]
+    xb = cplx.apply1(lambda t: t.reshape(R, M).T, x)  # branch p gets x[rM+p]
     if state is None:
-        state = jnp.zeros((M, L - 1), dtype=x.dtype)
-    ext = jnp.concatenate([state, xb], axis=-1)
+        state = cplx.zeros_like_shape(xb, (M, L - 1))
+    ext = cplx.concat([state, xb], axis=-1)
     v = _branch_convs(ext, branch_taps)  # [M, R]
     new_state = ext[:, ext.shape[-1] - (L - 1) :]
-    y = jnp.fft.fft(v.T, axis=-1)  # FFT over branch axis per time step
-    return new_state, y.astype(x.dtype)
+    # FFT over the branch axis per time step (batched matmul-FFT)
+    y = fft_c(cplx.apply1(lambda t: t.T, v), axis=-1)
+    return new_state, y
 
 
 def pfb_synthesize(
-    y: jax.Array,
-    branch_taps: jax.Array,
+    y: ArrayLike,
+    branch_taps: ArrayLike,
     n_ch: int,
-    state: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
+    state: Optional[ArrayLike] = None,
+) -> Tuple[ArrayLike, ArrayLike]:
     """M-channel synthesis bank (transpose of :func:`pfb_channelize`).
 
     y: [R, M] channel samples; returns ``(state, x)`` with x: [R*M]
     wideband samples.
     """
+    y = cplx.asarray(y)
     M = n_ch
-    L = branch_taps.shape[1]
+    L = branch_taps.shape[-1]
     R = y.shape[0]
-    u = jnp.fft.ifft(y, axis=-1) * M  # [R, M]
-    ub = u.T  # [M, R]
+    u = ifft_c(y, axis=-1) * float(M)  # [R, M]
+    ub = cplx.apply1(lambda t: t.T, u)  # [M, R]
     if state is None:
-        state = jnp.zeros((M, L - 1), dtype=y.dtype)
-    ext = jnp.concatenate([state, ub], axis=-1)
+        state = cplx.zeros_like_shape(ub, (M, L - 1))
+    ext = cplx.concat([state, ub], axis=-1)
     xb = _branch_convs(ext, branch_taps)  # [M, R]
     new_state = ext[:, ext.shape[-1] - (L - 1) :]
-    x = xb.T.reshape(R * M)
-    return new_state, x.astype(y.dtype)
+    x = cplx.apply1(lambda t: t.T.reshape(R * M), xb)
+    return new_state, x
 
 
 # ---------------------------------------------------------------------------
@@ -137,27 +144,32 @@ def arb_resampler_plan(rate_num: int, rate_den: int, n_filters: int, n_out: int)
 
 
 def arb_resample(
-    x: jax.Array,
-    phase_taps: jax.Array,  # [P, L] per-phase filters
+    x: ArrayLike,
+    phase_taps: jax.Array,  # [P, L] per-phase filters (real)
     input_index: jax.Array,  # [n_out] static
     phase_index: jax.Array,  # [n_out] static
-    state: Optional[jax.Array] = None,
+    state: Optional[ArrayLike] = None,
 ):
     """Apply an arbitrary-rate PFB resampler with a precomputed plan.
 
     ``y[m] = Σ_k phase_taps[phase[m], k] · x[input_index[m] − k]``.
     state: last L-1 input samples.
     """
+    x = cplx.asarray(x)
     P, L = phase_taps.shape
     if state is None:
-        state = jnp.zeros(x.shape[:-1] + (L - 1,), dtype=x.dtype)
-    ext = jnp.concatenate([state, x], axis=-1)
-    # window gather: rows ext[idx + L-1 - k] for k=0..L-1 → start = idx
-    starts = input_index  # ext offset already includes the L-1 history shift
-    win = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(ext, s, L, axis=-1))(
-        starts
-    )  # [n_out, L]
-    taps = phase_taps[phase_index][..., ::-1]  # newest-sample-last ordering
-    y = jnp.sum(win * taps, axis=-1)
+        state = cplx.zeros_like_shape(x, x.shape[:-1] + (L - 1,))
+    ext = cplx.concat([state, x], axis=-1)
+    # window gather: ext[idx + j] = x[idx + j − (L−1)], so start = idx
+    gather = jax.vmap(
+        lambda s: cplx.apply1(
+            lambda t: jax.lax.dynamic_slice_in_dim(t, s, L, axis=-1), ext
+        )
+    )
+    win = gather(input_index)  # [n_out, L]
+    taps = phase_taps[phase_index][..., ::-1]  # align newest-sample ordering
+    y = (win * taps).sum(axis=-1) if isinstance(win, CArray) else jnp.sum(
+        win * taps, axis=-1
+    )
     new_state = ext[..., ext.shape[-1] - (L - 1) :]
-    return new_state, y.astype(x.dtype)
+    return new_state, y

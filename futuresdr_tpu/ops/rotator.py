@@ -39,16 +39,24 @@ def nco_phase(phase_acc, dphi_fxp, n: int):
 
 
 def nco_complex(phase_acc, dphi_fxp, n: int, amplitude=1.0):
-    """Complex exponential e^{j phase} stream from the NCO."""
+    """Complex exponential e^{jφ} stream from the NCO (as a CArray)."""
+    from futuresdr_tpu.ops import cplx
+
     new_acc, phases = nco_phase(phase_acc, dphi_fxp, n)
-    osc = (jnp.cos(phases) + 1j * jnp.sin(phases)) * amplitude
-    return new_acc, osc.astype(jnp.complex64)
+    osc = cplx.exp_j(phases)
+    if amplitude != 1.0:
+        osc = osc * float(amplitude)
+    return new_acc, osc
 
 
 def rotator_apply(x, phase_acc, dphi_fxp):
     """Frequency-shift ``x`` by the NCO frequency: ``y = x · e^{jφ[n]}``.
 
     Consumes N, produces N; state is the uint32 phase accumulator.
+    ``x`` is a CArray (or real array, promoted).
     """
+    from futuresdr_tpu.ops import cplx
+
+    x = cplx.asarray(x)
     new_acc, osc = nco_complex(phase_acc, dphi_fxp, x.shape[-1])
-    return new_acc, (x * osc).astype(x.dtype)
+    return new_acc, osc * x

@@ -1,8 +1,10 @@
-"""Device-kernel golden tests: FIR/resampler/IIR/rotator/PFB vs NumPy refs.
+"""Device-kernel golden tests: FIR/resampler/IIR/rotator/FFT/PFB vs NumPy.
 
 This is the Mocker-equivalent tier for raw kernels (SURVEY.md §4(a)): pure
 functions checked against exact NumPy references, including streaming
-equivalence (chunked state-carrying == one-shot)."""
+equivalence (chunked state-carrying == one-shot). Complex data flows through
+the CArray (re, im) pair representation — the only complex form this TPU
+backend supports."""
 
 import numpy as np
 import pytest
@@ -12,17 +14,86 @@ import jax.numpy as jnp
 
 from futuresdr_tpu import ops
 from futuresdr_tpu.dsp import firdes, windows
+from futuresdr_tpu.ops import cplx
 from futuresdr_tpu.ops import fir as fir_ops
+from futuresdr_tpu.ops import fft as fft_ops
 from futuresdr_tpu.ops import iir as iir_ops
 from futuresdr_tpu.ops import pfb as pfb_ops
 from futuresdr_tpu.ops import rotator as rot_ops
 from futuresdr_tpu.ops import demod as demod_ops
+
+tonp = cplx.to_numpy
 
 
 def np_fir_stream(x, taps):
     """Reference streaming FIR: y[n] = Σ_k taps[k]·x[n−k], x[<0]=0."""
     full = np.convolve(x, taps)
     return full[: len(x)]
+
+
+class TestCplx:
+    def test_roundtrip_and_ops(self):
+        rng = np.random.default_rng(0)
+        a = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(
+            np.complex64
+        )
+        b = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(
+            np.complex64
+        )
+        ca, cb = cplx.from_numpy(a), cplx.from_numpy(b)
+        np.testing.assert_allclose(tonp(ca * cb), a * b, atol=1e-5)
+        np.testing.assert_allclose(tonp(ca + cb), a + b, atol=1e-6)
+        np.testing.assert_allclose(tonp(ca.conj()), np.conj(a), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ca.abs2()), np.abs(a) ** 2, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ca.angle()), np.angle(a), atol=1e-5)
+        np.testing.assert_allclose(tonp(ca * 2.0), a * 2, atol=1e-6)
+        np.testing.assert_allclose(tonp(ca * (1 + 2j)), a * (1 + 2j), atol=1e-5)
+        np.testing.assert_allclose(tonp(ca / cb), a / b, atol=1e-4)
+
+    def test_matmul(self):
+        rng = np.random.default_rng(1)
+        a = (rng.standard_normal((8, 16)) + 1j * rng.standard_normal((8, 16))).astype(
+            np.complex64
+        )
+        b = (rng.standard_normal((16, 4)) + 1j * rng.standard_normal((16, 4))).astype(
+            np.complex64
+        )
+        got = tonp(cplx.matmul(cplx.from_numpy(a), cplx.from_numpy(b)))
+        np.testing.assert_allclose(got, a @ b, atol=1e-4)
+
+
+class TestMatmulFft:
+    @pytest.mark.parametrize("n", [16, 64, 128, 256, 1024, 4096, 96, 768])
+    def test_fft_matches_numpy(self, n):
+        rng = np.random.default_rng(2)
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            np.complex64
+        )
+        got = tonp(fft_ops.fft_c(cplx.from_numpy(x)))
+        ref = np.fft.fft(x)
+        scale = np.sqrt(n)
+        np.testing.assert_allclose(got / scale, ref / scale, atol=2e-4)
+
+    def test_ifft_roundtrip(self):
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal(512) + 1j * rng.standard_normal(512)).astype(
+            np.complex64
+        )
+        y = fft_ops.ifft_c(fft_ops.fft_c(cplx.from_numpy(x)))
+        np.testing.assert_allclose(tonp(y), x, atol=1e-4)
+
+    def test_fft_axis(self):
+        rng = np.random.default_rng(4)
+        x = (rng.standard_normal((8, 32)) + 1j * rng.standard_normal((8, 32))).astype(
+            np.complex64
+        )
+        got = tonp(fft_ops.fft_c(cplx.from_numpy(x), axis=0))
+        np.testing.assert_allclose(got, np.fft.fft(x, axis=0), atol=1e-3)
+
+    def test_real_input(self):
+        x = np.random.default_rng(5).standard_normal(128).astype(np.float32)
+        got = tonp(fft_ops.fft_c(jnp.asarray(x)))
+        np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-3)
 
 
 class TestConv1d:
@@ -39,7 +110,7 @@ class TestConv1d:
         taps = rng.standard_normal(T).astype(np.float32)
         if ct:
             taps = (taps + 1j * rng.standard_normal(T)).astype(np.complex64)
-        got = np.asarray(ops.conv1d_valid(jnp.asarray(x), jnp.asarray(taps)))
+        got = tonp(ops.conv1d_valid(x, taps))
         ref = np.convolve(x.astype(np.complex128), taps.astype(np.complex128))[
             T - 1 : N
         ]
@@ -52,7 +123,7 @@ class TestConv1d:
         rng = np.random.default_rng(1)
         x = rng.standard_normal(128).astype(np.float32)
         taps = rng.standard_normal(9).astype(np.float32)
-        got = np.asarray(ops.conv1d_valid(x, taps, stride=4))
+        got = tonp(ops.conv1d_valid(x, taps, stride=4))
         ref = np.convolve(x, taps, "valid")[::4]
         np.testing.assert_allclose(got, ref, atol=1e-4)
 
@@ -60,7 +131,7 @@ class TestConv1d:
         rng = np.random.default_rng(2)
         x = rng.standard_normal((3, 5, 64)).astype(np.float32)
         taps = rng.standard_normal(7).astype(np.float32)
-        got = np.asarray(ops.conv1d_valid(x, taps))
+        got = tonp(ops.conv1d_valid(x, taps))
         assert got.shape == (3, 5, 58)
         for i in range(3):
             for j in range(5):
@@ -74,7 +145,7 @@ class TestConv1d:
             np.complex64
         )
         taps = rng.standard_normal(300).astype(np.float32)
-        got = np.asarray(fir_ops.conv1d_valid_fft(x, taps))
+        got = tonp(fir_ops.conv1d_valid_fft(x, taps))
         ref = np.convolve(x, taps, "valid")
         np.testing.assert_allclose(got, ref, atol=2e-3)
 
@@ -91,8 +162,8 @@ class TestStreamingFir:
         state = None
         outs = []
         for c in range(0, 1024, 256):
-            state, y = ops.fir_filter(jnp.asarray(x[c : c + 256]), taps, state)
-            outs.append(np.asarray(y))
+            state, y = ops.fir_filter(x[c : c + 256], taps, state)
+            outs.append(tonp(y))
         got = np.concatenate(outs)
         np.testing.assert_allclose(got, ref, atol=1e-3)
 
@@ -105,8 +176,8 @@ class TestStreamingFir:
         state = None
         outs = []
         for c in range(0, 1200, 400):
-            state, y = ops.fir_decimate(jnp.asarray(x[c : c + 400]), taps, decim, state)
-            outs.append(np.asarray(y))
+            state, y = ops.fir_decimate(x[c : c + 400], taps, decim, state)
+            outs.append(tonp(y))
         got = np.concatenate(outs)
         assert len(got) == 300
         np.testing.assert_allclose(got, ref[: len(got)], atol=1e-3)
@@ -116,15 +187,14 @@ class TestStreamingFir:
         x = rng.standard_normal(256).astype(np.float32)
         interp = 3
         taps = firdes.kaiser_multirate(interp, 1, 8, 1e-4).astype(np.float32)
-        # reference: zero-stuff then filter
         up = np.zeros(len(x) * interp, dtype=np.float32)
         up[::interp] = x
         ref = np_fir_stream(up, taps)
         state = None
         outs = []
         for c in range(0, 256, 64):
-            state, y = ops.fir_interpolate(jnp.asarray(x[c : c + 64]), taps, interp, state)
-            outs.append(np.asarray(y))
+            state, y = ops.fir_interpolate(x[c : c + 64], taps, interp, state)
+            outs.append(tonp(y))
         got = np.concatenate(outs)
         assert len(got) == 256 * interp
         np.testing.assert_allclose(got, ref, atol=1e-3)
@@ -140,13 +210,24 @@ class TestStreamingFir:
         state = None
         outs = []
         for c in range(0, 400, 100):
-            state, y = ops.fir_resample_poly(
-                jnp.asarray(x[c : c + 100]), taps, interp, decim, state
-            )
-            outs.append(np.asarray(y))
+            state, y = ops.fir_resample_poly(x[c : c + 100], taps, interp, decim, state)
+            outs.append(tonp(y))
         got = np.concatenate(outs)
         assert len(got) == 400 * interp // decim
         np.testing.assert_allclose(got, ref[: len(got)], atol=1e-3)
+
+    def test_complex_resample(self):
+        rng = np.random.default_rng(17)
+        x = (rng.standard_normal(300) + 1j * rng.standard_normal(300)).astype(
+            np.complex64
+        )
+        interp, decim = 2, 3
+        taps = firdes.kaiser_multirate(interp, decim, 8, 1e-4).astype(np.float32)
+        up = np.zeros(len(x) * interp, dtype=np.complex64)
+        up[::interp] = x
+        ref = np_fir_stream(up, taps)[::decim]
+        _, y = ops.fir_resample_poly(x, taps, interp, decim)
+        np.testing.assert_allclose(tonp(y), ref[: len(tonp(y))], atol=1e-3)
 
 
 class TestIir:
@@ -185,7 +266,6 @@ class TestIir:
             ref[i] = acc
         state, y = iir_ops.single_pole_iir(jnp.asarray(x), alpha)
         np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
-        # streaming
         s = None
         outs = []
         for c in range(0, 300, 100):
@@ -196,7 +276,6 @@ class TestIir:
 
 class TestRotator:
     def test_freq_shift_exact_long_stream(self):
-        # fixed-point NCO must not drift over many chunks
         f = 0.1234567
         dphi = rot_ops.freq_to_fxp(f)
         acc = jnp.uint32(0)
@@ -204,15 +283,13 @@ class TestRotator:
         outs = []
         x = np.ones(n_chunk, dtype=np.complex64)
         for _ in range(n_chunks):
-            acc, y = rot_ops.rotator_apply(jnp.asarray(x), acc, jnp.uint32(dphi))
-            outs.append(np.asarray(y))
+            acc, y = rot_ops.rotator_apply(x, acc, jnp.uint32(dphi))
+            outs.append(tonp(y))
         got = np.concatenate(outs)
         n = np.arange(n_chunk * n_chunks)
         f_quant = float(dphi) / 2.0**32
         ref = np.exp(2j * np.pi * f_quant * n)
-        # phase error stays bounded (no accumulation drift)
-        err = np.abs(got - ref)
-        assert np.max(err) < 2e-3
+        assert np.max(np.abs(got - ref)) < 2e-3  # no drift across chunks
 
     def test_rotator_is_multiplicative(self):
         rng = np.random.default_rng(11)
@@ -220,35 +297,36 @@ class TestRotator:
             np.complex64
         )
         dphi = rot_ops.freq_to_fxp(0.05)
-        _, y = rot_ops.rotator_apply(jnp.asarray(x), jnp.uint32(0), jnp.uint32(dphi))
+        _, y = rot_ops.rotator_apply(x, jnp.uint32(0), jnp.uint32(dphi))
         _, osc = rot_ops.nco_complex(jnp.uint32(0), jnp.uint32(dphi), 256)
-        np.testing.assert_allclose(np.asarray(y), x * np.asarray(osc), atol=1e-5)
+        np.testing.assert_allclose(tonp(y), x * tonp(osc), atol=1e-5)
 
 
 class TestDemod:
     def test_quadrature_demod_recovers_frequency(self):
-        # constant-frequency input → constant demod output 2π·f
         f = 0.01
         n = np.arange(1024)
         x = np.exp(2j * np.pi * f * n).astype(np.complex64)
-        last = jnp.zeros(1, dtype=jnp.complex64)
-        # split into 2 chunks, check continuity
+        st = cplx.czeros((1,))
         outs = []
-        st = jnp.asarray(x[:1][..., :1] * 0)  # zero init
         for c in range(0, 1024, 512):
-            st, y = demod_ops.quadrature_demod(jnp.asarray(x[c : c + 512]), st)
+            st, y = demod_ops.quadrature_demod(x[c : c + 512], st)
             outs.append(np.asarray(y))
         got = np.concatenate(outs)
         np.testing.assert_allclose(got[1:], 2 * np.pi * f, atol=1e-4)
 
+    def test_am_demod(self):
+        x = (3 + 4j) * np.ones(16, dtype=np.complex64)
+        np.testing.assert_allclose(np.asarray(demod_ops.am_demod(x)), 5.0, atol=1e-5)
 
-class TestFft:
+
+class TestFftChunk:
     def test_fft_batched(self):
         rng = np.random.default_rng(12)
         x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)).astype(
             np.complex64
         )
-        got = np.asarray(ops.fft_chunk(jnp.asarray(x), 256))
+        got = tonp(ops.fft_chunk(x, 256))
         ref = np.fft.fft(x.reshape(4, 256), axis=-1).reshape(-1)
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-2)
 
@@ -258,8 +336,8 @@ class TestFft:
             np.complex64
         )
         win = windows.hann(256).astype(np.float32)
-        got = np.asarray(
-            ops.fft_chunk(jnp.asarray(x), 256, shift=True, normalize=True, window=jnp.asarray(win))
+        got = tonp(
+            ops.fft_chunk(x, 256, shift=True, normalize=True, window=jnp.asarray(win))
         )
         ref = np.fft.fftshift(
             np.fft.fft(x.reshape(2, 256) * win, axis=-1) / np.sqrt(256), axes=-1
@@ -269,7 +347,7 @@ class TestFft:
 
 class TestPfb:
     def test_channelizer_tone_isolation(self):
-        """A tone at channel k's center lands in channel k, near-flat."""
+        """A tone at channel k's center lands in channel k only."""
         M = 8
         proto = firdes.kaiser_lowpass(0.5 / M * 0.8, 0.5 / M * 0.4, 1e-4)
         G = jnp.asarray(pfb_ops.analysis_branch_taps(proto, M), dtype=jnp.float32)
@@ -277,10 +355,8 @@ class TestPfb:
         n = np.arange(R * M)
         for k in (0, 1, 5):
             x = np.exp(2j * np.pi * (k / M) * n).astype(np.complex64)
-            _, y = pfb_ops.pfb_channelize(jnp.asarray(x), G, M)
-            y = np.asarray(y)  # [R, M]
-            pwr = np.mean(np.abs(y) ** 2, axis=0)
-            # settle: ignore filter transient
+            _, y = pfb_ops.pfb_channelize(x, G, M)
+            y = tonp(y)  # [R, M]
             pwr = np.mean(np.abs(y[32:]) ** 2, axis=0)
             assert np.argmax(pwr) == k
             others = np.delete(pwr, k)
@@ -294,32 +370,29 @@ class TestPfb:
         x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)).astype(
             np.complex64
         )
-        _, y_full = pfb_ops.pfb_channelize(jnp.asarray(x), G, M)
+        _, y_full = pfb_ops.pfb_channelize(x, G, M)
         st = None
         outs = []
         for c in range(0, 1024, 256):
-            st, y = pfb_ops.pfb_channelize(jnp.asarray(x[c : c + 256]), G, M, st)
-            outs.append(np.asarray(y))
+            st, y = pfb_ops.pfb_channelize(x[c : c + 256], G, M, st)
+            outs.append(tonp(y))
         np.testing.assert_allclose(
-            np.concatenate(outs, axis=0), np.asarray(y_full), atol=1e-4
+            np.concatenate(outs, axis=0), tonp(y_full), atol=1e-4
         )
 
     def test_analysis_synthesis_roundtrip(self):
-        """channelize → synthesize ≈ delayed identity for an in-band signal."""
+        """channelize → synthesize ≈ delayed identity for in-band signals."""
         M = 8
         proto = firdes.kaiser_lowpass(0.5 / M * 0.9, 0.5 / M * 0.2, 1e-4)
         Ga = jnp.asarray(pfb_ops.analysis_branch_taps(proto, M), dtype=jnp.float32)
         Gs = jnp.asarray(pfb_ops.synthesis_branch_taps(proto, M), dtype=jnp.float32)
         n = np.arange(4096)
-        # multi-tone test signal at channel centers (perfectly reconstructible)
         x = sum(
             np.exp(2j * np.pi * (k / M) * n + 1j * k) for k in range(M)
         ).astype(np.complex64) / M
-        _, y = pfb_ops.pfb_channelize(jnp.asarray(x), Ga, M)
+        _, y = pfb_ops.pfb_channelize(x, Ga, M)
         _, xr = pfb_ops.pfb_synthesize(y, Gs, M)
-        xr = np.asarray(xr)
-        # brute-force the cascade delay, then measure SNR after a complex
-        # gain projection (filters introduce fixed delay + unity-ish gain)
+        xr = tonp(xr)
         skip = len(proto) * 4
         seg = xr[skip : skip + 1024]
         best_snr = -np.inf
@@ -351,9 +424,8 @@ class TestArbResampler:
             jnp.asarray(idx),
             jnp.asarray(ph),
         )
-        # reference: zero-stuff by P, filter, take at fractional positions
         up = np.zeros(len(x) * P, dtype=np.float32)
         up[::P] = x
         full = np_fir_stream(up, proto)
         ref = np.array([full[int(m * den / num * P)] for m in range(n_out)])
-        np.testing.assert_allclose(np.asarray(y), ref, atol=2e-2)
+        np.testing.assert_allclose(tonp(y), ref, atol=2e-2)
