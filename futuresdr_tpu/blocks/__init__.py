@@ -1,0 +1,82 @@
+"""Standard block library.
+
+Parity: ``src/blocks/`` (~60 blocks, doc tables ``src/blocks/mod.rs:1-110``).
+Blocks here are thin declarative wrappers over :mod:`futuresdr_tpu.ops`
+device kernels plus the host-I/O boundary classes; all device math traces
+into the single fused XLA step the compiler emits.
+"""
+
+from futuresdr_tpu.blocks.functional import (
+    Apply,
+    Combine,
+    Filter,
+    FiniteSource,
+    Sink,
+    Source,
+    Split,
+)
+from futuresdr_tpu.blocks.stream import (
+    Copy,
+    Delay,
+    Head,
+    MovingAvg,
+    StreamDeinterleaver,
+    StreamDuplicator,
+    Throttle,
+)
+from futuresdr_tpu.blocks.io import (
+    ChannelSink,
+    ChannelSource,
+    FileSink,
+    FileSource,
+    NullSink,
+    NullSource,
+    VectorSink,
+    VectorSource,
+    WavSink,
+)
+from futuresdr_tpu.blocks.dsp import (
+    Agc,
+    Fft,
+    Fir,
+    Iir,
+    QuadratureDemod,
+    SignalSource,
+    XlatingFir,
+)
+from futuresdr_tpu.blocks.pfb import PfbChannelizer, PfbSynthesizer
+
+__all__ = [
+    "Apply",
+    "Combine",
+    "Filter",
+    "FiniteSource",
+    "Sink",
+    "Source",
+    "Split",
+    "Copy",
+    "Delay",
+    "Head",
+    "MovingAvg",
+    "StreamDeinterleaver",
+    "StreamDuplicator",
+    "Throttle",
+    "ChannelSink",
+    "ChannelSource",
+    "FileSink",
+    "FileSource",
+    "NullSink",
+    "NullSource",
+    "VectorSink",
+    "VectorSource",
+    "WavSink",
+    "Agc",
+    "Fft",
+    "Fir",
+    "Iir",
+    "QuadratureDemod",
+    "SignalSource",
+    "XlatingFir",
+    "PfbChannelizer",
+    "PfbSynthesizer",
+]

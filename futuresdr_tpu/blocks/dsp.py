@@ -1,0 +1,374 @@
+"""DSP blocks wrapping the device kernels in :mod:`futuresdr_tpu.ops`.
+
+Parity: ``src/blocks/{fir,iir,fft,xlating_fir,signal_source,agc}.rs`` and
+the ``FirBuilder`` patterns (``src/blocks/fir.rs:126+`` — plain/decimating/
+interpolating/resampling with auto Kaiser tap design at ``fir.rs:154``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from futuresdr_tpu.dsp import firdes
+from futuresdr_tpu.ops import cplx
+from futuresdr_tpu.ops.demod import quadrature_demod
+from futuresdr_tpu.ops.fft import fft_chunk
+from futuresdr_tpu.ops.fir import (
+    fir_decimate,
+    fir_filter,
+    fir_resample_poly,
+)
+from futuresdr_tpu.ops.iir import iir_apply
+from futuresdr_tpu.ops.rotator import (
+    freq_to_fxp,
+    nco_complex,
+    nco_phase,
+    phase_to_fxp,
+    rotator_apply,
+)
+from futuresdr_tpu.runtime.block import Block, PortSpec, message_handler
+from futuresdr_tpu.types.pmt import Pmt
+
+
+def _is_cplx(dtype) -> bool:
+    return np.dtype(dtype) == np.complex64
+
+
+def _zeros_state(is_complex: bool, n: int):
+    if n <= 0:
+        return cplx.czeros((0,)) if is_complex else jnp.zeros((0,), jnp.float32)
+    return cplx.czeros((n,)) if is_complex else jnp.zeros((n,), jnp.float32)
+
+
+class Fir(Block):
+    """FIR filter: plain / decimating / interpolating / rational resampling.
+
+    Parity: ``src/blocks/fir.rs`` + the futuredsp cores it instantiates
+    (``fir.rs:31-96``, ``decimating_fir.rs``, ``polyphase_resampling_fir.rs``).
+    Taps are real or complex 1-D; complex streams use CArray math. Use the
+    constructors:
+
+    * ``Fir(taps)`` — 1:1
+    * ``Fir.decimating(taps, decim)`` — N:1
+    * ``Fir.interpolating(taps, interp)`` — 1:N
+    * ``Fir.resampling(interp, decim, taps=None)`` — P/Q (auto Kaiser taps
+      when omitted, parity fir.rs:154)
+    """
+
+    def __init__(
+        self,
+        taps,
+        interp: int = 1,
+        decim: int = 1,
+        dtype=np.complex64,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.taps = cplx.from_numpy(np.asarray(taps))
+        self.interp = int(interp)
+        self.decim = int(decim)
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.stream_outputs = [PortSpec("out", dtype)]
+        self.rate_in = (self.decim,)
+        self.rate_out = (self.interp,)
+        self._complex = _is_cplx(dtype)
+        T = self.taps.shape[0]
+        if self.interp == 1 and self.decim == 1:
+            lat, hist = T - 1, T - 1
+        elif self.interp == 1:
+            lat = math.ceil((T - 1) / self.decim)
+            hist = -(-(T - 1) // self.decim) * self.decim
+        else:
+            L = -(-T // self.interp)
+            lat = math.ceil((L - 1) * self.interp / self.decim)
+            hist = L - 1
+        self.latency_out = (lat,)
+        self._hist = hist
+
+    # ---- builder-style constructors (FirBuilder parity) -----------------
+    @classmethod
+    def decimating(cls, taps, decim: int, dtype=np.complex64, name=None):
+        return cls(taps, interp=1, decim=decim, dtype=dtype, name=name)
+
+    @classmethod
+    def interpolating(cls, taps, interp: int, dtype=np.complex64, name=None):
+        return cls(taps, interp=interp, decim=1, dtype=dtype, name=name)
+
+    @classmethod
+    def resampling(
+        cls,
+        interp: int,
+        decim: int,
+        taps=None,
+        dtype=np.complex64,
+        name=None,
+    ):
+        g = math.gcd(interp, decim)
+        interp, decim = interp // g, decim // g
+        if taps is None:
+            # auto Kaiser multirate design (parity: fir.rs:154 →
+            # firdes::kaiser::multirate)
+            taps = firdes.kaiser_multirate(interp, decim)
+        return cls(taps, interp=interp, decim=decim, dtype=dtype, name=name)
+
+    def make_state(self, in_sizes, out_sizes):
+        return _zeros_state(self._complex, self._hist)
+
+    def apply(self, state, inputs, params):
+        x = inputs[0]
+        if self.interp == 1 and self.decim == 1:
+            state, y = fir_filter(x, self.taps, state)
+        elif self.interp == 1:
+            state, y = fir_decimate(x, self.taps, self.decim, state)
+        else:
+            state, y = fir_resample_poly(
+                x, self.taps, self.interp, self.decim, state
+            )
+        return state, [y], {}
+
+
+class XlatingFir(Block):
+    """Frequency-translating decimating FIR (parity: xlating_fir.rs:127).
+
+    Down-mixes by ``center_freq`` with the fxpt NCO, then decimating FIR.
+    ``freq`` message handler retunes without recompiling (the NCO increment
+    is a device param)."""
+
+    def __init__(
+        self,
+        taps,
+        decim: int,
+        center_freq: float,
+        sample_rate: float,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.taps = cplx.from_numpy(np.asarray(taps))
+        self.decim = int(decim)
+        self.sample_rate = float(sample_rate)
+        self.stream_inputs = [PortSpec("in", np.complex64)]
+        self.stream_outputs = [PortSpec("out", np.complex64)]
+        self.rate_in = (self.decim,)
+        self.rate_out = (1,)
+        T = self.taps.shape[0]
+        self.latency_out = (math.ceil((T - 1) / self.decim),)
+        self._hist = -(-(T - 1) // self.decim) * self.decim
+        self._params["dphi"] = np.asarray(
+            freq_to_fxp(-center_freq / sample_rate)
+        )
+
+    @message_handler("freq")
+    def freq_handler(self, pmt: Pmt) -> Pmt:
+        f = float(pmt.to_py())
+        self.set_param("dphi", freq_to_fxp(-f / self.sample_rate))
+        return Pmt.ok()
+
+    def make_state(self, in_sizes, out_sizes):
+        return (jnp.uint32(0), _zeros_state(True, self._hist))
+
+    def apply(self, state, inputs, params):
+        acc, hist = state
+        acc, shifted = rotator_apply(inputs[0], acc, params["dphi"])
+        hist, y = fir_decimate(shifted, self.taps, self.decim, hist)
+        return (acc, hist), [y], {}
+
+
+class Iir(Block):
+    """IIR filter b/a (parity: src/blocks/iir.rs + futuredsp iir.rs —
+    device recursion via the blocked parallel-scan in ops.iir)."""
+
+    def __init__(self, b, a, dtype=np.float32, name: Optional[str] = None):
+        super().__init__(name)
+        self.b = jnp.asarray(np.asarray(b, dtype=np.float32))
+        self.a = jnp.asarray(np.asarray(a, dtype=np.float32))
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.stream_outputs = [PortSpec("out", dtype)]
+        self.rate_in = (1,)
+        self.rate_out = (1,)
+
+    def make_state(self, in_sizes, out_sizes):
+        T = self.b.shape[0]
+        p = self.a.shape[0] - 1
+        return (
+            jnp.zeros((T - 1,), jnp.float32),
+            jnp.zeros((p,), jnp.float32),
+        )
+
+    def apply(self, state, inputs, params):
+        state, y = iir_apply(inputs[0], self.b, self.a, state)
+        return state, [y], {}
+
+
+class Fft(Block):
+    """Batched FFT over frames of ``size`` samples
+    (parity: src/blocks/fft.rs:28-56 — rustfft plan, batches of 32,
+    shift/normalize options; here every work call is one batched
+    matmul-FFT)."""
+
+    def __init__(
+        self,
+        size: int = 2048,
+        inverse: bool = False,
+        shift: bool = False,
+        normalize: bool = False,
+        window=None,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.size = int(size)
+        self.inverse = inverse
+        self.shift = shift
+        self.normalize = normalize
+        self.window = (
+            jnp.asarray(np.asarray(window, dtype=np.float32))
+            if window is not None
+            else None
+        )
+        self.stream_inputs = [PortSpec("in", np.complex64)]
+        self.stream_outputs = [PortSpec("out", np.complex64)]
+        self.rate_in = (self.size,)
+        self.rate_out = (self.size,)
+
+    def apply(self, state, inputs, params):
+        y = fft_chunk(
+            inputs[0],
+            self.size,
+            inverse=self.inverse,
+            shift=self.shift,
+            normalize=self.normalize,
+            window=self.window,
+        )
+        return state, [y], {}
+
+
+class QuadratureDemod(Block):
+    """FM discriminator ``gain·arg(x[n]·conj(x[n-1]))``
+    (parity: the Apply closure at examples/fm-receiver/src/main.rs:100-105
+    and blocks using it; complex in → f32 out, 1:1)."""
+
+    def __init__(self, gain: float = 1.0, name: Optional[str] = None):
+        super().__init__(name)
+        self.gain = float(gain)
+        self.stream_inputs = [PortSpec("in", np.complex64)]
+        self.stream_outputs = [PortSpec("out", np.float32)]
+        self.rate_in = (1,)
+        self.rate_out = (1,)
+        self.latency_out = (1,)
+
+    def make_state(self, in_sizes, out_sizes):
+        return cplx.czeros((1,))
+
+    def apply(self, state, inputs, params):
+        state, y = quadrature_demod(inputs[0], state, self.gain)
+        return state, [y], {}
+
+
+class SignalSource(Block):
+    """Device NCO source: sin/cos/complex-exp at ``freq``
+    (parity: src/blocks/signal_source/ — fxpt NCO; freq/amplitude are
+    retunable device params + ``freq`` message handler)."""
+
+    def __init__(
+        self,
+        freq: float,
+        sample_rate: float,
+        amplitude: float = 1.0,
+        kind: str = "complex",  # complex | sin | cos
+        initial_phase: float = 0.0,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.sample_rate = float(sample_rate)
+        self.kind = kind
+        dtype = np.complex64 if kind == "complex" else np.float32
+        self.stream_outputs = [PortSpec("out", dtype)]
+        self.rate_out = (1,)
+        self._params["dphi"] = np.asarray(freq_to_fxp(freq / sample_rate))
+        self._params["amplitude"] = np.float32(amplitude)
+        self._phase0 = phase_to_fxp(initial_phase)
+        self._n = 0
+
+    @message_handler("freq")
+    def freq_handler(self, pmt: Pmt) -> Pmt:
+        f = float(pmt.to_py())
+        self.set_param("dphi", freq_to_fxp(f / self.sample_rate))
+        return Pmt.ok()
+
+    @message_handler("amplitude")
+    def amplitude_handler(self, pmt: Pmt) -> Pmt:
+        self.set_param("amplitude", np.float32(float(pmt.to_py())))
+        return Pmt.ok()
+
+    def make_state(self, in_sizes, out_sizes):
+        self._n = out_sizes[0]
+        return jnp.uint32(self._phase0)
+
+    def apply(self, state, inputs, params):
+        amp = params["amplitude"]
+        if self.kind == "complex":
+            acc, osc = nco_complex(state, params["dphi"], self._n)
+            return acc, [osc * amp], {}
+        acc, ph = nco_phase(state, params["dphi"], self._n)
+        y = jnp.sin(ph) if self.kind == "sin" else jnp.cos(ph)
+        return acc, [y * amp], {}
+
+
+class Agc(Block):
+    """Automatic gain control (parity: src/blocks/agc.rs — per-sample gain
+    recursion). TPU form: chunk-granular gain update — power is averaged
+    per sub-frame and the gain recursion runs over sub-frames via scan,
+    then expands; for SDR AGC time constants (≫ sub-frame) this matches the
+    reference's behavior."""
+
+    def __init__(
+        self,
+        reference: float = 1.0,
+        rate: float = 1e-2,
+        frame: int = 64,
+        max_gain: float = 65536.0,
+        dtype=np.complex64,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.reference = float(reference)
+        self.rate = float(rate)
+        self.frame = int(frame)
+        self.max_gain = float(max_gain)
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.stream_outputs = [PortSpec("out", dtype)]
+        self.rate_in = (self.frame,)
+        self.rate_out = (self.frame,)
+        self._complex = _is_cplx(dtype)
+
+    def make_state(self, in_sizes, out_sizes):
+        return jnp.float32(1.0)
+
+    def apply(self, state, inputs, params):
+        import jax
+
+        x = inputs[0]
+        n = x.shape[-1]
+        f = self.frame
+        k = n // f
+        mag = (
+            cplx.apply1(lambda t: t, x).abs()
+            if isinstance(x, cplx.CArray)
+            else jnp.abs(x)
+        )
+        frame_rms = jnp.sqrt(
+            jnp.mean(mag.reshape(k, f) ** 2, axis=-1) + 1e-20
+        )
+
+        def step(g, rms):
+            g = g + self.rate * (self.reference - rms * g)
+            g = jnp.clip(g, 0.0, self.max_gain)
+            return g, g
+
+        g_final, gains = jax.lax.scan(step, state, frame_rms)
+        gain_full = jnp.repeat(gains, f)
+        y = x * gain_full
+        return g_final, [y], {}

@@ -1,0 +1,286 @@
+"""Source/sink blocks at the host boundary + device null endpoints.
+
+Parity: ``src/blocks/{vector_source,vector_sink,null_source,null_sink,
+file_source,file_sink,channel_source,channel_sink}.rs`` and the audio
+``WavSink`` (``src/blocks/audio/wav_sink.rs``, hound → stdlib ``wave``).
+"""
+
+from __future__ import annotations
+
+import queue
+import wave
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from futuresdr_tpu.ops import cplx
+from futuresdr_tpu.runtime.block import Block, PortSpec
+from futuresdr_tpu.runtime.tags import ItemTag
+
+
+class VectorSource(Block):
+    """Host source streaming a numpy array (parity: vector_source.rs:81).
+
+    ``tags`` carry absolute stream indices; they are emitted with the chunk
+    that covers them."""
+
+    def __init__(
+        self,
+        data,
+        repeat: bool = False,
+        tags: Optional[List[ItemTag]] = None,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.data = np.asarray(data)
+        self.repeat = repeat
+        self._tags = sorted(tags or [], key=lambda t: t.index)
+        dtype = self.data.dtype
+        if dtype == np.complex128:
+            self.data = self.data.astype(np.complex64)
+            dtype = np.dtype(np.complex64)
+        if dtype == np.float64:
+            self.data = self.data.astype(np.float32)
+            dtype = np.dtype(np.float32)
+        self.stream_outputs = [PortSpec("out", dtype)]
+        self.rate_out = (1,)
+        self._pos = 0
+        self._abs = 0  # absolute items emitted (for repeat-mode tags)
+
+    def host_produce(self, n: int, port: int = 0):
+        total = self.data.shape[-1]
+        if self._pos >= total:
+            if not self.repeat:
+                return None
+            self._pos = 0
+        end = min(self._pos + n, total)
+        chunk = self.data[..., self._pos : end]
+        tags = [
+            ItemTag(t.index - self._pos, t.tag)
+            for t in self._tags
+            if self._pos <= t.index < end
+        ]
+        self._pos = end
+        self._abs += chunk.shape[-1]
+        return (chunk, tags) if tags else chunk
+
+
+class VectorSink(Block):
+    """Host sink accumulating all items + tags (parity: vector_sink.rs:69)."""
+
+    def __init__(self, dtype=np.float32, name: Optional[str] = None):
+        super().__init__(name)
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.rate_in = (1,)
+        self._chunks: List[np.ndarray] = []
+        self._tags: List[ItemTag] = []
+        self._n = 0
+
+    def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:
+        self._chunks.append(np.array(arr))
+        self._tags.extend(t.shifted(self._n) for t in tags)
+        self._n += arr.shape[-1]
+
+    def data(self) -> np.ndarray:
+        if not self._chunks:
+            return np.zeros((0,), dtype=self.stream_inputs[0].dtype)
+        return np.concatenate(self._chunks, axis=-1)
+
+    def tags(self) -> List[ItemTag]:
+        return list(self._tags)
+
+
+class NullSource(Block):
+    """Device source of zeros (parity: null_source.rs:70) — the perf
+    harness upstream end. Lives entirely on device: no H2D traffic."""
+
+    def __init__(self, dtype=np.complex64, name: Optional[str] = None):
+        super().__init__(name)
+        self.stream_outputs = [PortSpec("out", dtype)]
+        self.rate_out = (1,)
+        self._complex = np.dtype(dtype) == np.complex64
+        self._n = 0
+
+    def make_state(self, in_sizes, out_sizes):
+        self._n = out_sizes[0]
+        return ()
+
+    def apply(self, state, inputs, params):
+        import jax.numpy as jnp
+
+        z = (
+            cplx.czeros((self._n,))
+            if self._complex
+            else jnp.zeros((self._n,), jnp.float32)
+        )
+        return state, [z], {}
+
+
+class NullSink(Block):
+    """Counting sink (parity: null_sink.rs:81). ``device_reduce`` keeps the
+    upstream compute alive but skips the D2H copy — only a scalar checksum
+    crosses the boundary, so throughput benches measure device rate."""
+
+    device_reduce = True
+
+    def __init__(self, dtype=np.complex64, name: Optional[str] = None):
+        super().__init__(name)
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.rate_in = (1,)
+        self.n_received = 0
+
+    def host_consume(self, arr, tags, port: int = 0) -> None:
+        self.n_received += arr.shape[-1]
+
+    def host_consume_count(self, valid: int) -> None:
+        self.n_received += valid
+
+
+class FileSource(Block):
+    """Raw binary file source, ``dtype``-typed items with optional repeat
+    (parity: file_source.rs:94)."""
+
+    def __init__(
+        self,
+        path,
+        dtype=np.complex64,
+        repeat: bool = False,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.path = Path(path)
+        self.repeat = repeat
+        self.is_blocking = True
+        dt = np.dtype(dtype)
+        self.stream_outputs = [PortSpec("out", dt)]
+        self.rate_out = (1,)
+        self._dtype = dt
+        self._mm = np.memmap(self.path, dtype=dt, mode="r")
+        self._pos = 0
+
+    def host_produce(self, n: int, port: int = 0):
+        total = self._mm.shape[0]
+        if self._pos >= total:
+            if not self.repeat:
+                return None
+            self._pos = 0
+        end = min(self._pos + n, total)
+        chunk = np.asarray(self._mm[self._pos : end])
+        self._pos = end
+        return chunk
+
+
+class FileSink(Block):
+    """Raw binary file sink (parity: file_sink.rs:96)."""
+
+    def __init__(self, path, dtype=np.float32, name: Optional[str] = None):
+        super().__init__(name)
+        self.path = Path(path)
+        self.is_blocking = True
+        dt = np.dtype(dtype)
+        self.stream_inputs = [PortSpec("in", dt)]
+        self.rate_in = (1,)
+        self._dtype = dt
+        self._f = open(self.path, "wb")
+        self.n_written = 0
+
+    def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:
+        self._f.write(np.ascontiguousarray(arr.astype(self._dtype)).tobytes())
+        self.n_written += arr.shape[-1]
+
+    def on_finish(self) -> None:
+        if not self._f.closed:
+            self._f.flush()
+            self._f.close()
+
+
+class WavSink(Block):
+    """16-bit PCM WAV sink (parity: audio/wav_sink.rs via hound; here the
+    stdlib ``wave`` module). Input is f32 in [-1, 1]."""
+
+    def __init__(
+        self,
+        path,
+        sample_rate: int,
+        channels: int = 1,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.path = Path(path)
+        self.sample_rate = int(sample_rate)
+        self.channels = int(channels)
+        self.is_blocking = True
+        self.stream_inputs = [PortSpec("in", np.float32)]
+        self.rate_in = (1,)
+        # open eagerly so a bad path fails at construction, not after the
+        # whole run; frames stream incrementally
+        self._w = wave.open(str(self.path), "wb")
+        self._w.setnchannels(self.channels)
+        self._w.setsampwidth(2)
+        self._w.setframerate(self.sample_rate)
+        self._closed = False
+
+    def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:
+        pcm = np.clip(arr * 32767.0, -32768, 32767).astype(np.int16)
+        self._w.writeframes(pcm.tobytes())
+
+    def on_finish(self) -> None:
+        if not self._closed:
+            self._w.close()
+            self._closed = True
+
+
+class ChannelSource(Block):
+    """Host source fed from a python queue (parity: channel_source.rs:97 —
+    futures mpsc → flowgraph). ``push(arr)`` from any thread; ``close()``
+    signals EOS."""
+
+    def __init__(self, dtype=np.complex64, maxsize: int = 64, name=None):
+        super().__init__(name)
+        dt = np.dtype(dtype)
+        self.stream_outputs = [PortSpec("out", dt)]
+        self.rate_out = (1,)
+        self.is_blocking = True
+        self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize)
+        self._buf = np.zeros((0,), dtype=dt)
+        self._closed = False
+
+    def push(self, arr) -> None:
+        self._q.put(np.asarray(arr))
+
+    def close(self) -> None:
+        self._q.put(None)
+
+    def host_produce(self, n: int, port: int = 0):
+        while self._buf.shape[-1] < n and not self._closed:
+            try:
+                item = self._q.get(timeout=0.1)
+            except queue.Empty:
+                break
+            if item is None:
+                self._closed = True
+                break
+            self._buf = np.concatenate([self._buf, item], axis=-1)
+        if self._buf.shape[-1] == 0:
+            return None if self._closed else np.zeros((0,), self._buf.dtype)
+        out, self._buf = self._buf[..., :n], self._buf[..., n:]
+        return out
+
+
+class ChannelSink(Block):
+    """Host sink pushing chunks into a python queue
+    (parity: channel_sink.rs:75)."""
+
+    def __init__(self, dtype=np.float32, maxsize: int = 64, name=None):
+        super().__init__(name)
+        self.stream_inputs = [PortSpec("in", np.dtype(dtype))]
+        self.rate_in = (1,)
+        self.is_blocking = True
+        self.queue: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize)
+
+    def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:
+        self.queue.put(np.array(arr))
+
+    def on_finish(self) -> None:
+        self.queue.put(None)

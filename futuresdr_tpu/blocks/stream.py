@@ -1,0 +1,182 @@
+"""Stream-manipulation blocks.
+
+Parity: ``src/blocks/{copy,head,delay,moving_avg,throttle,
+stream_duplicator,stream_deinterleaver}.rs``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from futuresdr_tpu.ops import cplx
+from futuresdr_tpu.runtime.block import Block, PortSpec
+
+
+class Copy(Block):
+    """Pass-through (parity: copy.rs — the perf harness workhorse)."""
+
+    def __init__(self, dtype=np.complex64, name: Optional[str] = None):
+        super().__init__(name)
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.stream_outputs = [PortSpec("out", dtype)]
+        self.rate_in = (1,)
+        self.rate_out = (1,)
+
+    def apply(self, state, inputs, params):
+        return state, [inputs[0]], {}
+
+
+class Head(Block):
+    """Pass the first ``n`` items then finish the flowgraph
+    (parity: head.rs:84 — ``io.finished`` after n items).
+
+    Device-side it is a pass-through; the cap is host-side valid-count
+    limiting (the executor trims the final chunk exactly)."""
+
+    def __init__(self, n: int, dtype=np.complex64, name: Optional[str] = None):
+        super().__init__(name)
+        self.n = int(n)
+        self._remaining = int(n)
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.stream_outputs = [PortSpec("out", dtype)]
+        self.rate_in = (1,)
+        self.rate_out = (1,)
+
+    def apply(self, state, inputs, params):
+        return state, [inputs[0]], {}
+
+    def host_limit(self, port: int, valid: int) -> int:
+        v = min(valid, self._remaining)
+        self._remaining -= v
+        if self._remaining == 0:
+            self.request_finish()
+        return v
+
+
+class Delay(Block):
+    """Insert ``n`` zero samples at stream start (positive delay,
+    parity: delay.rs:169)."""
+
+    def __init__(self, n: int, dtype=np.complex64, name: Optional[str] = None):
+        super().__init__(name)
+        if n < 0:
+            raise ValueError("negative delay not supported (skip upstream)")
+        self.n = int(n)
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.stream_outputs = [PortSpec("out", dtype)]
+        self.rate_in = (1,)
+        self.rate_out = (1,)
+        self._complex = np.dtype(dtype) == np.complex64
+
+    def make_state(self, in_sizes, out_sizes):
+        shape = (self.n,)
+        return (
+            cplx.czeros(shape) if self._complex else jnp.zeros(shape, jnp.float32)
+        )
+
+    def apply(self, state, inputs, params):
+        x = inputs[0]
+        if self.n == 0:
+            return state, [x], {}
+        ext = cplx.concat([state, x], axis=-1)
+        y = ext[..., : x.shape[-1]]
+        new_state = ext[..., x.shape[-1] :]
+        return new_state, [y], {}
+
+
+class MovingAvg(Block):
+    """Sliding average over ``width`` items, 1:1 with width−1 transient
+    (parity: moving_avg.rs:122 — const-generic width)."""
+
+    def __init__(self, width: int, dtype=np.float32, name: Optional[str] = None):
+        super().__init__(name)
+        self.width = int(width)
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.stream_outputs = [PortSpec("out", dtype)]
+        self.rate_in = (1,)
+        self.rate_out = (1,)
+        self.latency_out = (self.width - 1,)
+        self._complex = np.dtype(dtype) == np.complex64
+
+    def make_state(self, in_sizes, out_sizes):
+        shape = (self.width - 1,)
+        return (
+            cplx.czeros(shape) if self._complex else jnp.zeros(shape, jnp.float32)
+        )
+
+    def apply(self, state, inputs, params):
+        from futuresdr_tpu.ops.fir import fir_filter
+
+        taps = jnp.full((self.width,), 1.0 / self.width, dtype=jnp.float32)
+        state, y = fir_filter(inputs[0], taps, state)
+        return state, [y], {}
+
+
+class Throttle(Block):
+    """Rate-limit the stream to ``rate`` items/sec using the wall clock
+    (parity: throttle.rs:61-103). Device-side pass-through; the pacing
+    happens in the host loop."""
+
+    def __init__(self, rate: float, dtype=np.complex64, name: Optional[str] = None):
+        super().__init__(name)
+        self.rate = float(rate)
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.stream_outputs = [PortSpec("out", dtype)]
+        self.rate_in = (1,)
+        self.rate_out = (1,)
+        self._t0: Optional[float] = None
+        self._items = 0
+
+    def apply(self, state, inputs, params):
+        return state, [inputs[0]], {}
+
+    def host_limit(self, port: int, valid: int) -> int:
+        now = time.monotonic()
+        if self._t0 is None:
+            self._t0 = now
+        self._items += valid
+        target = self._t0 + self._items / self.rate
+        if target > now:
+            time.sleep(target - now)
+        return valid
+
+
+class StreamDuplicator(Block):
+    """1→N copies (parity: stream_duplicator.rs). Note plain fan-out needs
+    no block at all — an output port may feed multiple inputs directly."""
+
+    def __init__(self, n_out: int = 2, dtype=np.complex64, name=None):
+        super().__init__(name)
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.stream_outputs = [PortSpec(f"out{i}", dtype) for i in range(n_out)]
+        self.rate_in = (1,)
+        self.rate_out = (1,) * n_out
+
+    def apply(self, state, inputs, params):
+        return state, [inputs[0]] * len(self.stream_outputs), {}
+
+
+class StreamDeinterleaver(Block):
+    """Round-robin 1→N deinterleave (parity: stream_deinterleaver.rs:98)."""
+
+    def __init__(self, n_out: int = 2, dtype=np.complex64, name=None):
+        super().__init__(name)
+        self.n = int(n_out)
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.stream_outputs = [
+            PortSpec(f"out{i}", dtype) for i in range(self.n)
+        ]
+        self.rate_in = (self.n,)
+        self.rate_out = (1,) * self.n
+
+    def apply(self, state, inputs, params):
+        x = inputs[0]
+        n = self.n
+        r = x.shape[-1] // n
+        frames = x.reshape(r, n)
+        outs = [frames[..., i] for i in range(n)]
+        return state, outs, {}

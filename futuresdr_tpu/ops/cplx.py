@@ -172,8 +172,8 @@ def is_complex(x: Any) -> bool:
 
 
 def czeros(shape, dtype=jnp.float32) -> CArray:
-    z = jnp.zeros(shape, dtype=dtype)
-    return CArray(z, z)
+    # re and im must be distinct buffers: donated jit args may not alias
+    return CArray(jnp.zeros(shape, dtype=dtype), jnp.zeros(shape, dtype=dtype))
 
 
 def cones(shape, dtype=jnp.float32) -> CArray:
@@ -260,6 +260,24 @@ def mul(a: ArrayLike, b: ArrayLike) -> ArrayLike:
         a = a if isinstance(a, CArray) else CArray(jnp.asarray(a), jnp.zeros_like(jnp.asarray(a)))
         return a * b
     return a * b
+
+
+def einsum(subs: str, a: ArrayLike, b: ArrayLike, precision=None) -> ArrayLike:
+    """(Complex) two-operand einsum via real einsums where needed."""
+
+    def f(x, y):
+        return jnp.einsum(subs, x, y, precision=precision)
+
+    ca, cb = isinstance(a, CArray), isinstance(b, CArray)
+    if not ca and not cb:
+        return f(a, b)
+    if ca and not cb:
+        return CArray(f(a.re, b), f(a.im, b))
+    if not ca and cb:
+        return CArray(f(a, b.re), f(a, b.im))
+    return CArray(
+        f(a.re, b.re) - f(a.im, b.im), f(a.re, b.im) + f(a.im, b.re)
+    )
 
 
 def matmul(a: ArrayLike, b: ArrayLike, precision=None) -> ArrayLike:

@@ -54,6 +54,136 @@ def _reverse_last(x: ArrayLike) -> ArrayLike:
     return cplx.apply1(lambda t: t[..., ::-1], x)
 
 
+# ---------------------------------------------------------------------------
+# Banded-Toeplitz matmul FIR — the TPU-native formulation.
+#
+# XLA:TPU's conv lowering compiles pathologically for some 1-D spatial sizes
+# (measured on-chip: a 131080-sample conv takes 238 s to compile vs 2 s for
+# 131072), so the default FIR path avoids `conv_general_dilated` entirely:
+# the signal is cut into frames of `bo` outputs via contiguous reshapes (no
+# gather), and each frame multiplies a host-built banded Toeplitz tap matrix
+# W[k·stride + t, k] = h[t] — one [nb, S+T−1] @ [S+T−1, bo] MXU matmul.
+# FLOP overhead vs direct MACs is (S+T−1)/(stride·T) ≈ 1.2–2×, repaid by
+# running on the MXU at full tilt with fast, shape-robust compilation.
+# ---------------------------------------------------------------------------
+
+_MM_BLOCK_OUT = 128  # outputs per frame (lane-width aligned)
+
+
+def _is_tracer(taps: ArrayLike) -> bool:
+    t = taps.re if isinstance(taps, CArray) else taps
+    return isinstance(t, jax.core.Tracer)
+
+
+def _toeplitz_w(h: np.ndarray, stride: int, bo: int) -> np.ndarray:
+    """[S+T-1, bo] tap matrix, h = correlation kernel (reversed taps)."""
+    T = len(h)
+    S = bo * stride
+    W = np.zeros((S + T - 1, bo), dtype=np.float32)
+    for k in range(bo):
+        W[k * stride : k * stride + T, k] = h
+    return W
+
+
+def _frames(x: jax.Array, S: int, T: int, nb: int) -> jax.Array:
+    """[..., Ne] → [..., nb, S+T-1] overlapping frames via contiguous
+    reshapes + concat (frame i starts at input offset i·S)."""
+    K = 1 + -(-(T - 1) // S) if T > 1 else 1
+    need = (nb + K - 1) * S
+    pad = need - x.shape[-1]
+    if pad > 0:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (pad,), dtype=x.dtype)], axis=-1
+        )
+    parts = [
+        x[..., j * S : j * S + nb * S].reshape(*x.shape[:-1], nb, S)
+        for j in range(K)
+    ]
+    return jnp.concatenate(parts, axis=-1)[..., : S + T - 1]
+
+
+def _conv_matmul(x: ArrayLike, taps: ArrayLike, stride: int) -> ArrayLike:
+    """Matmul implementation of :func:`conv1d_valid` (same contract)."""
+    T = taps.shape[0]
+    Ne = x.shape[-1]
+    M = (Ne - T) // stride + 1
+    bo = _MM_BLOCK_OUT
+    S = bo * stride
+    nb = -(-M // bo)
+
+    # host-side reversal + Toeplitz build (taps are concrete constants)
+    if isinstance(taps, CArray):
+        hr = np.asarray(taps.re)[::-1]
+        hi = np.asarray(taps.im)[::-1]
+        W = CArray(
+            jnp.asarray(_toeplitz_w(hr, stride, bo)),
+            jnp.asarray(_toeplitz_w(hi, stride, bo)),
+        )
+    else:
+        W = jnp.asarray(_toeplitz_w(np.asarray(taps)[::-1], stride, bo))
+
+    fr = cplx.apply1(lambda t: _frames(t, S, T, nb), x)  # [..., nb, S+T-1]
+    out = cplx.matmul(fr, W, precision=_precision())  # [..., nb, bo]
+    out = cplx.apply1(lambda t: t.reshape(*t.shape[:-2], nb * bo), out)
+    return out[..., :M]
+
+
+def _toeplitz_w_np(h2: np.ndarray, stride: int, bo: int) -> np.ndarray:
+    """Batched [P, T] → [P, S+T-1, bo] Toeplitz stack."""
+    return np.stack([_toeplitz_w(h, stride, bo) for h in h2], axis=0)
+
+
+def _branch_w(taps_b: ArrayLike, stride: int, bo: int) -> ArrayLike:
+    if isinstance(taps_b, CArray):
+        hr = np.asarray(taps_b.re)[:, ::-1]
+        hi = np.asarray(taps_b.im)[:, ::-1]
+        return CArray(
+            jnp.asarray(_toeplitz_w_np(hr, stride, bo)),
+            jnp.asarray(_toeplitz_w_np(hi, stride, bo)),
+        )
+    return jnp.asarray(_toeplitz_w_np(np.asarray(taps_b)[:, ::-1], stride, bo))
+
+
+def conv1d_valid_branches(
+    xb: ArrayLike, taps_b: ArrayLike, stride: int = 1
+) -> ArrayLike:
+    """Per-branch FIR with per-branch inputs: xb [..., P, Ne] × taps_b
+    [P, T] (concrete) → [..., P, M]. One batched MXU matmul (the PFB
+    branch-filter workhorse)."""
+    xb = cplx.asarray(xb)
+    T = taps_b.shape[-1]
+    Ne = xb.shape[-1]
+    M = (Ne - T) // stride + 1
+    bo = _MM_BLOCK_OUT
+    S = bo * stride
+    nb = -(-M // bo)
+    W = _branch_w(taps_b, stride, bo)  # [P, F, bo]
+    fr = cplx.apply1(lambda t: _frames(t, S, T, nb), xb)  # [..., P, nb, F]
+    out = cplx.einsum("...pnf,pfk->...pnk", fr, W, precision=_precision())
+    out = cplx.apply1(lambda t: t.reshape(*t.shape[:-2], nb * bo), out)
+    return out[..., :M]
+
+
+def conv1d_valid_shared(
+    x: ArrayLike, taps_b: ArrayLike, stride: int = 1
+) -> ArrayLike:
+    """Branch bank over a shared input: x [..., Ne] × taps_b [P, T]
+    (concrete) → [..., P, M]. Frames are built once and hit a single
+    batched matmul (the polyphase-interpolator workhorse)."""
+    x = cplx.asarray(x)
+    T = taps_b.shape[-1]
+    Ne = x.shape[-1]
+    M = (Ne - T) // stride + 1
+    bo = _MM_BLOCK_OUT
+    S = bo * stride
+    nb = -(-M // bo)
+    W = _branch_w(taps_b, stride, bo)  # [P, F, bo]
+    fr = cplx.apply1(lambda t: _frames(t, S, T, nb), x)  # [..., nb, F]
+    out = cplx.einsum("...nf,pfk->...pnk", fr, W, precision=_precision())
+    out = cplx.apply1(lambda t: t.reshape(*t.shape[:-2], nb * bo), out)
+    return out[..., :M]
+
+
 def conv1d_valid(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLike:
     """Valid-mode FIR along the last axis; leading axes are batch.
 
@@ -70,6 +200,10 @@ def conv1d_valid(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLike:
     N = x.shape[-1]
     if N < T:
         raise ValueError(f"chunk of {N} samples shorter than {T} taps")
+
+    if config.get("fir_backend", "matmul") == "matmul" and not _is_tracer(taps):
+        return _conv_matmul(x, taps, stride)
+
     lead = x.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
 
@@ -204,13 +338,17 @@ def fir_interpolate(
 
 def _polyphase_branches(taps: ArrayLike, interp: int) -> ArrayLike:
     """Split prototype taps into an [interp, ceil(T/interp)] branch matrix:
-    ``branches[p, k] = taps[k·interp + p]``."""
+    ``branches[p, k] = taps[k·interp + p]`` — host-side (taps are concrete
+    block constants, and the Toeplitz builder needs numpy values)."""
     T = taps.shape[0]
     L = -(-T // interp)
 
     def split(t):
-        padded = jnp.concatenate([t, jnp.zeros(L * interp - T, dtype=t.dtype)])
-        return padded.reshape(L, interp).T
+        t = np.asarray(t)
+        padded = np.concatenate([t, np.zeros(L * interp - T, dtype=t.dtype)])
+        # stays numpy: inside a trace jnp.asarray would wrap the constant
+        # in a Tracer, and the Toeplitz builder needs host values
+        return np.ascontiguousarray(padded.reshape(L, interp).T)
 
     return cplx.apply1(split, taps)
 
@@ -245,12 +383,11 @@ def fir_resample_poly(
     ext = cplx.concat([state, x], axis=-1) if H > 0 else x
 
     N = x.shape[-1]
-    # z_p[n] = Σ_k branches[p,k]·x[n−k]; batched over branches via vmap
-    # (CArray is a pytree, so vmap maps re/im together). XLA fuses the
-    # vmapped convs into one grouped conv.
-    z = jax.vmap(lambda h: conv1d_valid(ext, h))(branches)  # [P, ..., N]
+    # z_p[n] = Σ_k branches[p,k]·x[n−k]; all P branches share the input
+    # frames and run as one batched MXU matmul.
+    z = conv1d_valid_shared(ext, branches)  # [..., P, N]
     up = cplx.apply1(
-        lambda t: jnp.moveaxis(t, 0, -1).reshape(*x.shape[:-1], N * P), z
+        lambda t: jnp.moveaxis(t, -2, -1).reshape(*x.shape[:-1], N * P), z
     )
     n_out = (N * P) // decim
     y = up[..., : n_out * decim : decim]

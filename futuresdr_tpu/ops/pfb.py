@@ -60,10 +60,11 @@ def synthesis_branch_taps(proto: np.ndarray, n_ch: int) -> np.ndarray:
 def _branch_convs(xb: ArrayLike, taps_b: ArrayLike) -> ArrayLike:
     """Per-branch FIR: xb [M, R], taps_b [M, L] → [M, R-L+1].
 
-    vmapped conv — XLA batches this into one grouped convolution (CArray is
-    a pytree, so re/im map together).
+    One batched banded-Toeplitz MXU matmul (see ops.fir).
     """
-    return jax.vmap(conv1d_valid, in_axes=(0, 0))(xb, taps_b)
+    from futuresdr_tpu.ops.fir import conv1d_valid_branches
+
+    return conv1d_valid_branches(xb, taps_b)
 
 
 def pfb_channelize(

@@ -119,11 +119,24 @@ class Block:
         raise NotImplementedError
 
     # ---- host API (sources/sinks implement these) ----------------------
-    # def host_produce(self, n: int) -> Optional[np.ndarray]:
+    # def host_produce(self, n: int, port: int = 0) -> Optional[np.ndarray]:
     #     """Return up to n items; fewer/None signals EOS (pad handled by
-    #     the executor)."""
-    # def host_consume(self, arr: np.ndarray, tags: List[ItemTag]) -> None:
+    #     the executor). May return (arr, List[ItemTag])."""
+    # def host_consume(self, arr: np.ndarray, tags: List[ItemTag],
+    #                  port: int = 0) -> None:
     #     """Receive a chunk of valid output items."""
+
+    def host_limit(self, port: int, valid: int) -> int:
+        """Host hook on valid-count propagation: cap the number of valid
+        items on output ``port`` this step (Head-style limiting). Blocks
+        may also :meth:`request_finish` here."""
+        return valid
+
+    def host_consume_count(self, valid: int) -> None:
+        """Hook for counting sinks with ``device_reduce`` (no D2H data)."""
+
+    def on_finish(self) -> None:
+        """Host hook: called once when the flowgraph finishes."""
 
     # ---- params (retunable device scalars) -----------------------------
     def params(self) -> Dict[str, np.ndarray]:

@@ -1,0 +1,434 @@
+"""Runtime integration tests on full graphs.
+
+Parity: ``tests/flowgraph.rs`` (exact-output Vector fixtures, 10M random
+samples, multi-sink fan-out, lifecycle), ``tests/connect_error.rs``,
+``tests/fir.rs``, ``tests/moving_avg.rs``, ``tests/apply.rs``,
+``tests/combine.rs``, ``tests/split.rs``, ``tests/tag.rs``.
+"""
+
+import numpy as np
+import pytest
+
+from futuresdr_tpu import Flowgraph, Runtime, connect
+from futuresdr_tpu.blocks import (
+    Apply,
+    Combine,
+    Copy,
+    Delay,
+    Fir,
+    Head,
+    MovingAvg,
+    NullSink,
+    NullSource,
+    SignalSource,
+    Split,
+    StreamDeinterleaver,
+    VectorSink,
+    VectorSource,
+)
+from futuresdr_tpu.runtime.compiler import RateError, compile_flowgraph
+from futuresdr_tpu.runtime.flowgraph import ConnectError
+from futuresdr_tpu.runtime.tags import ItemTag, Tag
+
+
+def run(fg, chunk=4096, **kw):
+    return Runtime(chunk_size=chunk).run(fg, **kw)
+
+
+# ---- flowgraph.rs parity ---------------------------------------------------
+
+
+def test_linear_copy_exact():
+    data = np.arange(100_000, dtype=np.float32)
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(fg, VectorSource(data), Copy(np.float32), snk)
+    run(fg)
+    assert np.array_equal(snk.data(), data)
+
+
+def test_ten_million_random_samples():
+    # parity: tests/flowgraph.rs:150-174
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal(10_000_000).astype(np.float32)
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(fg, VectorSource(data), Copy(np.float32), snk)
+    run(fg, chunk=1 << 18)
+    assert np.array_equal(snk.data(), data)
+
+
+def test_multi_sink_fanout():
+    # parity: tests/flowgraph.rs:176-209 — one output port, two readers
+    data = np.arange(10_000, dtype=np.float32)
+    fg = Flowgraph()
+    src = VectorSource(data)
+    s1, s2 = VectorSink(np.float32), VectorSink(np.float32)
+    c = Copy(np.float32)
+    fg.stream(src, c)
+    fg.stream(c, s1)
+    fg.stream(c, s2)
+    run(fg)
+    assert np.array_equal(s1.data(), data)
+    assert np.array_equal(s2.data(), data)
+
+
+def test_partial_final_chunk():
+    # length deliberately not a multiple of any chunk size
+    data = np.arange(12_345, dtype=np.float32)
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(fg, VectorSource(data), Copy(np.float32), snk)
+    run(fg, chunk=4096)
+    assert np.array_equal(snk.data(), data)
+
+
+def test_start_stop_lifecycle():
+    # parity: tests/flowgraph.rs:98-117 — stop a running graph
+    fg = Flowgraph()
+    snk = NullSink(np.complex64)
+    connect(fg, NullSource(np.complex64), Copy(np.complex64), snk)
+    rt = Runtime(chunk_size=8192)
+    handle = rt.start(fg)
+    import time
+
+    time.sleep(0.3)
+    handle.stop()
+    handle.wait(timeout=10)
+    assert not handle.running
+    assert snk.n_received > 0
+
+
+def test_head_limits_items():
+    fg = Flowgraph()
+    snk = NullSink(np.complex64)
+    connect(
+        fg, NullSource(np.complex64), Head(100_000, np.complex64), snk
+    )
+    run(fg, chunk=8192)
+    assert snk.n_received == 100_000
+
+
+# ---- connect_error.rs parity -----------------------------------------------
+
+
+def test_connect_dtype_mismatch():
+    fg = Flowgraph()
+    src = VectorSource(np.arange(10, dtype=np.float32))
+    with pytest.raises(ConnectError):
+        fg.stream(src, Copy(np.complex64))
+
+
+def test_connect_double_input():
+    fg = Flowgraph()
+    a = VectorSource(np.arange(10, dtype=np.float32))
+    b = VectorSource(np.arange(10, dtype=np.float32))
+    c = Copy(np.float32)
+    fg.stream(a, c)
+    with pytest.raises(ConnectError):
+        fg.stream(b, c)
+
+
+def test_unconnected_input_rejected():
+    fg = Flowgraph()
+    fg.add(Copy(np.float32))
+    with pytest.raises(RateError):
+        compile_flowgraph(fg)
+
+
+def test_bad_port_name():
+    fg = Flowgraph()
+    src = VectorSource(np.arange(10, dtype=np.float32))
+    with pytest.raises(ConnectError):
+        fg.stream(src, Copy(np.float32), src_port="nonexistent")
+
+
+# ---- apply/combine/split parity --------------------------------------------
+
+
+def test_apply_chain():
+    data = np.arange(1000, dtype=np.float32)
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(
+        fg,
+        VectorSource(data),
+        Apply(lambda x: x * 2.0, np.float32),
+        Apply(lambda x: x + 1.0, np.float32),
+        snk,
+    )
+    run(fg, chunk=256)
+    assert np.allclose(snk.data(), data * 2 + 1)
+
+
+def test_combine_two_streams():
+    a = np.arange(5000, dtype=np.float32)
+    b = np.arange(5000, dtype=np.float32) * 10
+    fg = Flowgraph()
+    sa, sb = VectorSource(a), VectorSource(b)
+    add = Combine(lambda x, y: x + y, np.float32)
+    snk = VectorSink(np.float32)
+    fg.stream(sa, add, dst_port=0)
+    fg.stream(sb, add, dst_port=1)
+    fg.stream(add, snk)
+    run(fg, chunk=1024)
+    assert np.allclose(snk.data(), a + b)
+
+
+def test_split_two_outputs():
+    data = np.arange(4000, dtype=np.float32)
+    fg = Flowgraph()
+    sp = Split(lambda x: (x * 2, x * 3), np.float32)
+    s1, s2 = VectorSink(np.float32), VectorSink(np.float32)
+    fg.stream(VectorSource(data), sp)
+    fg.stream(sp, s1, src_port=0)
+    fg.stream(sp, s2, src_port=1)
+    run(fg, chunk=512)
+    assert np.allclose(s1.data(), data * 2)
+    assert np.allclose(s2.data(), data * 3)
+
+
+def test_deinterleave():
+    data = np.arange(8000, dtype=np.float32)
+    fg = Flowgraph()
+    d = StreamDeinterleaver(2, np.float32)
+    s0, s1 = VectorSink(np.float32), VectorSink(np.float32)
+    fg.stream(VectorSource(data), d)
+    fg.stream(d, s0, src_port=0)
+    fg.stream(d, s1, src_port=1)
+    run(fg, chunk=512)
+    assert np.array_equal(s0.data(), data[0::2])
+    assert np.array_equal(s1.data(), data[1::2])
+
+
+# ---- fir.rs / moving_avg.rs parity ----------------------------------------
+
+
+def test_fir_matches_reference_valid_conv():
+    rng = np.random.default_rng(2)
+    taps = rng.standard_normal(64).astype(np.float32)
+    x = rng.standard_normal(100_000).astype(np.float32)
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(fg, VectorSource(x), Fir(taps, dtype=np.float32), snk)
+    run(fg, chunk=8192)
+    # reference: out[k] = Σ_t in[k+t]·taps[T-1-t]  (fir.rs:77-88)
+    ref = np.convolve(x, taps, mode="valid").astype(np.float32)
+    got = snk.data()
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-3
+
+
+def test_fir_complex_stream():
+    rng = np.random.default_rng(3)
+    taps = rng.standard_normal(31).astype(np.float32)
+    x = (rng.standard_normal(20_000) + 1j * rng.standard_normal(20_000)).astype(
+        np.complex64
+    )
+    fg = Flowgraph()
+    snk = VectorSink(np.complex64)
+    connect(fg, VectorSource(x), Fir(taps), snk)
+    run(fg, chunk=4096)
+    ref = np.convolve(x, taps, mode="valid").astype(np.complex64)
+    assert np.max(np.abs(snk.data() - ref)) < 1e-3
+
+
+def test_fir_decimating():
+    rng = np.random.default_rng(4)
+    taps = rng.standard_normal(32).astype(np.float32)
+    x = rng.standard_normal(50_000).astype(np.float32)
+    q = 4
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(fg, VectorSource(x), Fir.decimating(taps, q, np.float32), snk)
+    run(fg, chunk=8192)
+    full = np.convolve(x, taps, mode="valid")
+    # first full-window output is at input phase ceil((T-1)/q)*q
+    import math
+
+    m0 = math.ceil((len(taps) - 1) / q)
+    ref = full[m0 * q - (len(taps) - 1) :: q].astype(np.float32)
+    got = snk.data()
+    n = min(len(got), len(ref))
+    assert n > 10_000
+    assert np.max(np.abs(got[:n] - ref[:n])) < 1e-3
+
+
+def test_moving_avg():
+    x = np.arange(1000, dtype=np.float32)
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(fg, VectorSource(x), MovingAvg(10, np.float32), snk)
+    run(fg, chunk=100)
+    ref = np.convolve(x, np.full(10, 0.1), mode="valid").astype(np.float32)
+    got = snk.data()
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-4
+
+
+def test_delay_prepends_zeros():
+    x = np.arange(1, 1001, dtype=np.float32)
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(fg, VectorSource(x), Delay(7, np.float32), snk)
+    run(fg, chunk=128)
+    got = snk.data()
+    assert np.array_equal(got[:7], np.zeros(7))
+    assert np.array_equal(got[7:], x[: len(got) - 7])
+
+
+# ---- multirate graph: rate solver ------------------------------------------
+
+
+def test_rate_solver_resampling_chain():
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(60_000) + 1j * rng.standard_normal(60_000)).astype(
+        np.complex64
+    )
+    fg = Flowgraph()
+    snk = VectorSink(np.complex64)
+    connect(fg, VectorSource(x), Fir.resampling(3, 5), snk)
+    run(fg, chunk=8192)
+    assert len(snk.data()) > 0.9 * len(x) * 3 / 5 - 100
+
+
+def test_signal_source_tone():
+    fg = Flowgraph()
+    fs = 48_000.0
+    snk = VectorSink(np.complex64)
+    connect(
+        fg,
+        SignalSource(1000.0, fs),
+        Head(48_000, np.complex64),
+        snk,
+    )
+    run(fg, chunk=4096)
+    y = snk.data()
+    assert len(y) == 48_000
+    t = np.arange(len(y)) / fs
+    ref = np.exp(2j * np.pi * 1000.0 * t)
+    assert np.max(np.abs(y - ref)) < 1e-3
+
+
+# ---- tags (tag.rs parity) --------------------------------------------------
+
+
+def test_tags_pass_through():
+    data = np.arange(10_000, dtype=np.float32)
+    tags = [
+        ItemTag(0, Tag.id(7)),
+        ItemTag(5000, Tag.string("mid")),
+        ItemTag(9999, Tag.named_usize("n", 42)),
+    ]
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(
+        fg, VectorSource(data, tags=tags), Copy(np.float32), snk
+    )
+    run(fg, chunk=1024)
+    got = snk.tags()
+    assert [(t.index, t.tag.kind.value) for t in got] == [
+        (0, "Id"),
+        (5000, "String"),
+        (9999, "NamedUsize"),
+    ]
+
+
+def test_tags_rescale_across_decimation():
+    data = np.zeros(8000, dtype=np.float32)
+    tags = [ItemTag(4000, Tag.id(1))]
+    taps = np.ones(1, dtype=np.float32)
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(
+        fg,
+        VectorSource(data, tags=tags),
+        Fir.decimating(taps, 4, np.float32),
+        snk,
+    )
+    run(fg, chunk=1024)
+    got = snk.tags()
+    assert len(got) == 1
+    assert got[0].index == 1000
+
+
+# ---- messages / handle -----------------------------------------------------
+
+
+def test_handle_call_retunes_signal_source():
+    import time
+
+    fg = Flowgraph()
+    fs = 1_000_000.0
+    src = SignalSource(100e3, fs)
+    snk = NullSink(np.complex64)
+    connect(fg, src, Copy(np.complex64), snk)
+    rt = Runtime(chunk_size=8192)
+    h = rt.start(fg)
+    time.sleep(0.2)
+    reply = h.call(src, "freq", 200e3)
+    assert reply is not None
+    time.sleep(0.1)
+    h.stop()
+    h.wait(timeout=10)
+    assert snk.n_received > 0
+
+
+def test_message_edge_routes_between_blocks():
+    from futuresdr_tpu.runtime.block import Block, message_handler
+    from futuresdr_tpu.types.pmt import Pmt
+
+    received = []
+
+    class Receiver(Block):
+        @message_handler("in")
+        def handler(self, pmt):
+            received.append(pmt.to_py())
+            return Pmt.ok()
+
+    class Poster(Block):
+        def __init__(self):
+            super().__init__()
+            self.message_outputs = ["out"]
+
+    fg = Flowgraph()
+    p, r = Poster(), Receiver()
+    fg.add(p)
+    fg.add(r)
+    fg.message(p, "out", r, "in")
+    ex_fg = fg  # wire via executor
+    from futuresdr_tpu.runtime.executor import Executor
+
+    # message-only graphs have no stream edges; wire a trivial stream pair
+    snk = NullSink(np.complex64)
+    connect(fg, NullSource(np.complex64), Head(10_000, np.complex64), snk)
+    ex = Executor(fg, chunk_size=4096)
+    p.post("out", Pmt.from_py(123))
+    ex.running = True
+    ex.run_loop()
+    assert received == [123]
+
+
+# ---- error propagation (bad_block.rs / fail.rs parity) ---------------------
+
+
+def test_block_error_propagates():
+    class BadBlock(Apply):
+        def __init__(self):
+            super().__init__(lambda x: x, np.float32)
+
+        def host_limit(self, port, valid):
+            raise ValueError("boom")
+
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(
+        fg,
+        VectorSource(np.arange(100, dtype=np.float32)),
+        BadBlock(),
+        snk,
+    )
+    rt = Runtime(chunk_size=64)
+    h = rt.start(fg)
+    with pytest.raises(ValueError):
+        h.wait(timeout=10)
