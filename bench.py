@@ -1,0 +1,73 @@
+"""Headline benchmark: 1024-channel PFB channelizer + FM demod bank.
+
+Measures wideband IQ samples/s through the full chain (branch-FIR matmul +
+batched matmul-FFT + quadrature demod + audio decimating FIR) on one chip.
+BASELINE.json north star: >10 GS/s aggregate on a v5e-16 ⇒ 0.625 GS/s/chip.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "GS/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+BASELINE_PER_CHIP_GSPS = 0.625  # 10 GS/s / 16 chips (v5e-16 north star)
+
+
+def main() -> None:
+    from futuresdr_tpu.models.pfb_fm_bank import (
+        BankConfig,
+        example_args,
+        make_bank_step,
+    )
+    from futuresdr_tpu.runtime.executor import _enable_compile_cache
+
+    _enable_compile_cache()
+    cfg = BankConfig(n_ch=1024, taps_per_ch=8, audio_decim=8, audio_taps=32)
+    r = 512  # channelized steps per call → 512·1024 = 524288 IQ samples
+    _, step = make_bank_step(cfg)
+    state, x = example_args(cfg, r=r)
+    n_samples = x.shape[-1]
+
+    import os
+    import sys
+
+    t0 = time.perf_counter()
+    step_j = jax.jit(step, donate_argnums=(0,))
+    state, audio = step_j(state, x)
+    jax.block_until_ready(audio)  # compile + warmup
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"# compile {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # steady-state: repeat until ≥1 s measured
+    iters = 8
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, audio = step_j(state, x)
+        jax.block_until_ready(audio)
+        dt = time.perf_counter() - t0
+        if dt > 1.0:
+            break
+        iters *= 2
+
+    gsps = n_samples * iters / dt / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": "pfb1024_fm_bank_samples_per_s_per_chip",
+                "value": round(gsps, 4),
+                "unit": "GS/s",
+                "vs_baseline": round(gsps / BASELINE_PER_CHIP_GSPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

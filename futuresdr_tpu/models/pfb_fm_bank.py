@@ -1,0 +1,179 @@
+"""1024-channel polyphase channelizer + parallel FM demod bank.
+
+The BASELINE.json headline config: a wideband IQ stream is split into
+``n_ch`` channels by a critically-sampled PFB (``pfb/channelizer.rs``
+parity), every channel is FM-demodulated in parallel
+(``examples/fm-receiver`` math), and each audio stream is low-pass
+decimated. On TPU this is three batched kernels per chunk — branch-FIR
+matmul + batched matmul-FFT, vectorized quadrature demod, batched
+decimating FIR — everything on the MXU/VPU.
+
+Multi-chip: the chunk is **time-sharded** over a mesh axis; every filter
+stage pulls its lookback halo from the left neighbor via ``ppermute``
+(:mod:`futuresdr_tpu.parallel.halo`), so D chips process one stream with
+exactly the serial semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from futuresdr_tpu.blocks.pfb import default_channelizer_taps
+from futuresdr_tpu.dsp import firdes
+from futuresdr_tpu.ops import cplx
+from futuresdr_tpu.ops.cplx import CArray
+from futuresdr_tpu.ops.demod import quadrature_demod
+from futuresdr_tpu.ops.fir import fir_decimate
+from futuresdr_tpu.ops.pfb import analysis_branch_taps, pfb_channelize
+from futuresdr_tpu.parallel.halo import halo_left, ring_carry
+
+
+@dataclass(frozen=True)
+class BankConfig:
+    n_ch: int = 1024
+    taps_per_ch: int = 8
+    audio_decim: int = 8
+    audio_taps: int = 32
+    demod_gain: float = 1.0
+
+    @property
+    def branch_len(self) -> int:
+        # analysis_branch_taps: L = ceil((T + M - 1)/M), T = n_ch*taps_per_ch
+        T = self.n_ch * self.taps_per_ch
+        return -(-(T + self.n_ch - 1) // self.n_ch)
+
+
+def _design(cfg: BankConfig):
+    proto = default_channelizer_taps(cfg.n_ch, cfg.taps_per_ch)
+    branch = jnp.asarray(
+        analysis_branch_taps(proto, cfg.n_ch).astype(np.float32)
+    )
+    win = np.hamming(cfg.audio_taps)
+    audio = jnp.asarray(
+        firdes.lowpass(0.4 / cfg.audio_decim, win).astype(np.float32)
+    )
+    return branch, audio
+
+
+def make_bank_step(cfg: BankConfig = BankConfig()):
+    """Single-chip step.
+
+    Returns ``(init_state, step)`` with
+    ``step(state, x) -> (state, audio)``; ``x`` is a CArray of
+    ``R·n_ch`` wideband IQ samples (R a multiple of ``audio_decim``),
+    ``audio`` is ``[n_ch, R/audio_decim]`` float32.
+    """
+    branch_taps, audio_taps = _design(cfg)
+    M, L = cfg.n_ch, cfg.branch_len
+    Ta = cfg.audio_taps
+    Ha = -(-(Ta - 1) // cfg.audio_decim) * cfg.audio_decim
+
+    def init_state():
+        return (
+            cplx.czeros((M, L - 1)),  # PFB branch history
+            cplx.czeros((M, 1)),  # demod last sample per channel
+            jnp.zeros((M, Ha), jnp.float32),  # audio FIR history
+        )
+
+    def step(state, x: CArray):
+        pfb_st, last, ah = state
+        pfb_st, y = pfb_channelize(x, branch_taps, M, pfb_st)  # [R, M]
+        z = cplx.apply1(lambda t: t.T, y)  # [M, R]
+        last, a = quadrature_demod(z, last, cfg.demod_gain)  # [M, R] f32
+        ah, audio = fir_decimate(a, audio_taps, cfg.audio_decim, ah)
+        return (pfb_st, last, ah), audio
+
+    return init_state, step
+
+
+def make_sharded_bank_step(
+    cfg: BankConfig,
+    mesh,
+    axis: str = "time",
+):
+    """Time-sharded step over ``mesh[axis]``.
+
+    ``step(carry, x)``: ``x`` is the full wideband chunk, sharded on its
+    (only) sample axis; ``carry`` holds replicated cross-step stream tails.
+    Audio comes back sharded on the channel-time axis. Halos:
+
+    * PFB branch history — ``(L-1)·n_ch`` wideband samples from the left
+      neighbor,
+    * demod — 1 channelized sample per channel,
+    * audio FIR — ``Ha`` demodulated samples per channel,
+
+    each one ``ppermute`` (the "overlap-save exchange" the BASELINE metric
+    tracks).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    branch_taps, audio_taps = _design(cfg)
+    M, L = cfg.n_ch, cfg.branch_len
+    Ta = cfg.audio_taps
+    Ha = -(-(Ta - 1) // cfg.audio_decim) * cfg.audio_decim
+    Hw = (L - 1) * M  # wideband halo
+
+    def init_carry():
+        return (
+            cplx.czeros((Hw,)),  # wideband tail (for PFB history)
+            cplx.czeros((M, 1)),  # channelized tail (for demod)
+            jnp.zeros((M, Ha), jnp.float32),  # demod-audio tail
+        )
+
+    def shard_fn(carry, x):
+        cw, cz, ca = carry
+        # PFB with halo-derived branch history ([Hw] wideband → [M, L-1])
+        hist = halo_left(x, Hw, axis, carry=cw)[..., :Hw]
+        st = cplx.apply1(lambda t: t.reshape(L - 1, M).T, hist)
+        _, y = pfb_channelize(x, branch_taps, M, st)  # [R_loc, M]
+        z = cplx.apply1(lambda t: t.T, y)  # [M, R_loc]
+        # demod with 1-sample halo
+        zprev = halo_left(z, 1, axis, carry=cz)[..., :1]
+        _, a = quadrature_demod(z, zprev, cfg.demod_gain)  # [M, R_loc]
+        # audio FIR with Ha-sample halo
+        ast = halo_left(a, Ha, axis, carry=ca)[..., :Ha]
+        _, audio = fir_decimate(a, audio_taps, cfg.audio_decim, ast)
+        # next-step carries (replicated)
+        new_carry = (
+            ring_carry(x, Hw, axis),
+            ring_carry(z, 1, axis),
+            ring_carry(a, Ha, axis),
+        )
+        return new_carry, audio
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            (P(), P(), P()),  # carry replicated (prefix covers CArray leaves)
+            P(axis),  # x time-sharded on its sample axis
+        ),
+        out_specs=((P(), P(), P()), P(None, axis)),
+        check_rep=False,
+    )
+    return init_carry, fn
+
+
+# ---------------------------------------------------------------------------
+# Convenience: jittable single-chip step with concrete example args
+# ---------------------------------------------------------------------------
+
+
+def example_args(cfg: BankConfig = BankConfig(), r: int = 256):
+    """(state, x) sized for ``r`` channelized time steps."""
+    init_state, _ = make_bank_step(cfg)
+    n = r * cfg.n_ch
+    rng = np.random.default_rng(0)
+    x = cplx.from_numpy(
+        (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            np.complex64
+        )
+    )
+    return init_state(), x

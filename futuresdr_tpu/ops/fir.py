@@ -128,60 +128,49 @@ def _conv_matmul(x: ArrayLike, taps: ArrayLike, stride: int) -> ArrayLike:
     return out[..., :M]
 
 
-def _toeplitz_w_np(h2: np.ndarray, stride: int, bo: int) -> np.ndarray:
-    """Batched [P, T] → [P, S+T-1, bo] Toeplitz stack."""
-    return np.stack([_toeplitz_w(h, stride, bo) for h in h2], axis=0)
-
-
-def _branch_w(taps_b: ArrayLike, stride: int, bo: int) -> ArrayLike:
+def _rev_taps_const(taps_b) -> ArrayLike:
+    """[P, T] branch taps → time-reversed device constant (host reversal:
+    taps are concrete block constants)."""
     if isinstance(taps_b, CArray):
-        hr = np.asarray(taps_b.re)[:, ::-1]
-        hi = np.asarray(taps_b.im)[:, ::-1]
         return CArray(
-            jnp.asarray(_toeplitz_w_np(hr, stride, bo)),
-            jnp.asarray(_toeplitz_w_np(hi, stride, bo)),
+            jnp.asarray(np.ascontiguousarray(np.asarray(taps_b.re)[:, ::-1])),
+            jnp.asarray(np.ascontiguousarray(np.asarray(taps_b.im)[:, ::-1])),
         )
-    return jnp.asarray(_toeplitz_w_np(np.asarray(taps_b)[:, ::-1], stride, bo))
+    return jnp.asarray(np.ascontiguousarray(np.asarray(taps_b)[:, ::-1]))
 
 
-def conv1d_valid_branches(
-    xb: ArrayLike, taps_b: ArrayLike, stride: int = 1
-) -> ArrayLike:
+def _shift_stack(x: ArrayLike, T: int, M: int) -> ArrayLike:
+    """[..., Ne] → [..., T, M] where view[..., t, n] = x[..., n+t]."""
+    return cplx.apply1(
+        lambda u: jnp.stack([u[..., t : t + M] for t in range(T)], axis=-2), x
+    )
+
+
+def conv1d_valid_branches(xb: ArrayLike, taps_b: ArrayLike) -> ArrayLike:
     """Per-branch FIR with per-branch inputs: xb [..., P, Ne] × taps_b
-    [P, T] (concrete) → [..., P, M]. One batched MXU matmul (the PFB
-    branch-filter workhorse)."""
+    [P, T] (concrete) → [..., P, M] (the PFB branch-filter workhorse).
+
+    Branch filters are short (taps/channel), so a banded-Toeplitz matrix
+    would be mostly zeros; instead a shift-stacked view feeds one einsum
+    with exact FLOPs."""
     xb = cplx.asarray(xb)
     T = taps_b.shape[-1]
-    Ne = xb.shape[-1]
-    M = (Ne - T) // stride + 1
-    bo = _MM_BLOCK_OUT
-    S = bo * stride
-    nb = -(-M // bo)
-    W = _branch_w(taps_b, stride, bo)  # [P, F, bo]
-    fr = cplx.apply1(lambda t: _frames(t, S, T, nb), xb)  # [..., P, nb, F]
-    out = cplx.einsum("...pnf,pfk->...pnk", fr, W, precision=_precision())
-    out = cplx.apply1(lambda t: t.reshape(*t.shape[:-2], nb * bo), out)
-    return out[..., :M]
+    M = xb.shape[-1] - T + 1
+    W = _rev_taps_const(taps_b)  # [P, T]
+    view = _shift_stack(xb, T, M)  # [..., P, T, M]
+    return cplx.einsum("pt,...ptn->...pn", W, view, precision=_precision())
 
 
-def conv1d_valid_shared(
-    x: ArrayLike, taps_b: ArrayLike, stride: int = 1
-) -> ArrayLike:
+def conv1d_valid_shared(x: ArrayLike, taps_b: ArrayLike) -> ArrayLike:
     """Branch bank over a shared input: x [..., Ne] × taps_b [P, T]
-    (concrete) → [..., P, M]. Frames are built once and hit a single
-    batched matmul (the polyphase-interpolator workhorse)."""
+    (concrete) → [..., P, M] (the polyphase-interpolator workhorse).
+    One [P, T] @ [T, M] MXU matmul over the shift-stacked view."""
     x = cplx.asarray(x)
     T = taps_b.shape[-1]
-    Ne = x.shape[-1]
-    M = (Ne - T) // stride + 1
-    bo = _MM_BLOCK_OUT
-    S = bo * stride
-    nb = -(-M // bo)
-    W = _branch_w(taps_b, stride, bo)  # [P, F, bo]
-    fr = cplx.apply1(lambda t: _frames(t, S, T, nb), x)  # [..., nb, F]
-    out = cplx.einsum("...nf,pfk->...pnk", fr, W, precision=_precision())
-    out = cplx.apply1(lambda t: t.reshape(*t.shape[:-2], nb * bo), out)
-    return out[..., :M]
+    M = x.shape[-1] - T + 1
+    W = _rev_taps_const(taps_b)  # [P, T]
+    view = _shift_stack(x, T, M)  # [..., T, M]
+    return cplx.einsum("pt,...tn->...pn", W, view, precision=_precision())
 
 
 def conv1d_valid(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLike:
