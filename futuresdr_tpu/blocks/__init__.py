@@ -20,9 +20,28 @@ from futuresdr_tpu.blocks.stream import (
     Delay,
     Head,
     MovingAvg,
+    Selector,
     StreamDeinterleaver,
     StreamDuplicator,
+    TagDebug,
     Throttle,
+)
+from futuresdr_tpu.blocks.message import (
+    MessageAnnotator,
+    MessageApply,
+    MessageBurst,
+    MessageCopy,
+    MessagePipe,
+    MessageSink,
+    MessageSource,
+)
+from futuresdr_tpu.blocks.net import (
+    BlobToUdp,
+    TcpSink,
+    TcpSource,
+    UdpSource,
+    WebsocketPmtSink,
+    WebsocketSink,
 )
 from futuresdr_tpu.blocks.io import (
     ChannelSink,
@@ -58,9 +77,24 @@ __all__ = [
     "Delay",
     "Head",
     "MovingAvg",
+    "Selector",
     "StreamDeinterleaver",
     "StreamDuplicator",
+    "TagDebug",
     "Throttle",
+    "MessageAnnotator",
+    "MessageApply",
+    "MessageBurst",
+    "MessageCopy",
+    "MessagePipe",
+    "MessageSink",
+    "MessageSource",
+    "BlobToUdp",
+    "TcpSink",
+    "TcpSource",
+    "UdpSource",
+    "WebsocketPmtSink",
+    "WebsocketSink",
     "ChannelSink",
     "ChannelSource",
     "FileSink",

@@ -177,6 +177,79 @@ class XlatingFir(Block):
         return (acc, hist), [y], {}
 
 
+class FreqShift(Block):
+    """Multiply the stream by a complex NCO: ``y = x·e^{j2πft}``
+    (parity: the freq-xlating Apply closures in examples — e.g.
+    ``examples/ssb/receive.rs:57-66`` — and futuredsp's ``Rotator``).
+    ``freq`` retunes via message or :meth:`set_param` without recompiling;
+    ``scale`` folds a constant gain into the same pass."""
+
+    def __init__(
+        self,
+        freq: float,
+        sample_rate: float,
+        scale: float = 1.0,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.sample_rate = float(sample_rate)
+        self.scale = float(scale)
+        self.stream_inputs = [PortSpec("in", np.complex64)]
+        self.stream_outputs = [PortSpec("out", np.complex64)]
+        self.rate_in = (1,)
+        self.rate_out = (1,)
+        self._params["dphi"] = np.asarray(freq_to_fxp(freq / sample_rate))
+
+    @message_handler("freq")
+    def freq_handler(self, pmt: Pmt) -> Pmt:
+        self.set_param("dphi", freq_to_fxp(float(pmt.to_py()) / self.sample_rate))
+        return Pmt.ok()
+
+    def make_state(self, in_sizes, out_sizes):
+        return jnp.uint32(0)
+
+    def apply(self, state, inputs, params):
+        acc, y = rotator_apply(inputs[0], state, params["dphi"])
+        if self.scale != 1.0:
+            y = y * self.scale
+        return acc, [y], {}
+
+
+class WeaverDecode(Block):
+    """Weaver SSB product detector: ``audio = re(v)·cos(ωt) ± im(v)·sin(ωt)``
+    with ω = 2π·mid_freq (parity: examples/ssb/receive.rs:73-84 —
+    ``+`` for USB, ``−`` for LSB; volume folded in)."""
+
+    def __init__(
+        self,
+        mid_freq: float,
+        sample_rate: float,
+        usb: bool = True,
+        volume: float = 0.5,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.sample_rate = float(sample_rate)
+        self.usb = usb
+        self.volume = float(volume)
+        self.stream_inputs = [PortSpec("in", np.complex64)]
+        self.stream_outputs = [PortSpec("out", np.float32)]
+        self.rate_in = (1,)
+        self.rate_out = (1,)
+        self._params["dphi"] = np.asarray(freq_to_fxp(mid_freq / sample_rate))
+
+    def make_state(self, in_sizes, out_sizes):
+        return jnp.uint32(0)
+
+    def apply(self, state, inputs, params):
+        x = inputs[0]
+        acc, osc = nco_complex(state, params["dphi"], x.shape[-1])
+        term = x.re * osc.re
+        term2 = x.im * osc.im
+        y = self.volume * (term + term2 if self.usb else term - term2)
+        return acc, [y.astype(jnp.float32)], {}
+
+
 class Iir(Block):
     """IIR filter b/a (parity: src/blocks/iir.rs + futuredsp iir.rs —
     device recursion via the blocked parallel-scan in ops.iir)."""

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from futuresdr_tpu.ops import cplx
-from futuresdr_tpu.runtime.block import Block, PortSpec
+from futuresdr_tpu.runtime.block import Block, PortSpec, message_handler
+from futuresdr_tpu.types.pmt import Pmt
 
 
 class Copy(Block):
@@ -158,6 +159,90 @@ class StreamDuplicator(Block):
 
     def apply(self, state, inputs, params):
         return state, [inputs[0]] * len(self.stream_outputs), {}
+
+
+class Selector(Block):
+    """N×M switch: routes input ``input_index`` to output ``output_index``
+    (parity: selector.rs:218 — message handlers retune the route; here the
+    indices are device params so switching never recompiles).
+
+    Non-selected outputs emit zeros; all ports run at the same rate (the
+    reference's ``DropPolicy::SameRate``; other policies are dynamic-rate
+    and handled host-side by downstream sinks)."""
+
+    def __init__(
+        self,
+        n_in: int,
+        n_out: int,
+        dtype=np.complex64,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.stream_inputs = [PortSpec(f"in{i}", dtype) for i in range(n_in)]
+        self.stream_outputs = [PortSpec(f"out{i}", dtype) for i in range(n_out)]
+        self.rate_in = (1,) * n_in
+        self.rate_out = (1,) * n_out
+        self._params["input_index"] = np.int32(0)
+        self._params["output_index"] = np.int32(0)
+
+    @message_handler("input_index")
+    def _set_in(self, pmt: Pmt) -> Pmt:
+        self.set_param("input_index", np.int32(int(pmt.to_py())))
+        return Pmt.ok()
+
+    @message_handler("output_index")
+    def _set_out(self, pmt: Pmt) -> Pmt:
+        self.set_param("output_index", np.int32(int(pmt.to_py())))
+        return Pmt.ok()
+
+    def apply(self, state, inputs, params):
+        import jax
+
+        stacked = cplx.stack(inputs, axis=0)  # [N, C]
+        sel = cplx.apply1(
+            lambda t: jax.lax.dynamic_index_in_dim(
+                t, params["input_index"], 0, keepdims=False
+            ),
+            stacked,
+        )
+        outs = []
+        for m in range(len(self.stream_outputs)):
+            outs.append(
+                cplx.apply1(
+                    lambda t: jnp.where(
+                        params["output_index"] == m, t, jnp.zeros_like(t)
+                    ),
+                    sel,
+                )
+            )
+        return state, outs, {}
+
+
+class TagDebug(Block):
+    """Print tags flowing past (parity: tag_debug.rs:85)."""
+
+    def __init__(self, label: str = "", dtype=np.complex64, name=None):
+        super().__init__(name)
+        self.label = label
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.stream_outputs = [PortSpec("out", dtype)]
+        self.rate_in = (1,)
+        self.rate_out = (1,)
+        self.seen = []
+        self._abs = 0
+
+    def apply(self, state, inputs, params):
+        return state, [inputs[0]], {}
+
+    def host_limit(self, port: int, valid: int) -> int:
+        self._abs += valid
+        return valid
+
+    def propagate_tags(self, tags_in, in_items, out_items):
+        for t in tags_in[0]:
+            self.seen.append(t)
+            print(f"TagDebug[{self.label}] @{self._abs}+{t.index}: {t.tag}")
+        return [list(tags_in[0])]
 
 
 class StreamDeinterleaver(Block):

@@ -1,0 +1,175 @@
+"""REST control port.
+
+Parity: ``src/runtime/ctrl_port.rs:96-199`` (axum server on its own
+thread) — here the stdlib ``http.server`` on a daemon thread. Routes:
+
+* ``GET /api/fg/`` — list running flowgraph ids
+* ``GET /api/fg/{fg}/`` — FlowgraphDescription
+* ``GET /api/fg/{fg}/block/{blk}/`` — BlockDescription
+* ``GET|POST /api/fg/{fg}/block/{blk}/call/{handler}/`` — handler RPC
+  (POST body = Pmt as JSON; GET calls with null)
+
+Custom user routes merge via ``add_route`` (parity:
+``Runtime::with_custom_routes``, runtime.rs:74).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from dataclasses import asdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, List, Optional, Tuple
+
+from futuresdr_tpu import config
+from futuresdr_tpu.types.pmt import Pmt
+
+
+class ControlPort:
+    """HTTP control plane over registered FlowgraphHandles."""
+
+    def __init__(self, bind: Optional[str] = None):
+        bind = bind or str(config.get("ctrlport_bind", "127.0.0.1:1337"))
+        host, _, port = bind.partition(":")
+        self._handles: Dict[int, object] = {}
+        self._next_id = 0
+        self._custom: List[Tuple[str, re.Pattern, Callable]] = []
+        self._lock = threading.Lock()
+        cp = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _route(self, method: str) -> None:
+                try:
+                    body = None
+                    if method == "POST":
+                        n = int(self.headers.get("Content-Length", 0) or 0)
+                        raw = self.rfile.read(n) if n else b"null"
+                        body = json.loads(raw or b"null")
+                    cp._dispatch(self, method, self.path, body)
+                except Exception as exc:  # noqa: BLE001 - HTTP error reply
+                    self._send(500, {"error": str(exc)})
+
+            def do_GET(self):  # noqa: N802
+                self._route("GET")
+
+            def do_POST(self):  # noqa: N802
+                self._route("POST")
+
+        self._server = ThreadingHTTPServer((host, int(port)), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    # ---- registry --------------------------------------------------------
+    def register(self, handle) -> int:
+        with self._lock:
+            fg_id = self._next_id
+            self._next_id += 1
+            self._handles[fg_id] = handle
+        return fg_id
+
+    def unregister(self, fg_id: int) -> None:
+        with self._lock:
+            self._handles.pop(fg_id, None)
+
+    def add_route(
+        self, method: str, pattern: str, fn: Callable[[dict, object], object]
+    ) -> None:
+        """Custom route: ``fn(match.groupdict(), body) -> json-able``."""
+        self._custom.append((method.upper(), re.compile(pattern), fn))
+
+    def shutdown(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    # ---- dispatch --------------------------------------------------------
+    def _dispatch(self, req, method: str, path: str, body) -> None:
+        for m, pat, fn in self._custom:
+            match = pat.fullmatch(path)
+            if m == method and match:
+                req._send(200, fn(match.groupdict(), body))
+                return
+
+        if method == "GET" and path in ("/api/fg/", "/api/fg"):
+            req._send(200, sorted(self._handles.keys()))
+            return
+
+        m_fg = re.fullmatch(r"/api/fg/(\d+)/?", path)
+        if method == "GET" and m_fg:
+            h = self._handles.get(int(m_fg.group(1)))
+            if h is None:
+                req._send(404, {"error": "no such flowgraph"})
+                return
+            d = asdict(h.describe())
+            d["id"] = int(m_fg.group(1))
+            req._send(200, d)
+            return
+
+        m_blk = re.fullmatch(r"/api/fg/(\d+)/block/(\d+)/?", path)
+        if method == "GET" and m_blk:
+            h = self._handles.get(int(m_blk.group(1)))
+            if h is None:
+                req._send(404, {"error": "no such flowgraph"})
+                return
+            desc = asdict(h.describe())
+            blocks = desc["blocks"]
+            bid = int(m_blk.group(2))
+            if bid >= len(blocks):
+                req._send(404, {"error": "no such block"})
+                return
+            req._send(200, blocks[bid])
+            return
+
+        m_call = re.fullmatch(
+            r"/api/fg/(\d+)/block/(\d+)/call/([\w-]+)/?", path
+        )
+        if m_call:
+            h = self._handles.get(int(m_call.group(1)))
+            if h is None:
+                req._send(404, {"error": "no such flowgraph"})
+                return
+            if method == "POST":
+                # accept the tagged serde form (pmt.rs serde parity) or any
+                # plain JSON value
+                try:
+                    pmt = Pmt._decode(body)
+                except Exception:
+                    pmt = Pmt.from_py(body)
+            else:
+                pmt = Pmt.null()
+            result = h.call(int(m_call.group(2)), m_call.group(3), pmt)
+            req._send(
+                200,
+                result._encode() if isinstance(result, Pmt) else result,
+            )
+            return
+
+        req._send(404, {"error": f"no route {method} {path}"})
+
+
+_global: Optional[ControlPort] = None
+_global_lock = threading.Lock()
+
+
+def global_ctrl_port() -> Optional[ControlPort]:
+    """Lazily start the process-wide control port if enabled in config."""
+    global _global
+    with _global_lock:
+        if _global is None and config.get("ctrlport_enable", False):
+            _global = ControlPort()
+        return _global

@@ -315,12 +315,22 @@ class Executor:
                 src_dtypes[cfg.pkey(bid, p)] = np.dtype(spec.dtype)
 
         has_host_sources = bool(cfg.host_source_ids)
+        has_streams = bool(fg.stream_edges)
+        tickers = [
+            b for b in fg.blocks if callable(getattr(b, "host_tick", None))
+        ]
         step_no = 0
         eos = False
         while not self._stop.is_set():
             self._drain_messages()
+            for b in tickers:
+                b.host_tick()
             if any(b.finish_requested for b in fg.blocks):
                 break
+            if not has_streams:
+                # message-only flowgraph: no device program to dispatch
+                time.sleep(0.001)
+                continue
             if self.max_steps is not None and step_no >= self.max_steps:
                 break
 
@@ -451,11 +461,18 @@ class Runtime:
     def start(
         self, fg: Flowgraph, max_steps: Optional[int] = None
     ) -> FlowgraphHandle:
-        """Start a flowgraph in the background; returns its handle."""
+        """Start a flowgraph in the background; returns its handle
+        (registered with the REST control port when ``ctrlport_enable``)."""
         ex = Executor(
             fg,
             chunk_size=self.chunk_size,
             max_inflight=self.max_inflight,
             max_steps=max_steps,
         )
-        return ex.start()
+        handle = ex.start()
+        from futuresdr_tpu.runtime.ctrl_port import global_ctrl_port
+
+        cp = global_ctrl_port()
+        if cp is not None:
+            handle.fg_id = cp.register(handle)
+        return handle

@@ -1,0 +1,61 @@
+"""App-level tests: spectrum analyzer and SSB receiver
+(parity targets: examples/spectrum/src/bin/cpu.rs, examples/ssb/receive.rs;
+BASELINE.json configs #2 and #3)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+from futuresdr_tpu import Runtime  # noqa: E402
+from futuresdr_tpu.blocks import VectorSink, VectorSource  # noqa: E402
+
+
+def test_spectrum_tone_peak():
+    from spectrum import build_spectrum
+
+    fs, ftone, nfft = 1_000_000.0, 125_000.0, 2048
+    n = nfft * 64
+    t = np.arange(n) / fs
+    iq = np.exp(2j * np.pi * ftone * t).astype(np.complex64)
+    fg, tail = build_spectrum(VectorSource(iq), nfft)
+    snk = VectorSink(np.float32)
+    fg.stream(tail, snk)
+    Runtime(chunk_size=nfft * 16).run(fg)
+    frames = snk.data().reshape(-1, nfft)
+    assert frames.shape[0] >= 32
+    # shifted spectrum: bin for +125 kHz at nfft/2 + ftone/fs*nfft
+    expect_bin = nfft // 2 + int(round(ftone / fs * nfft))
+    peak_bins = frames.argmax(axis=1)
+    assert np.all(np.abs(peak_bins - expect_bin) <= 1)
+    # windowed tone should stand ≥40 dB above the far-away noise floor
+    far = np.delete(frames[5], np.arange(expect_bin - 8, expect_bin + 9))
+    assert frames[5, expect_bin] - np.max(far) > 40.0
+
+
+def test_ssb_weaver_tone():
+    from ssb import build_ssb_receiver, synthesize_usb_tone
+
+    file_rate, audio_rate = 256_000, 32_000
+    iq = synthesize_usb_tone(file_rate, seconds=1.0, audio_freq=700.0)
+    fg, tail = build_ssb_receiver(
+        VectorSource(iq), file_rate, audio_rate, level=1e-4
+    )
+    snk = VectorSink(np.float32)
+    fg.stream(tail, snk)
+    Runtime(chunk_size=1 << 16).run(fg)
+    y = snk.data()
+    assert len(y) > 0.9 * audio_rate
+    n0, n1 = int(0.1 * len(y)), int(0.95 * len(y))
+    t = np.arange(len(y)) / audio_rate
+    seg, tt = y[n0:n1], t[n0:n1]
+    s = np.sin(2 * np.pi * 700.0 * tt)
+    c = np.cos(2 * np.pi * 700.0 * tt)
+    a, b = 2 * np.mean(seg * s), 2 * np.mean(seg * c)
+    fit = a * s + b * c
+    snr = 10 * np.log10(np.mean(fit**2) / np.mean((seg - fit) ** 2))
+    assert snr > 40.0, f"SSB tone SNR {snr:.1f} dB"
+    # level: amplitude 10_000 · 1e-4 · volume 0.5 ≈ 0.5
+    assert 0.35 < np.hypot(a, b) < 0.65

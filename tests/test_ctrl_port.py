@@ -1,0 +1,66 @@
+"""Control port + remote client round-trip.
+
+Parity: ``src/runtime/ctrl_port.rs`` routes and the ``futuresdr-remote``
+client usage (``crates/remote/src/remote.rs``)."""
+
+import time
+
+import numpy as np
+
+from futuresdr_tpu import Flowgraph, Runtime, connect
+from futuresdr_tpu.blocks import Copy, NullSink, SignalSource
+from futuresdr_tpu.remote import Remote
+from futuresdr_tpu.runtime.ctrl_port import ControlPort
+
+
+def test_ctrl_port_describe_and_call():
+    cp = ControlPort(bind="127.0.0.1:0")
+    try:
+        fg = Flowgraph()
+        src = SignalSource(100e3, 1e6, name="osc")
+        snk = NullSink(np.complex64)
+        connect(fg, src, Copy(np.complex64), snk)
+        h = Runtime(chunk_size=8192).start(fg)
+        fg_id = cp.register(h)
+        time.sleep(0.2)
+
+        r = Remote(f"http://127.0.0.1:{cp.port}")
+        fgs = r.flowgraphs()
+        assert [f.id for f in fgs] == [fg_id]
+        desc = fgs[0].describe()
+        assert [b["instance_name"] for b in desc["blocks"]] == [
+            "osc",
+            "Copy",
+            "NullSink",
+        ]
+        assert len(desc["stream_edges"]) == 2
+
+        blk = fgs[0].block("osc")
+        assert blk is not None
+        assert "freq" in blk.message_inputs
+        reply = blk.call("freq", 250e3.__float__())
+        assert reply == "Ok"  # tagged Pmt serde (pmt.rs parity)
+        h.stop()
+        h.wait(timeout=10)
+        assert snk.n_received > 0
+    finally:
+        cp.shutdown()
+
+
+def test_ctrl_port_custom_route_and_404():
+    import json
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    cp = ControlPort(bind="127.0.0.1:0")
+    try:
+        cp.add_route("GET", r"/my/route/", lambda g, b: {"hello": "world"})
+        with urlopen(f"http://127.0.0.1:{cp.port}/my/route/") as resp:
+            assert json.loads(resp.read()) == {"hello": "world"}
+        try:
+            urlopen(f"http://127.0.0.1:{cp.port}/api/fg/99/")
+            raise AssertionError("expected 404")
+        except HTTPError as e:
+            assert e.code == 404
+    finally:
+        cp.shutdown()
