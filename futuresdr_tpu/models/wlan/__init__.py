@@ -1,0 +1,15 @@
+"""802.11a/g OFDM modem (the reference's flagship app, examples/wlan)."""
+
+from futuresdr_tpu.models.wlan.consts import MCS, FrameParam, Mcs
+from futuresdr_tpu.models.wlan.rx import RxFrame, WlanReceiver
+from futuresdr_tpu.models.wlan.tx import encode_frame, make_mac_frame
+
+__all__ = [
+    "MCS",
+    "FrameParam",
+    "Mcs",
+    "RxFrame",
+    "WlanReceiver",
+    "encode_frame",
+    "make_mac_frame",
+]

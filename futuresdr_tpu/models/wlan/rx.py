@@ -1,0 +1,292 @@
+"""802.11a/g OFDM receiver — TPU-native hybrid.
+
+Parity: the reference RX chain ``examples/wlan/src/bin/rx.rs:75-105`` →
+``sync_short.rs`` → ``sync_long.rs`` → ``Fft`` → ``frame_equalizer.rs`` →
+``decoder.rs``.
+
+TPU-first split (SURVEY.md §7 hard part #1 — variable-rate sync is the
+core impedance mismatch with XLA's static shapes):
+
+* **Device** (one fused jit per chunk): the correlation *metrics* — the
+  16-lag autocorrelation moving sum, power moving sum, and normalized
+  correlation (what the reference computes with Delay/Combine/MovingAverage
+  blocks) — plus, per detected frame, the whole symbol-domain front-end:
+  LTF cross-correlation (64-tap complex FIR), fine CFO ramp, batched
+  64-point FFTs, LS channel estimate, pilot phase tracking, equalization.
+* **Host**: the tiny sequential decisions — sync_short's threshold state
+  machine over the metric array, SIGNAL decode, per-MCS demap/deinterleave/
+  Viterbi/descramble/CRC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from futuresdr_tpu.models.wlan import consts as C
+from futuresdr_tpu.models.wlan.viterbi import depuncture, viterbi_decode
+from futuresdr_tpu.ops import cplx
+from futuresdr_tpu.ops.cplx import CArray
+from futuresdr_tpu.ops.fft import fft_c, fftshift_c
+from futuresdr_tpu.ops.fir import conv1d_valid
+
+THRESHOLD = 0.56  # sync_short.rs:5
+MIN_GAP = 480  # sync_short.rs:3
+MAX_SAMPLES = 540 * 80  # sync_short.rs:4
+SEARCH_WINDOW = 320  # sync_long.rs:3
+MAX_SYMS = 538  # data symbols retained per frame window
+_SYM_SPAN = 128 + 16 + MAX_SYMS * 80 + 64  # LTFs + SIG/data symbol samples
+FRAME_WIN = SEARCH_WINDOW + _SYM_SPAN  # device window per frame
+
+CRC32_RESIDUE = 558161692  # decoder.rs:89
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def sync_metrics(x: CArray):
+    """The sync_short input metrics (rx.rs:75-94 wiring).
+
+    Returns ``(autocorr, cor)`` where ``autocorr[n] = Σ_{k<48}
+    x[n+k+16]·conj(x[n+k])`` (the moving-averaged 16-lag autocorrelation,
+    as seen at the *delayed* stream position) and ``cor`` its power-
+    normalized magnitude."""
+    n = x.shape[-1]
+    d = x[16:] * x[: n - 16].conj()  # lag-16 autocorrelation
+    ones48 = jnp.ones(48, jnp.float32)
+    a = conv1d_valid(d, ones48)  # moving sum over 48
+    p = conv1d_valid(x.abs2(), jnp.ones(64, jnp.float32))  # power sum 64
+    m = min(a.shape[-1], p.shape[-1])
+    cor = a.abs()[..., :m] / (p[..., :m] * (48.0 / 64.0) + 1e-12)
+    return a, cor
+
+
+def _fft64(v: CArray) -> CArray:
+    """[..., 64] time → fftshifted spectrum (Fft block + the equalizer's
+    own (k+32)%64 shift, frame_equalizer.rs:214-217)."""
+    return fftshift_c(fft_c(v), axis=-1)
+
+
+@partial(jax.jit, static_argnums=())
+def frame_front(w: CArray):
+    """Per-frame device front-end. ``w``: FRAME_WIN CFO-corrected samples
+    starting at the detected STF position.
+
+    Returns (eq_syms [MAX_SYMS+1, 48] equalized SIGNAL+data symbols,
+    h [64], snr, offset, f_fine)."""
+    # --- LTF cross-correlation over the search window (sync_long.rs:18-50)
+    taps = CArray(
+        jnp.asarray(np.real(C.LONG_CORR[::-1]).astype(np.float32)),
+        jnp.asarray(np.imag(C.LONG_CORR[::-1]).astype(np.float32)),
+    )
+    # conv1d_valid computes Σ w[i+k]·taps_rev[k] with taps reversed → pass
+    # reversed so the product is Σ w[i+k]·LONG_CORR[k]
+    seg = w[..., : SEARCH_WINDOW + 63]
+    c = conv1d_valid(seg, taps)  # [SEARCH_WINDOW]
+    power = c.abs2()
+    i1 = jnp.argmax(power)
+    masked = jnp.where(
+        jnp.abs(jnp.arange(SEARCH_WINDOW) - i1) < 2, -1.0, power
+    )
+    i2 = jnp.argmax(masked)
+    first = jnp.minimum(i1, i2)
+    second = jnp.maximum(i1, i2)
+    cf = c[first]
+    cs = c[second]
+    f_fine = (cf * cs.conj()).angle() / 64.0
+
+    # --- fine-CFO-corrected, aligned symbol extraction ------------------
+    aligned = cplx.apply1(
+        lambda t: jax.lax.dynamic_slice_in_dim(t, first, _SYM_SPAN, axis=-1),
+        w,
+    )
+    ramp = cplx.exp_j(jnp.arange(_SYM_SPAN, dtype=jnp.float32) * f_fine)
+    v = aligned * ramp
+
+    ltf = _fft64(v[..., :128].reshape(2, 64))  # [2, 64]
+    # symbol s occupies [128+16+80s, +64); SIGNAL is s=0
+    idx = (
+        128 + 16 + 80 * jnp.arange(MAX_SYMS + 1)[:, None] + jnp.arange(64)
+    )
+    syms_t = cplx.apply1(lambda t: jnp.take(t, idx.reshape(-1), axis=-1), v)
+    syms_t = syms_t.reshape(MAX_SYMS + 1, 64)
+    syms = _fft64(syms_t)  # [S+1, 64]
+
+    # --- channel estimate (frame_equalizer.rs Equalizer::sync1/sync2) ---
+    lmask = jnp.asarray(np.real(C.LONG_FREQ_SHIFTED).astype(np.float32))
+    h = (ltf[0] + ltf[1]) * (0.5 * lmask)  # L = ±1 ⇒ divide == multiply
+    diff = (ltf[0] - ltf[1]).abs2()
+    summ = (ltf[0] + ltf[1]).abs2()
+    occupied = (lmask != 0).astype(jnp.float32)
+    snr = 10.0 * jnp.log10(
+        jnp.sum(summ * occupied) / (jnp.sum(diff * occupied) + 1e-12) / 2.0
+    )
+
+    # --- pilot phase tracking (frame_equalizer.rs:225-250) --------------
+    # symbol s (SIGNAL = 0) uses POLARITY[s % 127]
+    pol = jnp.asarray(
+        C.POLARITY[np.arange(MAX_SYMS + 1) % 127].astype(np.float32)
+    )
+    p11 = syms[:, 11]
+    p25 = syms[:, 25]
+    p39 = syms[:, 39]
+    p53 = syms[:, 53]
+    beta = (
+        (p11 * pol) + (p39 * pol) + (p25 * pol) + (p53 * (-pol))
+    ).angle()
+    corr = cplx.exp_j(-beta)
+    syms = syms * CArray(corr.re[:, None], corr.im[:, None])
+
+    # --- equalize data subcarriers --------------------------------------
+    data_idx = jnp.asarray(np.asarray(C.DATA_IDX, dtype=np.int64))
+    hd = h[data_idx]
+    eq = syms[:, data_idx] / CArray(
+        hd.re[None, :], hd.im[None, :]
+    )
+    return eq, h, snr, first, f_fine
+
+
+# ---------------------------------------------------------------------------
+# host logic
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RxFrame:
+    mcs: str
+    psdu: bytes
+    snr: float
+    crc_ok: bool
+    start: int  # sample index of detected frame start
+
+
+def _detect_starts(cor: np.ndarray, autocorr: np.ndarray) -> List[tuple]:
+    """sync_short state machine (sync_short.rs:84-140) over the metric
+    arrays: two consecutive above-threshold samples open a frame; a fresh
+    double-crossing ≥ MIN_GAP after the current start resyncs."""
+    above = cor > THRESHOLD
+    starts: List[tuple] = []
+    i = 1
+    n = len(cor)
+    last_start = -(10**9)
+    while i < n:
+        if above[i] and above[i - 1] and i - last_start >= MIN_GAP:
+            f_off = -np.angle(autocorr[i]) / 16.0
+            starts.append((i, float(f_off)))
+            last_start = i
+        i += 1
+    return starts
+
+
+def _deinterleave(bits: np.ndarray, mcs: C.Mcs) -> np.ndarray:
+    perm = C.interleaver_permutation(mcs.n_cbps, mcs.n_bpsc)
+    blocks = bits.reshape(-1, mcs.n_cbps)
+    return blocks[:, perm].reshape(-1)
+
+
+def _decode_signal(eq_sym0: np.ndarray) -> Optional[C.FrameParam]:
+    """frame_equalizer.rs:120-175."""
+    bits = C.demap_hard(eq_sym0, 1)
+    deint = _deinterleave(bits, C.MCS["bpsk12"])
+    dec = viterbi_decode(deint, 24)
+    parity = np.bitwise_xor.reduce(dec[:17])
+    if parity != dec[17]:
+        return None
+    r = int(np.sum(dec[:4] * (1 << np.arange(4))))
+    length = int(np.sum(dec[5:17] * (1 << np.arange(12))))
+    mcs = C.RATE_TO_MCS.get(r)
+    if mcs is None or length == 0:
+        return None
+    return C.FrameParam(mcs, length)
+
+
+def _descramble(decoded: np.ndarray, psdu_size: int) -> bytes:
+    """decoder.rs:92-118: seed from the first 7 bits, then LFSR forward."""
+    state = 0
+    for i in range(7):
+        if decoded[i]:
+            state |= 1 << (6 - i)
+    out = np.zeros(psdu_size + 2, dtype=np.uint8)
+    out[0] = state
+    for i in range(7, psdu_size * 8 + 16):
+        feedback = ((state >> 6) ^ (state >> 3)) & 1
+        bit = feedback ^ (decoded[i] & 1)
+        out[i // 8] |= bit << (i % 8)
+        state = ((state << 1) & 0x7E) | feedback
+    return bytes(out[2:])
+
+
+class WlanReceiver:
+    """Chunk-oriented receiver: feed IQ, collect decoded frames."""
+
+    def __init__(self, max_frames_per_chunk: int = 16):
+        self.max_frames = max_frames_per_chunk
+        self.frames: List[RxFrame] = []
+
+    def process(self, iq: np.ndarray) -> List[RxFrame]:
+        iq = np.asarray(iq, dtype=np.complex64)
+        # pad to a 32768 bucket: stable jit shapes (compile once) and
+        # TPU-aligned conv sizes
+        bucket = -(-len(iq) // 32768) * 32768
+        if bucket != len(iq):
+            iq = np.concatenate(
+                [iq, np.zeros(bucket - len(iq), np.complex64)]
+            )
+        x = cplx.from_numpy(iq)
+        a_dev, cor_dev = sync_metrics(x)
+        autocorr = cplx.to_numpy(a_dev)
+        cor = np.asarray(cor_dev)
+        out: List[RxFrame] = []
+        for m, f_short in _detect_starts(cor, autocorr)[: self.max_frames]:
+            # metric index m ← trailing-window sums over x[m .. m+63];
+            # the reference's delayed-stream copy starts at x[m+47]
+            frame = self._demod_frame(iq, m + 47, f_short)
+            if frame is not None:
+                out.append(frame)
+        self.frames.extend(out)
+        return out
+
+    def _demod_frame(
+        self, iq: np.ndarray, start: int, f_short: float
+    ) -> Optional[RxFrame]:
+        w = iq[start : start + FRAME_WIN]
+        if len(w) < SEARCH_WINDOW + 128 + 16 + 80:
+            return None
+        if len(w) < FRAME_WIN:
+            w = np.concatenate(
+                [w, np.zeros(FRAME_WIN - len(w), np.complex64)]
+            )
+        # coarse CFO correction (sync_short.rs:131: e^{j·f_offset·n})
+        n = np.arange(FRAME_WIN, dtype=np.float32)
+        w = (w * np.exp(1j * f_short * n)).astype(np.complex64)
+        eq, h, snr, off, ff = frame_front(cplx.from_numpy(w))
+        eq_np = cplx.to_numpy(eq)
+        snr = float(snr)
+
+        param = _decode_signal(eq_np[0])
+        if param is None:
+            return None
+        n_sym = param.n_symbols
+        if n_sym > MAX_SYMS:
+            return None
+        mcs = param.mcs
+        bits = C.demap_hard(eq_np[1 : 1 + n_sym].reshape(-1), mcs.n_bpsc)
+        deint = _deinterleave(bits, mcs)
+        n_coded = 2 * param.n_data_bits
+        coded, erasures = depuncture(deint, mcs.puncture, n_coded)
+        decoded = viterbi_decode(coded, param.n_data_bits, erasures)
+        psdu = _descramble(decoded, param.psdu_size)
+        import zlib
+
+        crc_ok = (zlib.crc32(psdu) & 0xFFFFFFFF) == CRC32_RESIDUE
+        return RxFrame(
+            mcs=mcs.name, psdu=psdu, snr=snr, crc_ok=crc_ok, start=start
+        )

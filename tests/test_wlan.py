@@ -1,0 +1,122 @@
+"""WLAN 802.11a/g modem loopback tests.
+
+Parity: the reference's end-to-end usage (examples/wlan/src/bin/rx.rs chain
+fed by its own Encoder) and ``tests/prefix-vs-tags.rs``-style TX checks.
+Golden criterion: TX → channel impairments → RX reproduces the PSDU with
+CRC intact.
+"""
+
+import numpy as np
+import pytest
+
+from futuresdr_tpu.models.wlan import (
+    MCS,
+    WlanReceiver,
+    encode_frame,
+    make_mac_frame,
+)
+from futuresdr_tpu.models.wlan.viterbi import (
+    conv_encode_ref,
+    depuncture,
+    viterbi_decode,
+)
+
+
+def _channel(
+    iq: np.ndarray,
+    snr_db: float = None,
+    cfo_hz: float = 0.0,
+    fs: float = 20e6,
+    pad: int = 1000,
+    seed: int = 0,
+):
+    sig = np.concatenate(
+        [np.zeros(pad, np.complex64), iq, np.zeros(2000, np.complex64)]
+    )
+    n = np.arange(len(sig))
+    if cfo_hz:
+        sig = sig * np.exp(2j * np.pi * cfo_hz / fs * n)
+    if snr_db is not None:
+        rng = np.random.default_rng(seed)
+        p = np.mean(np.abs(iq) ** 2)
+        npow = p / (10 ** (snr_db / 10))
+        sig = sig + np.sqrt(npow / 2) * (
+            rng.standard_normal(len(sig)) + 1j * rng.standard_normal(len(sig))
+        )
+    return sig.astype(np.complex64)
+
+
+# ---- coding layer ----------------------------------------------------------
+
+
+def test_viterbi_corrects_errors():
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, 500).astype(np.uint8)
+    bits[-6:] = 0
+    coded = conv_encode_ref(bits)
+    noisy = coded.copy()
+    noisy[rng.choice(len(coded), 25, replace=False)] ^= 1
+    assert np.array_equal(viterbi_decode(noisy, len(bits)), bits)
+
+
+def test_viterbi_punctured():
+    rng = np.random.default_rng(2)
+    bits = rng.integers(0, 2, 300).astype(np.uint8)
+    bits[-6:] = 0
+    coded = conv_encode_ref(bits)
+    for pat in [(1, 1, 1, 0, 0, 1), (1, 1, 1, 0)]:
+        mask = np.resize(np.asarray(pat, bool), len(coded))
+        full, era = depuncture(coded[mask], pat, len(coded))
+        assert np.array_equal(viterbi_decode(full, len(bits), era), bits)
+
+
+# ---- end-to-end loopback ---------------------------------------------------
+
+
+@pytest.mark.parametrize("mcs", list(MCS.keys()))
+def test_loopback_all_mcs_clean(mcs):
+    psdu = make_mac_frame(bytes(range(64)))
+    iq = encode_frame(psdu, mcs)
+    rx = WlanReceiver()
+    frames = rx.process(_channel(iq))
+    assert len(frames) == 1, f"{mcs}: no frame decoded"
+    f = frames[0]
+    assert f.mcs == mcs
+    assert f.crc_ok
+    assert f.psdu == psdu
+
+
+def test_loopback_with_cfo_and_noise():
+    psdu = make_mac_frame(b"CFO+noise test payload " * 3)
+    iq = encode_frame(psdu, "qpsk12")
+    # 20 kHz CFO (≈ half a subcarrier at 312.5 kHz spacing), 20 dB SNR
+    sig = _channel(iq, snr_db=20.0, cfo_hz=20e3, seed=3)
+    frames = WlanReceiver().process(sig)
+    assert len(frames) == 1
+    assert frames[0].crc_ok
+    assert frames[0].psdu == psdu
+
+
+def test_loopback_multiple_frames():
+    p1 = make_mac_frame(b"frame one", seq=1)
+    p2 = make_mac_frame(b"frame two is a bit longer", seq=2)
+    iq1 = encode_frame(p1, "bpsk12")
+    iq2 = encode_frame(p2, "qam16_12")
+    gap = np.zeros(3000, np.complex64)
+    sig = np.concatenate(
+        [np.zeros(500, np.complex64), iq1, gap, iq2, np.zeros(2000, np.complex64)]
+    ).astype(np.complex64)
+    frames = WlanReceiver().process(sig)
+    assert len(frames) == 2
+    assert frames[0].psdu == p1 and frames[0].crc_ok
+    assert frames[1].psdu == p2 and frames[1].crc_ok
+    assert frames[1].mcs == "qam16_12"
+
+
+def test_snr_estimate_tracks_noise():
+    psdu = make_mac_frame(b"snr probe")
+    iq = encode_frame(psdu, "bpsk12")
+    hi = WlanReceiver().process(_channel(iq, snr_db=30.0, seed=4))
+    lo = WlanReceiver().process(_channel(iq, snr_db=10.0, seed=5))
+    assert hi and lo
+    assert hi[0].snr > lo[0].snr + 5.0
