@@ -63,7 +63,19 @@ from futuresdr_tpu.blocks.dsp import (
     SignalSource,
     XlatingFir,
 )
-from futuresdr_tpu.blocks.pfb import PfbChannelizer, PfbSynthesizer
+from futuresdr_tpu.blocks.functional import ApplyIntoIter, ApplyNM
+from futuresdr_tpu.blocks.pfb import (
+    PfbArbResampler,
+    PfbChannelizer,
+    PfbSynthesizer,
+)
+from futuresdr_tpu.blocks.audio import (
+    AudioFileSource,
+    AudioSink,
+    AudioSource,
+)
+from futuresdr_tpu.blocks import seify, zeromq
+from futuresdr_tpu.blocks.dsp import FreqShift, WeaverDecode
 
 __all__ = [
     "Apply",
@@ -111,6 +123,16 @@ __all__ = [
     "QuadratureDemod",
     "SignalSource",
     "XlatingFir",
+    "PfbArbResampler",
     "PfbChannelizer",
     "PfbSynthesizer",
+    "ApplyIntoIter",
+    "ApplyNM",
+    "AudioFileSource",
+    "AudioSink",
+    "AudioSource",
+    "FreqShift",
+    "WeaverDecode",
+    "seify",
+    "zeromq",
 ]

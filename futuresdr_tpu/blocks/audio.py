@@ -1,0 +1,151 @@
+"""Audio blocks.
+
+Parity: ``src/blocks/audio/{audio_sink,audio_source,file_source,
+wav_sink}.rs`` (cpal/rodio/hound). The container has no audio hardware or
+``sounddevice``; the sink plays through ``sounddevice`` when available and
+otherwise falls back to a WAV file (the honest equivalent of the
+reference's feature gate — audio is an optional cargo feature there too).
+"""
+
+from __future__ import annotations
+
+import wave
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from futuresdr_tpu.blocks.io import WavSink
+from futuresdr_tpu.runtime.block import Block, PortSpec
+
+try:  # pragma: no cover - environment dependent
+    import sounddevice as _sd
+except Exception:  # noqa: BLE001
+    _sd = None
+
+
+def supported_sample_rates():
+    """Parity: AudioSink::supported_sample_rates (audio/audio_sink.rs)."""
+    return [48_000, 44_100, 32_000, 16_000, 8_000]
+
+
+class AudioSink(Block):
+    """Play f32 audio; with no hardware it streams to ``fallback_path``
+    WAV instead (parity: audio/audio_sink.rs:263)."""
+
+    def __init__(
+        self,
+        sample_rate: int = 48_000,
+        channels: int = 1,
+        fallback_path="audio_out.wav",
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.sample_rate = int(sample_rate)
+        self.channels = int(channels)
+        self.is_blocking = True
+        self.stream_inputs = [PortSpec("in", np.float32)]
+        self.rate_in = (1,)
+        self._stream = None
+        self._wav: Optional[WavSink] = None
+        if _sd is not None:
+            self._stream = _sd.OutputStream(
+                samplerate=self.sample_rate, channels=self.channels
+            )
+            self._stream.start()
+        else:
+            self._wav = WavSink(
+                fallback_path, self.sample_rate, self.channels
+            )
+
+    def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:
+        if self._stream is not None:
+            self._stream.write(
+                np.ascontiguousarray(arr, dtype=np.float32).reshape(
+                    -1, self.channels
+                )
+            )
+        else:
+            self._wav.host_consume(arr, tags, port)
+
+    def on_finish(self) -> None:
+        if self._stream is not None:
+            self._stream.stop()
+        if self._wav is not None:
+            self._wav.on_finish()
+
+
+class AudioSource(Block):
+    """Capture f32 audio (parity: audio/audio_source.rs:190); without
+    hardware raises at construction — use :class:`AudioFileSource`."""
+
+    def __init__(
+        self,
+        sample_rate: int = 48_000,
+        channels: int = 1,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        if _sd is None:
+            raise RuntimeError(
+                "no audio capture backend on this host — use "
+                "AudioFileSource or a network ingest block"
+            )
+        self.sample_rate = int(sample_rate)
+        self.channels = int(channels)
+        self.is_blocking = True
+        self.stream_outputs = [PortSpec("out", np.float32)]
+        self.rate_out = (1,)
+        self._stream = _sd.InputStream(
+            samplerate=self.sample_rate, channels=self.channels
+        )
+        self._stream.start()
+
+    def host_produce(self, n: int, port: int = 0):
+        data, _ = self._stream.read(n)
+        return np.asarray(data, dtype=np.float32).reshape(-1)
+
+
+class AudioFileSource(Block):
+    """Decode an audio file into f32 samples (parity: audio/file_source.rs
+    — rodio decodes mp3/flac there; stdlib ``wave`` decodes PCM WAV here)."""
+
+    def __init__(self, path, repeat: bool = False, name: Optional[str] = None):
+        super().__init__(name)
+        self.path = Path(path)
+        self.repeat = repeat
+        self.is_blocking = True
+        if self.path.suffix.lower() != ".wav":
+            raise ValueError(
+                "only PCM WAV decode is available in this environment"
+            )
+        with wave.open(str(self.path), "rb") as w:
+            self.sample_rate = w.getframerate()
+            self.channels = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 2:
+            data = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        elif width == 1:
+            data = (
+                np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0
+            ) / 128.0
+        elif width == 4:
+            data = np.frombuffer(raw, np.int32).astype(np.float32) / 2**31
+        else:
+            raise ValueError(f"unsupported sample width {width}")
+        self._data = data  # interleaved channels
+        self._pos = 0
+        self.stream_outputs = [PortSpec("out", np.float32)]
+        self.rate_out = (1,)
+
+    def host_produce(self, n: int, port: int = 0):
+        total = len(self._data)
+        if self._pos >= total:
+            if not self.repeat:
+                return None
+            self._pos = 0
+        end = min(self._pos + n, total)
+        out = self._data[self._pos : end]
+        self._pos = end
+        return out

@@ -126,6 +126,71 @@ class Filter(Block):
         return state, [y], {"mask": mask}
 
 
+class ApplyNM(Block):
+    """N:M windowed map (parity: applynm.rs — ``&[A; N] → &[B; M]``).
+
+    ``fn`` receives the chunk reshaped to ``[k, N]`` windows and must
+    return ``[k, M]`` (vectorized over windows, the XLA-friendly form of
+    the reference's per-window closure)."""
+
+    def __init__(
+        self,
+        fn: Callable[[Any], Any],
+        n: int,
+        m: int,
+        in_dtype=np.complex64,
+        out_dtype=None,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.fn = fn
+        self.n, self.m = int(n), int(m)
+        self.stream_inputs = [PortSpec("in", in_dtype)]
+        self.stream_outputs = [PortSpec("out", out_dtype or in_dtype)]
+        self.rate_in = (self.n,)
+        self.rate_out = (self.m,)
+
+    def apply(self, state, inputs, params):
+        from futuresdr_tpu.ops import cplx
+
+        x = inputs[0]
+        k = x.shape[-1] // self.n
+        win = x.reshape(k, self.n)
+        y = self.fn(win)
+        return state, [y.reshape(k * self.m)], {}
+
+
+class ApplyIntoIter(Block):
+    """1:N expansion (parity: applyintoiter.rs — per-item iterator).
+
+    XLA needs static rates, so the per-item expansion factor ``n`` is
+    declared up front (covers the reference's dominant use: fixed
+    repetition/symbol-to-chips expansion). ``fn`` maps the chunk ``[k]`` →
+    ``[k, n]`` vectorized; truly data-dependent iterators belong in a host
+    source/sink."""
+
+    def __init__(
+        self,
+        fn: Callable[[Any], Any],
+        n: int,
+        in_dtype=np.float32,
+        out_dtype=None,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.fn = fn
+        self.n = int(n)
+        self.stream_inputs = [PortSpec("in", in_dtype)]
+        self.stream_outputs = [PortSpec("out", out_dtype or in_dtype)]
+        self.rate_in = (1,)
+        self.rate_out = (self.n,)
+
+    def apply(self, state, inputs, params):
+        x = inputs[0]
+        y = self.fn(x)  # [k, n]
+        return state, [y.reshape(x.shape[-1] * self.n)], {}
+
+
 class Source(Block):
     """Host source from a python callable producing one item per call
     (parity: source.rs — ``Source::new(|| item)``). For bulk/vectorized

@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from futuresdr_tpu.dsp import firdes
@@ -54,8 +55,6 @@ class PfbChannelizer(Block):
             else default_channelizer_taps(self.n_ch)
         )
         self.proto = proto
-        import jax.numpy as jnp
-
         self.branch_taps = jnp.asarray(
             analysis_branch_taps(proto, self.n_ch).astype(np.float32)
         )
@@ -80,6 +79,78 @@ class PfbChannelizer(Block):
         return state, outs, {}
 
 
+class PfbArbResampler(Block):
+    """Arbitrary-rate polyphase resampler (parity: pfb/arb_resampler.rs:232).
+
+    The requested float ``rate`` is approximated by the best rational
+    P/Q with Q ≤ 2¹⁶ (exact for rational requests); a static gather plan
+    selects one of ``n_filters`` phase filters per output sample
+    (:func:`futuresdr_tpu.ops.pfb.arb_resampler_plan`)."""
+
+    def __init__(
+        self,
+        rate: float,
+        taps=None,
+        n_filters: int = 32,
+        dtype=np.complex64,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        from fractions import Fraction
+
+        frac = Fraction(rate).limit_denominator(1 << 16)
+        self.rate_num, self.rate_den = frac.numerator, frac.denominator
+        self.n_filters = int(n_filters)
+        if taps is None:
+            # prototype low-pass across the filter bank
+            num_taps = self.n_filters * 12
+            from futuresdr_tpu.dsp import windows
+
+            win = windows.kaiser(num_taps + 1, 9.0)
+            taps = (
+                firdes.lowpass(
+                    min(1.0, rate) / (2.0 * self.n_filters), win
+                )[:num_taps]
+                * self.n_filters
+            )
+        taps = np.asarray(taps, dtype=np.float32)
+        L = -(-len(taps) // self.n_filters)
+        padded = np.zeros(L * self.n_filters, np.float32)
+        padded[: len(taps)] = taps
+        self.phase_taps = jnp.asarray(
+            padded.reshape(L, self.n_filters).T.copy()
+        )  # [P, L]
+        self.stream_inputs = [PortSpec("in", dtype)]
+        self.stream_outputs = [PortSpec("out", dtype)]
+        self.rate_in = (self.rate_den,)
+        self.rate_out = (self.rate_num,)
+        self._complex = np.dtype(dtype) == np.complex64
+        self._plan = None
+
+    def make_state(self, in_sizes, out_sizes):
+        from futuresdr_tpu.ops.pfb import arb_resampler_plan
+
+        idx, phase = arb_resampler_plan(
+            self.rate_num, self.rate_den, self.n_filters, out_sizes[0]
+        )
+        # clamp plan into the chunk (guard rounding at the boundary)
+        idx = np.minimum(idx, in_sizes[0] - 1)
+        self._plan = (jnp.asarray(idx), jnp.asarray(phase))
+        L = self.phase_taps.shape[1]
+        if self._complex:
+            return cplx.czeros((L - 1,))
+        return jnp.zeros((L - 1,), jnp.float32)
+
+    def apply(self, state, inputs, params):
+        from futuresdr_tpu.ops.pfb import arb_resample
+
+        idx, phase = self._plan
+        state, y = arb_resample(
+            inputs[0], self.phase_taps, idx, phase, state
+        )
+        return state, [y], {}
+
+
 class PfbSynthesizer(Block):
     """M-channel synthesis bank: M in → 1 out at rate M·fs_ch
     (parity: pfb/synthesizer.rs:144)."""
@@ -97,8 +168,6 @@ class PfbSynthesizer(Block):
             if taps is not None
             else default_channelizer_taps(self.n_ch)
         )
-        import jax.numpy as jnp
-
         self.branch_taps = jnp.asarray(
             synthesis_branch_taps(proto, self.n_ch).astype(np.float32)
         )

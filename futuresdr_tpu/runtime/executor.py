@@ -90,6 +90,9 @@ class FlowgraphHandle:
     def describe(self):
         return self._ex.fg.describe()
 
+    def stats(self) -> Dict[str, Any]:
+        return self._ex.stats()
+
     def stop(self) -> None:
         self._ex.request_stop()
 
@@ -120,6 +123,9 @@ class Executor:
         self.items_delivered: Dict[int, int] = {
             bid: 0 for bid in self.cfg.host_sink_ids
         }
+        self.steps_run = 0
+        self._t_start: Optional[float] = None
+        self._t_stop: Optional[float] = None
         self._stop = threading.Event()
         self._msgq: "queue.Queue[Tuple[int, str, Pmt, Optional[queue.Queue]]]" = (
             queue.Queue()
@@ -294,9 +300,28 @@ class Executor:
                 self.items_delivered[bid] += np_arr.shape[-1]
                 b.host_consume(np_arr, tags_, port=i)
 
+    # ---- metrics (observability parity: chunks/s, samples/s) -------------
+    def stats(self) -> Dict[str, Any]:
+        now = time.monotonic()
+        t0 = self._t_start or now
+        t1 = self._t_stop or now
+        elapsed = max(t1 - t0, 1e-9)
+        total_items = sum(self.items_delivered.values())
+        return {
+            "steps": self.steps_run,
+            "elapsed_s": elapsed,
+            "steps_per_s": self.steps_run / elapsed,
+            "items_delivered": dict(self.items_delivered),
+            "samples_per_s": total_items / elapsed,
+            "chunk_items": {
+                str(k): v for k, v in self.cfg.edge_items.items()
+            },
+        }
+
     # ---- the loop --------------------------------------------------------
     def run_loop(self) -> None:
         cfg, fg = self.cfg, self.fg
+        self._t_start = time.monotonic()
         states = cfg.init_states()
         # every state leaf must be its own buffer (step donates states)
         states = jax.tree_util.tree_map(
@@ -383,6 +408,7 @@ class Executor:
                     )
                 )
                 step_no += 1
+                self.steps_run = step_no
 
             # -- deliver completed steps ----------------------------------
             while inflight and (eos or len(inflight) >= self.max_inflight):
@@ -404,6 +430,7 @@ class Executor:
         self._drain_messages()
         for b in fg.blocks:
             b.on_finish()
+        self._t_stop = time.monotonic()
 
 
 _cache_enabled = False

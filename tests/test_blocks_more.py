@@ -1,0 +1,179 @@
+"""ApplyNM/ApplyIntoIter, PfbArbResampler, seify dummy driver, audio
+fallback, executor stats, and the WLAN TX→RX flowgraph round trip."""
+
+import numpy as np
+import pytest
+
+from futuresdr_tpu import Flowgraph, Runtime, connect
+from futuresdr_tpu.blocks import (
+    ApplyIntoIter,
+    ApplyNM,
+    Head,
+    PfbArbResampler,
+    VectorSink,
+    VectorSource,
+)
+from futuresdr_tpu.blocks.seify import Builder
+from futuresdr_tpu.types.pmt import Pmt
+
+
+def test_apply_nm_windowed_sum():
+    import jax.numpy as jnp
+
+    data = np.arange(4000, dtype=np.float32)
+    fg = Flowgraph()
+    # 4:1 windowed sum
+    b = ApplyNM(
+        lambda w: jnp.sum(w, axis=-1, keepdims=True),
+        4,
+        1,
+        np.float32,
+        np.float32,
+    )
+    snk = VectorSink(np.float32)
+    connect(fg, VectorSource(data), b, snk)
+    Runtime(chunk_size=512).run(fg)
+    ref = data.reshape(-1, 4).sum(axis=1)
+    assert np.allclose(snk.data(), ref)
+
+
+def test_apply_into_iter_repeat():
+    import jax.numpy as jnp
+
+    data = np.arange(100, dtype=np.float32)
+    fg = Flowgraph()
+    b = ApplyIntoIter(
+        lambda x: jnp.repeat(x[:, None], 3, axis=1), 3, np.float32
+    )
+    snk = VectorSink(np.float32)
+    connect(fg, VectorSource(data), b, snk)
+    Runtime(chunk_size=64).run(fg)
+    assert np.array_equal(snk.data(), np.repeat(data, 3))
+
+
+def test_pfb_arb_resampler_tone():
+    fs = 32_000.0
+    f0 = 1_000.0
+    rate = 3.0 / 2.0
+    n = 32_000
+    t = np.arange(n) / fs
+    iq = np.exp(2j * np.pi * f0 * t).astype(np.complex64)
+    fg = Flowgraph()
+    snk = VectorSink(np.complex64)
+    connect(fg, VectorSource(iq), PfbArbResampler(rate), snk)
+    Runtime(chunk_size=4096).run(fg)
+    y = snk.data()
+    assert len(y) > 0.9 * n * rate
+    # output tone should be f0 at fs·rate
+    seg = y[2000:-2000]
+    ph = np.unwrap(np.angle(seg))
+    f_est = np.polyfit(np.arange(len(ph)), ph, 1)[0] * fs * rate / (2 * np.pi)
+    assert abs(f_est - f0) < 5.0
+    amp = np.mean(np.abs(seg))
+    assert 0.8 < amp < 1.2
+
+
+def test_seify_dummy_source_and_retune():
+    src = Builder("driver=dummy").frequency(2.4e9).sample_rate(1e6).gain(
+        0.0
+    ).build_source()
+    fg = Flowgraph()
+    snk = VectorSink(np.complex64)
+    connect(fg, src, Head(32768, np.complex64), snk)
+    rt = Runtime(chunk_size=8192)
+    src.call_handler("freq", Pmt.from_py(2.45e9))
+    assert src.frequency == 2.45e9
+    Runtime(chunk_size=8192).run(fg)
+    y = snk.data()
+    assert len(y) == 32768
+    # dummy driver: 100 kHz tone at 1 MS/s
+    spec = np.abs(np.fft.fft(y[:8192]))
+    peak = np.argmax(spec)
+    assert abs(peak - 8192 * 0.1) < 3
+
+
+def test_seify_sink_counts():
+    snk = Builder("driver=dummy").build_sink()
+    fg = Flowgraph()
+    connect(
+        fg,
+        VectorSource(np.zeros(10_000, np.complex64)),
+        snk,
+    )
+    Runtime(chunk_size=2048).run(fg)
+    assert snk.n_sent == 10_000
+
+
+def test_audio_sink_fallback_wav(tmp_path):
+    import wave
+
+    from futuresdr_tpu.blocks import AudioSink, SignalSource
+
+    path = tmp_path / "fallback.wav"
+    fg = Flowgraph()
+    snk = AudioSink(48_000, fallback_path=path)
+    connect(
+        fg,
+        SignalSource(440.0, 48_000.0, kind="sin"),
+        Head(48_000, np.float32),
+        snk,
+    )
+    Runtime(chunk_size=8192).run(fg)
+    with wave.open(str(path), "rb") as w:
+        assert w.getnframes() == 48_000
+
+
+def test_audio_file_source_roundtrip(tmp_path):
+    from futuresdr_tpu.blocks import AudioFileSource, WavSink
+
+    path = tmp_path / "in.wav"
+    tone = (0.5 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)).astype(
+        np.float32
+    )
+    ws = WavSink(path, 8000)
+    ws.host_consume(tone, [])
+    ws.on_finish()
+
+    fg = Flowgraph()
+    src = AudioFileSource(path)
+    snk = VectorSink(np.float32)
+    connect(fg, src, snk)
+    Runtime(chunk_size=1024).run(fg)
+    got = snk.data()
+    assert len(got) == 8000
+    assert np.max(np.abs(got - tone)) < 1e-3  # int16 quantization
+
+
+def test_executor_stats():
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(fg, VectorSource(np.zeros(100_000, np.float32)), snk)
+    from futuresdr_tpu.runtime.executor import Executor
+
+    ex = Executor(fg, chunk_size=8192)
+    ex.running = True
+    ex.run_loop()
+    s = ex.stats()
+    assert s["steps"] > 0
+    assert s["items_delivered"][1] == 100_000
+    assert s["samples_per_s"] > 0
+
+
+def test_wlan_flowgraph_roundtrip():
+    from futuresdr_tpu.blocks import MessageSink
+    from futuresdr_tpu.models.wlan import make_mac_frame
+    from futuresdr_tpu.models.wlan.blocks import WlanRxSink, WlanTxSource
+
+    p1 = make_mac_frame(b"over-the-flowgraph frame", seq=9)
+    tx = WlanTxSource(mcs="qpsk12")
+    tx.send(p1)
+    rx = WlanRxSink()
+    frames = MessageSink()
+    fg = Flowgraph()
+    head = Head(60_000, np.complex64)
+    connect(fg, tx, head, rx)
+    fg.add(frames)
+    fg.message(rx, "rx_frames", frames, "in")
+    Runtime(chunk_size=16384).run(fg)
+    assert any(f.crc_ok and f.psdu == p1 for f in rx.frames)
+    assert any(bytes(m.to_py()) == p1 for m in frames.received)
