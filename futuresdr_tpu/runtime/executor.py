@@ -126,6 +126,7 @@ class Executor:
         self.steps_run = 0
         self._t_start: Optional[float] = None
         self._t_stop: Optional[float] = None
+        self._last_arrays = None
         self._stop = threading.Event()
         self._msgq: "queue.Queue[Tuple[int, str, Pmt, Optional[queue.Queue]]]" = (
             queue.Queue()
@@ -170,12 +171,14 @@ class Executor:
             return val
         return None
 
-    def _drain_messages(self) -> None:
+    def _drain_messages(self) -> int:
+        n = 0
         while True:
             try:
                 bid, handler, pmt, replyq = self._msgq.get_nowait()
             except queue.Empty:
-                return
+                return n
+            n += 1
             try:
                 result = self.fg.blocks[bid].call_handler(handler, pmt)
                 if replyq is not None:
@@ -278,18 +281,26 @@ class Executor:
     # ---- delivery --------------------------------------------------------
     def _deliver(self, flight: _Inflight, lat_left: Dict[str, int]) -> None:
         cfg, fg = self.cfg, self.fg
-        # batched D2H for everything this step
-        host = jax.device_get(flight.sink_arrays)
+        # device_reduce sinks (NullSink) need no D2H at all: counting uses
+        # the host-side valid counts, and fetching would serialize every
+        # step on the device round-trip latency (measured ~35 ms through
+        # the TPU tunnel — it throttled benches to 7 MS/s)
+        need_fetch = any(
+            not getattr(fg.blocks[bid], "device_reduce", False)
+            for bid in cfg.host_sink_ids
+        )
+        host = jax.device_get(flight.sink_arrays) if need_fetch else None
+        self._last_arrays = flight.sink_arrays
         for bid in cfg.host_sink_ids:
             b = fg.blocks[bid]
             for i, e in enumerate(fg.in_edges(bid)):
                 key = cfg.pkey(bid, e.dst_port)
                 v = flight.sink_valid.get(key, 0)
-                arr = host[key]
                 if getattr(b, "device_reduce", False):
                     self.items_delivered[bid] += v
                     b.host_consume_count(v)
                     continue
+                arr = host[key]
                 np_arr = cplx.to_numpy(arr)[..., :v]
                 tags_ = [t for t in flight.sink_tags.get(key, []) if t.index < v]
                 skip = min(lat_left.get(key, 0), np_arr.shape[-1])
@@ -346,8 +357,10 @@ class Executor:
         ]
         step_no = 0
         eos = False
+        params_cache = None
         while not self._stop.is_set():
-            self._drain_messages()
+            if self._drain_messages():
+                params_cache = None  # a handler may have retuned params
             for b in tickers:
                 b.host_tick()
             if any(b.finish_requested for b in fg.blocks):
@@ -396,8 +409,11 @@ class Executor:
                 sink_valid, sink_tags, any_valid = self._propagate_valid(
                     src_valid, src_tags
                 )
-                params = cfg.gather_params()
-                states, sink_arrays, aux = cfg.step(states, params, src_arrays)
+                if params_cache is None:
+                    params_cache = cfg.gather_params()
+                states, sink_arrays, aux = cfg.step(
+                    states, params_cache, src_arrays
+                )
                 inflight.append(
                     _Inflight(
                         sink_arrays=sink_arrays,
@@ -414,19 +430,22 @@ class Executor:
             while inflight and (eos or len(inflight) >= self.max_inflight):
                 flight = inflight.popleft()
                 self._deliver(flight, lat_left)
-                aux_host = jax.device_get(flight.aux)
-                for bid in cfg.pure_ids:
-                    a = aux_host.get(cfg.bkey(bid))
-                    if a:
-                        fg.blocks[bid].on_aux(a)
+                if flight.aux:
+                    aux_host = jax.device_get(flight.aux)
+                    for bid in cfg.pure_ids:
+                        a = aux_host.get(cfg.bkey(bid))
+                        if a:
+                            fg.blocks[bid].on_aux(a)
 
             if eos:
                 break
 
-        # drain remaining inflight
+        # drain remaining inflight; ensure the device stream has retired
         while inflight:
             flight = inflight.popleft()
             self._deliver(flight, lat_left)
+        if getattr(self, "_last_arrays", None) is not None:
+            jax.block_until_ready(self._last_arrays)
         self._drain_messages()
         for b in fg.blocks:
             b.on_finish()

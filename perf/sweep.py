@@ -1,0 +1,91 @@
+"""Throughput sweep harness: pipes × stages, Copy and FIR variants.
+
+Parity: ``perf/null/null.rs:13-120`` (P parallel source→stageⁿ→sink pipes,
+CSV of samples/elapsed) and ``perf/fir/fir.rs:31-60`` (64 random taps per
+stage). The reference sweeps schedulers × buffer types; here the equivalent
+axis is the fused-XLA executor's chunk size.
+
+Run:  python perf/sweep.py [--kind copy|fir] [--pipes 1 2 4] \\
+          [--stages 1 2 4 8] [--samples 100000000] [--chunk 262144]
+Prints CSV: kind,pipes,stages,chunk,samples,elapsed_s,gsps
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from futuresdr_tpu import Flowgraph, Runtime, connect  # noqa: E402
+from futuresdr_tpu.blocks import Copy, Fir, NullSink, NullSource  # noqa: E402
+from futuresdr_tpu.runtime.executor import (  # noqa: E402
+    Executor,
+    _enable_compile_cache,
+)
+
+
+def build(kind: str, pipes: int, stages: int, seed: int = 0) -> Flowgraph:
+    rng = np.random.default_rng(seed)
+    fg = Flowgraph()
+    for _ in range(pipes):
+        chain = [NullSource(np.complex64)]
+        for _ in range(stages):
+            if kind == "copy":
+                chain.append(Copy(np.complex64))
+            else:
+                taps = rng.standard_normal(64).astype(np.float32)
+                chain.append(Fir(taps))
+        chain.append(NullSink(np.complex64))
+        connect(fg, *chain)
+    return fg
+
+
+def run_one(kind: str, pipes: int, stages: int, samples: int, chunk: int):
+    fg = build(kind, pipes, stages)
+    ex = Executor(fg, chunk_size=chunk)
+    per_step = ex.cfg.out_chunks[0][0]  # NullSource chunk
+    steps = max(1, samples // (per_step * pipes))
+    # warmup (compile)
+    ex.max_steps = 1
+    ex.running = True
+    ex.run_loop()
+    # measured
+    ex2 = Executor(fg, chunk_size=chunk, max_steps=steps)
+    ex2.running = True
+    t0 = time.perf_counter()
+    ex2.run_loop()
+    dt = time.perf_counter() - t0
+    total = per_step * steps * pipes
+    return total, dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kind", choices=["copy", "fir", "both"], default="both")
+    ap.add_argument("--pipes", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--stages", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--samples", type=int, default=200_000_000)
+    ap.add_argument("--chunk", type=int, default=1 << 22)
+    args = ap.parse_args()
+
+    _enable_compile_cache()
+    kinds = ["copy", "fir"] if args.kind == "both" else [args.kind]
+    print("kind,pipes,stages,chunk,samples,elapsed_s,gsps")
+    for kind in kinds:
+        for p in args.pipes:
+            for s in args.stages:
+                total, dt = run_one(kind, p, s, args.samples, args.chunk)
+                print(
+                    f"{kind},{p},{s},{args.chunk},{total},{dt:.4f},"
+                    f"{total / dt / 1e9:.4f}",
+                    flush=True,
+                )
+
+
+if __name__ == "__main__":
+    main()
