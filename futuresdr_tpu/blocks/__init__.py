@@ -48,6 +48,7 @@ from futuresdr_tpu.blocks.io import (
     ChannelSource,
     FileSink,
     FileSource,
+    IQFileSource,
     NullSink,
     NullSource,
     VectorSink,
@@ -111,6 +112,7 @@ __all__ = [
     "ChannelSource",
     "FileSink",
     "FileSource",
+    "IQFileSource",
     "NullSink",
     "NullSource",
     "VectorSink",

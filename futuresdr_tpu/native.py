@@ -1,0 +1,189 @@
+"""ctypes bridge to the native host-boundary runtime (native/ringbuf.cpp).
+
+Compiles the shared object on first use with ``g++ -O3`` (cached next to
+the source); every entry point has a numpy fallback so the framework works
+without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent.parent / "native" / "ringbuf.cpp"
+_SO = _SRC.with_suffix(".so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+        return ctypes.CDLL(str(_SO))
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-march=native",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                str(_SRC),
+                "-o",
+                str(_SO),
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return ctypes.CDLL(str(_SO))
+    except Exception:
+        return None
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    """The native library, or None when unavailable."""
+    global _lib, _tried
+    with _lock:
+        if not _tried:
+            _tried = True
+            _lib = _build()
+            if _lib is not None:
+                _declare(_lib)
+        return _lib
+
+
+def _declare(m: ctypes.CDLL) -> None:
+    u64, i64 = ctypes.c_uint64, ctypes.c_int64
+    p = ctypes.c_void_p
+    m.ring_create.restype = p
+    m.ring_create.argtypes = [u64]
+    m.ring_destroy.argtypes = [p]
+    m.ring_capacity.restype = u64
+    m.ring_capacity.argtypes = [p]
+    m.ring_readable.restype = u64
+    m.ring_readable.argtypes = [p]
+    m.ring_writable.restype = u64
+    m.ring_writable.argtypes = [p]
+    m.ring_write.restype = u64
+    m.ring_write.argtypes = [p, ctypes.c_char_p, u64]
+    m.ring_read.restype = u64
+    m.ring_read.argtypes = [p, ctypes.c_char_p, u64]
+    for name, t_in in [
+        ("cs8_to_planar_f32", ctypes.POINTER(ctypes.c_int8)),
+        ("cs16_to_planar_f32", ctypes.POINTER(ctypes.c_int16)),
+        ("cf32_to_planar_f32", ctypes.POINTER(ctypes.c_float)),
+    ]:
+        fn = getattr(m, name)
+        fn.restype = None
+        fn.argtypes = [
+            t_in,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            i64,
+        ]
+    m.planar_f32_to_cf32.restype = None
+    m.planar_f32_to_cf32.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        i64,
+    ]
+    m.planar_f32_to_cs16.restype = None
+    m.planar_f32_to_cs16.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int16),
+        i64,
+    ]
+
+
+_IN_DTYPE = {"cs8": np.int8, "cs16": np.int16, "cf32": np.float32}
+_SCALE = {"cs8": 1.0 / 128.0, "cs16": 1.0 / 32768.0, "cf32": 1.0}
+
+
+def convert_iq(raw: np.ndarray, fmt: str):
+    """Interleaved IQ (2n scalars of ``fmt``) → planar (re, im) float32.
+
+    Uses the native converter when available, numpy otherwise."""
+    n = raw.size // 2
+    re = np.empty(n, np.float32)
+    im = np.empty(n, np.float32)
+    m = lib()
+    raw = np.ascontiguousarray(raw)
+    if m is not None:
+        fn = {
+            "cs8": m.cs8_to_planar_f32,
+            "cs16": m.cs16_to_planar_f32,
+            "cf32": m.cf32_to_planar_f32,
+        }[fmt]
+        fn(
+            raw.ctypes.data_as(fn.argtypes[0]),
+            re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n,
+        )
+    else:
+        k = _SCALE[fmt]
+        re[:] = raw[0::2].astype(np.float32) * k
+        im[:] = raw[1::2].astype(np.float32) * k
+    return re, im
+
+
+class NativeRing:
+    """SPSC byte ring (native when possible, deque-of-bytes fallback)."""
+
+    def __init__(self, capacity: int):
+        m = lib()
+        self._m = m
+        if m is not None:
+            self._h = m.ring_create(capacity)
+            if not self._h:
+                raise MemoryError("ring_create failed")
+            self.capacity = m.ring_capacity(self._h)
+        else:
+            self._h = None
+            self._buf = bytearray()
+            self._fallback_lock = threading.Lock()
+            self.capacity = capacity
+
+    def readable(self) -> int:
+        if self._h is not None:
+            return self._m.ring_readable(self._h)
+        with self._fallback_lock:
+            return len(self._buf)
+
+    def writable(self) -> int:
+        if self._h is not None:
+            return self._m.ring_writable(self._h)
+        with self._fallback_lock:
+            return max(0, self.capacity - len(self._buf))
+
+    def write(self, data: bytes) -> int:
+        if self._h is not None:
+            return self._m.ring_write(self._h, data, len(data))
+        with self._fallback_lock:
+            take = min(len(data), self.capacity - len(self._buf))
+            self._buf.extend(data[:take])
+            return take
+
+    def read(self, n: int) -> bytes:
+        if self._h is not None:
+            out = ctypes.create_string_buffer(n)
+            got = self._m.ring_read(self._h, out, n)
+            return out.raw[:got]
+        with self._fallback_lock:
+            out = bytes(self._buf[:n])
+            del self._buf[: len(out)]
+            return out
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None and self._m is not None:
+            self._m.ring_destroy(self._h)
+            self._h = None

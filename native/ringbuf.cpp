@@ -1,0 +1,156 @@
+// Native host-boundary runtime: SPSC byte ring + IQ format converters.
+//
+// Parity: the reference's hot host-side plumbing is native (the
+// double-mapped ring of the `vmcircbuffer` crate behind
+// src/runtime/buffer/circular.rs, and futuredsp's typed converters).
+// Here the device does all DSP; the host-side hot path that remains is
+// ingest/egress — raw SDR capture formats (interleaved i8/i16/f32 IQ)
+// converted into the planar float32 (re, im) pairs the device wants, and
+// a lock-free single-producer/single-consumer ring that lets a reader
+// thread stay ahead of the executor without the GIL.
+//
+// Built as a plain C ABI shared object, loaded via ctypes
+// (futuresdr_tpu/native.py). No pybind11 dependency by design.
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// format converters: interleaved IQ -> planar float re/im
+// ---------------------------------------------------------------------------
+
+// int8 interleaved (e.g. HackRF) -> planar f32, scaled 1/128
+void cs8_to_planar_f32(const int8_t* in, float* re, float* im, int64_t n) {
+    constexpr float k = 1.0f / 128.0f;
+    for (int64_t i = 0; i < n; ++i) {
+        re[i] = k * static_cast<float>(in[2 * i]);
+        im[i] = k * static_cast<float>(in[2 * i + 1]);
+    }
+}
+
+// int16 interleaved (sc16, USRP/RTL float path) -> planar f32, 1/32768
+void cs16_to_planar_f32(const int16_t* in, float* re, float* im, int64_t n) {
+    constexpr float k = 1.0f / 32768.0f;
+    for (int64_t i = 0; i < n; ++i) {
+        re[i] = k * static_cast<float>(in[2 * i]);
+        im[i] = k * static_cast<float>(in[2 * i + 1]);
+    }
+}
+
+// float32 interleaved (cf32) -> planar f32
+void cf32_to_planar_f32(const float* in, float* re, float* im, int64_t n) {
+    for (int64_t i = 0; i < n; ++i) {
+        re[i] = in[2 * i];
+        im[i] = in[2 * i + 1];
+    }
+}
+
+// planar f32 -> interleaved cf32 (egress)
+void planar_f32_to_cf32(const float* re, const float* im, float* out,
+                        int64_t n) {
+    for (int64_t i = 0; i < n; ++i) {
+        out[2 * i] = re[i];
+        out[2 * i + 1] = im[i];
+    }
+}
+
+// planar f32 -> interleaved sc16 with clipping (egress to SDR formats)
+void planar_f32_to_cs16(const float* re, const float* im, int16_t* out,
+                        int64_t n) {
+    for (int64_t i = 0; i < n; ++i) {
+        float r = re[i] * 32767.0f;
+        float q = im[i] * 32767.0f;
+        if (r > 32767.0f) r = 32767.0f;
+        if (r < -32768.0f) r = -32768.0f;
+        if (q > 32767.0f) q = 32767.0f;
+        if (q < -32768.0f) q = -32768.0f;
+        out[2 * i] = static_cast<int16_t>(r);
+        out[2 * i + 1] = static_cast<int16_t>(q);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// SPSC byte ring (power-of-two capacity)
+// ---------------------------------------------------------------------------
+
+struct Ring {
+    uint8_t* buf;
+    uint64_t capacity;  // power of two
+    std::atomic<uint64_t> head;  // write position (bytes, monotonically ++)
+    std::atomic<uint64_t> tail;  // read position
+};
+
+void* ring_create(uint64_t capacity) {
+    // round up to power of two
+    uint64_t cap = 1;
+    while (cap < capacity) cap <<= 1;
+    Ring* r = new Ring();
+    r->buf = static_cast<uint8_t*>(std::malloc(cap));
+    if (!r->buf) {
+        delete r;
+        return nullptr;
+    }
+    r->capacity = cap;
+    r->head.store(0);
+    r->tail.store(0);
+    return r;
+}
+
+void ring_destroy(void* rp) {
+    Ring* r = static_cast<Ring*>(rp);
+    if (!r) return;
+    std::free(r->buf);
+    delete r;
+}
+
+uint64_t ring_capacity(void* rp) {
+    return static_cast<Ring*>(rp)->capacity;
+}
+
+uint64_t ring_readable(void* rp) {
+    Ring* r = static_cast<Ring*>(rp);
+    return r->head.load(std::memory_order_acquire) -
+           r->tail.load(std::memory_order_relaxed);
+}
+
+uint64_t ring_writable(void* rp) {
+    Ring* r = static_cast<Ring*>(rp);
+    return r->capacity - (r->head.load(std::memory_order_relaxed) -
+                          r->tail.load(std::memory_order_acquire));
+}
+
+// producer: copy up to n bytes in; returns bytes accepted
+uint64_t ring_write(void* rp, const uint8_t* src, uint64_t n) {
+    Ring* r = static_cast<Ring*>(rp);
+    uint64_t head = r->head.load(std::memory_order_relaxed);
+    uint64_t tail = r->tail.load(std::memory_order_acquire);
+    uint64_t space = r->capacity - (head - tail);
+    if (n > space) n = space;
+    uint64_t pos = head & (r->capacity - 1);
+    uint64_t first = n < (r->capacity - pos) ? n : (r->capacity - pos);
+    std::memcpy(r->buf + pos, src, first);
+    if (n > first) std::memcpy(r->buf, src + first, n - first);
+    r->head.store(head + n, std::memory_order_release);
+    return n;
+}
+
+// consumer: copy up to n bytes out; returns bytes read
+uint64_t ring_read(void* rp, uint8_t* dst, uint64_t n) {
+    Ring* r = static_cast<Ring*>(rp);
+    uint64_t head = r->head.load(std::memory_order_acquire);
+    uint64_t tail = r->tail.load(std::memory_order_relaxed);
+    uint64_t avail = head - tail;
+    if (n > avail) n = avail;
+    uint64_t pos = tail & (r->capacity - 1);
+    uint64_t first = n < (r->capacity - pos) ? n : (r->capacity - pos);
+    std::memcpy(dst, r->buf + pos, first);
+    if (n > first) std::memcpy(dst + first, r->buf, n - first);
+    r->tail.store(tail + n, std::memory_order_release);
+    return n;
+}
+
+}  // extern "C"

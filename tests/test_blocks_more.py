@@ -177,3 +177,44 @@ def test_wlan_flowgraph_roundtrip():
     Runtime(chunk_size=16384).run(fg)
     assert any(f.crc_ok and f.psdu == p1 for f in rx.frames)
     assert any(bytes(m.to_py()) == p1 for m in frames.received)
+
+
+def test_native_ring_and_converters():
+    from futuresdr_tpu.native import NativeRing, convert_iq, lib
+
+    r = NativeRing(1 << 16)
+    data = bytes(range(256)) * 8
+    assert r.write(data) == len(data)
+    assert r.readable() == len(data)
+    assert r.read(len(data)) == data
+    assert r.readable() == 0
+
+    raw = np.array([16384, -16384, 32767, 0], dtype=np.int16)
+    re, im = convert_iq(raw, "cs16")
+    assert np.allclose(re, [0.5, 32767 / 32768], atol=1e-4)
+    assert np.allclose(im, [-0.5, 0.0], atol=1e-4)
+    # native lib should actually be present in this environment
+    assert lib() is not None
+
+
+def test_iq_file_source_cs16(tmp_path):
+    from futuresdr_tpu.blocks import IQFileSource
+
+    n = 50_000
+    rng = np.random.default_rng(0)
+    iq = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.1
+    inter = np.empty(2 * n, np.int16)
+    inter[0::2] = np.clip(iq.real * 32768, -32768, 32767).astype(np.int16)
+    inter[1::2] = np.clip(iq.imag * 32768, -32768, 32767).astype(np.int16)
+    path = tmp_path / "cap.cs16"
+    inter.tofile(path)
+
+    fg = Flowgraph()
+    src = IQFileSource(path, fmt="cs16")
+    snk = VectorSink(np.complex64)
+    connect(fg, src, snk)
+    Runtime(chunk_size=8192).run(fg)
+    got = snk.data()
+    assert len(got) == n
+    ref = (inter[0::2].astype(np.float32) + 1j * inter[1::2]) / 32768.0
+    assert np.max(np.abs(got - ref)) < 1e-6
