@@ -8,3 +8,4 @@ from futuresdr_tpu.models.pfb_fm_bank import (
 )
 
 __all__ = ["BankConfig", "make_bank_step", "make_sharded_bank_step"]
+from futuresdr_tpu.models import lora, wlan  # noqa: F401

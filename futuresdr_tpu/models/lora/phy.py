@@ -1,0 +1,455 @@
+"""LoRa PHY: CSS modulation + the full coding chain.
+
+Parity: ``examples/lora/src/{modulator,encoder,gray_mapping,deinterleaver,
+hamming_dec,header_decoder,decoder,fft_demod,frame_sync}.rs`` (the
+reference ports EPFL's gr-lora_sdr; this is a fresh implementation of the
+same published algorithm).
+
+TPU-first shape: demodulation is *one batched device computation* — every
+candidate symbol window is dechirped (conjugate base chirp multiply) and
+FFT'd in a single ``[n_sym, N]`` matmul-FFT; symbol decisions are argmax
+bins. Frame sync scans the dechirped-bin sequence for the constant
+preamble run on the host (tiny), the way sync_short's threshold machine
+is host logic in the WLAN RX.
+
+A symbol carries ``SF`` bits (header block: ``SF−2``); chirps are cyclic
+shifts of the base upchirp ``u[n] = exp(jπ·n(n−N)/N)``, ``N = 2^SF``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from futuresdr_tpu.ops import cplx
+from futuresdr_tpu.ops.cplx import CArray
+from futuresdr_tpu.ops.fft import fft_c
+
+
+# ---------------------------------------------------------------------------
+# tables
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def whitening_sequence(n: int) -> np.ndarray:
+    """LoRa payload whitening bytes (LFSR x⁸+x⁶+x⁵+x⁴+1, seed 0xFF)."""
+    out = np.empty(n, dtype=np.uint8)
+    state = 0xFF
+    for i in range(n):
+        out[i] = state
+        b = (
+            ((state >> 7) ^ (state >> 5) ^ (state >> 4) ^ (state >> 3)) & 1
+        )
+        state = ((state << 1) & 0xFF) | b
+    return out
+
+
+def gray_encode(v: np.ndarray) -> np.ndarray:
+    return v ^ (v >> 1)
+
+
+def gray_decode(g: np.ndarray) -> np.ndarray:
+    v = np.asarray(g).copy()
+    res = v.copy()
+    v = v >> 1
+    while v.any():
+        res ^= v
+        v >>= 1
+    return res
+
+
+# Hamming(4, 4+CR): data nibble d3 d2 d1 d0 (d3 = MSB)
+def _parities(d: np.ndarray) -> Tuple[np.ndarray, ...]:
+    d0 = d & 1
+    d1 = (d >> 1) & 1
+    d2 = (d >> 2) & 1
+    d3 = (d >> 3) & 1
+    p0 = d0 ^ d1 ^ d2
+    p1 = d1 ^ d2 ^ d3
+    p2 = d0 ^ d1 ^ d3
+    p3 = d0 ^ d2 ^ d3
+    p4 = d0 ^ d1 ^ d2 ^ d3
+    return p0, p1, p2, p3, p4
+
+
+def hamming_encode(nibbles: np.ndarray, cr: int) -> np.ndarray:
+    """[k] nibbles → [k] codewords of 4+cr bits (int-packed, bit 0 = d0)."""
+    d = nibbles.astype(np.int64)
+    p0, p1, p2, p3, p4 = _parities(d)
+    cw = d.copy()
+    if cr == 1:
+        cw |= p4 << 4
+    elif cr == 2:
+        cw |= (p0 << 4) | (p1 << 5)
+    elif cr == 3:
+        cw |= (p0 << 4) | (p1 << 5) | (p2 << 6)
+    elif cr == 4:
+        cw |= (p0 << 4) | (p1 << 5) | (p2 << 6) | (p3 << 7)
+    else:
+        raise ValueError("cr must be 1..4")
+    return cw
+
+
+@lru_cache(maxsize=None)
+def _syndrome_table(cr: int) -> np.ndarray:
+    """For cr≥3: map received codeword → corrected nibble via nearest
+    valid codeword (Hamming distance ≤ 1 guaranteed correctable)."""
+    n_bits = 4 + cr
+    valid = hamming_encode(np.arange(16), cr)
+    table = np.zeros(1 << n_bits, dtype=np.uint8)
+    dist = np.full(1 << n_bits, 99, dtype=np.int64)
+    for nib, cw in enumerate(valid):
+        for flip in range(-1, n_bits):
+            r = cw if flip < 0 else cw ^ (1 << flip)
+            d = 0 if flip < 0 else 1
+            if d < dist[r]:
+                dist[r] = d
+                table[r] = nib
+    return table
+
+
+def hamming_decode(cws: np.ndarray, cr: int) -> np.ndarray:
+    if cr >= 3:
+        return _syndrome_table(cr)[cws.astype(np.int64)]
+    return (cws & 0xF).astype(np.uint8)
+
+
+def _crc16(data: bytes) -> int:
+    """CCITT CRC16 (poly 0x1021) as used for the LoRa payload CRC."""
+    crc = 0x0000
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x1021) if crc & 0x8000 else (crc << 1)
+            crc &= 0xFFFF
+    return crc
+
+
+# ---------------------------------------------------------------------------
+# interleaver: sf_app codewords × cw_len bits → cw_len symbols × sf_app bits
+# ---------------------------------------------------------------------------
+
+
+def interleave_block(cws: np.ndarray, sf_app: int, cw_len: int) -> np.ndarray:
+    """Diagonal interleaver: bit j of codeword i lands in symbol j at bit
+    position (i + j) mod sf_app. Returns [cw_len] symbol values."""
+    assert len(cws) == sf_app
+    bits = (cws[:, None] >> np.arange(cw_len)[None, :]) & 1  # [sf_app, cw]
+    syms = np.zeros(cw_len, dtype=np.int64)
+    for j in range(cw_len):
+        for i in range(sf_app):
+            syms[j] |= int(bits[i, j]) << ((i + j) % sf_app)
+    return syms
+
+
+def deinterleave_block(
+    syms: np.ndarray, sf_app: int, cw_len: int
+) -> np.ndarray:
+    """Inverse of :func:`interleave_block`: [cw_len] symbols → [sf_app]
+    codewords."""
+    cws = np.zeros(sf_app, dtype=np.int64)
+    for j in range(cw_len):
+        for i in range(sf_app):
+            bit = (int(syms[j]) >> ((i + j) % sf_app)) & 1
+            cws[i] |= bit << j
+    return cws
+
+
+# ---------------------------------------------------------------------------
+# chirps
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def base_upchirp(sf: int) -> np.ndarray:
+    n = 1 << sf
+    k = np.arange(n, dtype=np.float64)
+    return np.exp(1j * np.pi * k * (k - n) / n).astype(np.complex64)
+
+
+def chirp(sf: int, sym: int) -> np.ndarray:
+    u = base_upchirp(sf)
+    return np.roll(u, -int(sym))
+
+
+@dataclass(frozen=True)
+class LoraConfig:
+    sf: int = 7
+    cr: int = 4  # 1..4 → rates 4/5..4/8
+    preamble_len: int = 8
+    sync_word: int = 0x12
+    has_crc: bool = True
+
+    @property
+    def n(self) -> int:
+        return 1 << self.sf
+
+
+# ---------------------------------------------------------------------------
+# TX
+# ---------------------------------------------------------------------------
+
+
+def _bytes_to_nibbles(data: bytes) -> np.ndarray:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(2 * len(arr), dtype=np.uint8)
+    out[0::2] = arr & 0xF  # low nibble first
+    out[1::2] = arr >> 4
+    return out
+
+
+def _nibbles_to_bytes(nib: np.ndarray) -> bytes:
+    nib = np.asarray(nib, dtype=np.uint8)
+    if len(nib) % 2:
+        nib = np.concatenate([nib, [0]])
+    return bytes((nib[0::2] | (nib[1::2] << 4)).astype(np.uint8))
+
+
+def _header_nibbles(cfg: LoraConfig, payload_len: int) -> np.ndarray:
+    """Explicit header: length(8) + cr(3)+crc(1) + 4-bit checksum
+    (header_decoder.rs semantics, self-consistent checksum)."""
+    n0 = (payload_len >> 4) & 0xF
+    n1 = payload_len & 0xF
+    n2 = ((cfg.cr << 1) | (1 if cfg.has_crc else 0)) & 0xF
+    chk = (n0 ^ n1 ^ n2) & 0xF
+    return np.array([n0, n1, n2, chk, 0], dtype=np.uint8)
+
+
+def encode_symbols(cfg: LoraConfig, payload: bytes) -> np.ndarray:
+    """Payload → data symbol values (header block + payload blocks)."""
+    sf = cfg.sf
+    # --- header block: sf_app = sf-2, CR 4/8 always ---------------------
+    hdr = _header_nibbles(cfg, len(payload))
+    # --- payload (+ CRC16), whitened ------------------------------------
+    wh = whitening_sequence(len(payload))
+    body = bytes(np.frombuffer(payload, np.uint8) ^ wh[: len(payload)])
+    if cfg.has_crc:
+        crc = _crc16(payload)
+        body = body + bytes([crc & 0xFF, crc >> 8])
+    nibbles = _bytes_to_nibbles(body)
+
+    sf_app_hdr = sf - 2
+    # header block holds sf-2 codewords: 5 header nibbles + first payload
+    # nibbles fill the rest
+    n_hdr_payload = sf_app_hdr - 5
+    if n_hdr_payload < 0:
+        raise ValueError("sf must be ≥ 7 for explicit header")
+    first = np.concatenate([hdr, nibbles[:n_hdr_payload]])
+    if len(first) < sf_app_hdr:
+        first = np.concatenate(
+            [first, np.zeros(sf_app_hdr - len(first), np.uint8)]
+        )
+    rest = nibbles[n_hdr_payload:]
+
+    syms: List[int] = []
+    hdr_cws = hamming_encode(first, 4)  # header CR 4/8
+    hdr_syms = interleave_block(hdr_cws, sf_app_hdr, 8)
+    # reduced-rate header symbols: value·4 so ±bin errors stay decodable
+    syms.extend((gray_decode(hdr_syms) << 2).tolist())
+
+    cw_len = 4 + cfg.cr
+    pad = (-len(rest)) % sf
+    rest = np.concatenate([rest, np.zeros(pad, np.uint8)])
+    for blk in rest.reshape(-1, sf):
+        cws = hamming_encode(blk, cfg.cr)
+        bsyms = interleave_block(cws, sf, cw_len)
+        syms.extend(gray_decode(bsyms).tolist())
+    return np.asarray(syms, dtype=np.int64)
+
+
+def modulate_frame(
+    cfg: LoraConfig, payload: bytes, oversample: int = 1
+) -> np.ndarray:
+    """Full baseband frame at fs = BW (oversample=1): preamble +
+    sync + 2.25 downchirps + data chirps."""
+    if oversample != 1:
+        raise NotImplementedError("round 1: fs == BW")
+    n = cfg.n
+    u = base_upchirp(cfg.sf)
+    d = np.conj(u)
+    parts = [np.tile(u, cfg.preamble_len)]
+    s1 = ((cfg.sync_word >> 4) & 0xF) << 3
+    s2 = (cfg.sync_word & 0xF) << 3
+    parts += [chirp(cfg.sf, s1), chirp(cfg.sf, s2)]
+    parts += [d, d, d[: n // 4]]
+    for s in encode_symbols(cfg, payload):
+        parts.append(chirp(cfg.sf, int(s)))
+    return np.concatenate(parts).astype(np.complex64)
+
+
+# ---------------------------------------------------------------------------
+# RX
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LoraFrame:
+    payload: bytes
+    crc_ok: bool
+    snr: float
+    start: int
+    cr: int
+
+
+def _dechirp_bins(x: np.ndarray, sf: int):
+    """Device: window stream into consecutive N-sample symbols, dechirp,
+    batched matmul-FFT, return (argmax bins, peak powers, mean powers)."""
+    n = 1 << sf
+    k = len(x) // n
+    xc = cplx.from_numpy(x[: k * n])
+    d = np.conj(base_upchirp(sf))
+    dc = cplx.from_numpy(np.tile(d, k))
+    return _dechirp_jit(xc, dc, k, n)
+
+
+@lru_cache(maxsize=None)
+def _dechirp_fn(k: int, n: int):
+    def fn(xc: CArray, dc: CArray):
+        v = (xc * dc).reshape(k, n)
+        spec = fft_c(v)
+        p = spec.abs2()
+        bins = jnp.argmax(p, axis=-1)
+        peak = jnp.max(p, axis=-1)
+        mean = jnp.mean(p, axis=-1)
+        return bins, peak, mean
+
+    return jax.jit(fn)
+
+
+def _dechirp_jit(xc, dc, k, n):
+    bins, peak, mean = _dechirp_fn(k, n)(xc, dc)
+    return np.asarray(bins), np.asarray(peak), np.asarray(mean)
+
+
+class LoraReceiver:
+    """Frame sync + demod + decode over an IQ buffer (fs = BW)."""
+
+    def __init__(self, cfg: LoraConfig):
+        self.cfg = cfg
+        self.frames: List[LoraFrame] = []
+
+    # -- sync: find preamble runs on symbol-aligned grid offsets ---------
+    def _find_frames(self, x: np.ndarray) -> List[int]:
+        """Return chirp-aligned grid positions inside detected preambles.
+
+        A preamble chirp starting at t₀ dechirps (on the unaligned window
+        grid) to bin b = (N − t₀) mod N — equal across the run — so the
+        aligned grid is ``run_start·N + (N − b) mod N``."""
+        cfg = self.cfg
+        n = cfg.n
+        starts = []
+        bins, peak, mean = _dechirp_bins(x, cfg.sf)
+        run_val, run_len, run_start = -1, 0, 0
+        for i, b in enumerate(bins):
+            if peak[i] < 10.0 * mean[i]:  # no chirp energy
+                run_len = 0
+                run_val = -1
+                continue
+            if b == run_val:
+                run_len += 1
+            else:
+                run_val, run_len, run_start = int(b), 1, i
+            if run_len == max(3, cfg.preamble_len - 2):
+                r = (n - run_val) % n
+                starts.append(run_start * n + r)
+                run_len = 0
+                run_val = -1
+        return starts
+
+    def _demod_frame(self, x: np.ndarray, t_align: int) -> Optional[LoraFrame]:
+        cfg = self.cfg
+        n = cfg.n
+        sf = cfg.sf
+        seg = x[t_align:]
+        bins, peak, mean = _dechirp_bins(seg, sf)
+        if len(bins) < cfg.preamble_len:
+            return None
+        strong = peak > 10.0 * np.maximum(mean, 1e-12)
+        # count remaining preamble (bin 0) windows on the aligned grid
+        z = 0
+        while z < len(bins) and strong[z] and bins[z] == 0:
+            z += 1
+        if z < 2:
+            return None
+        # two sync-word upchirps, then 2.25 downchirps, then data
+        data_off = (z + 2) * n + 2 * n + n // 4
+        if data_off + n > len(seg):
+            return None
+        dseg = seg[data_off:]
+        bins, peak, mean = _dechirp_bins(dseg, sf)
+        if len(bins) == 0:
+            return None
+        valid = peak > 10.0 * np.maximum(mean, 1e-12)
+        n_syms = int(np.argmin(valid)) if not valid.all() else len(valid)
+        if n_syms < 8:
+            return None
+        syms = bins[:n_syms]
+        snr = float(
+            10.0
+            * np.log10(
+                np.mean(peak[:n_syms]) / (np.mean(mean[:n_syms]) + 1e-12)
+            )
+        )
+
+        # --- header block ------------------------------------------------
+        sf_app_hdr = sf - 2
+        hdr_syms = gray_encode((syms[:8] >> 2).astype(np.int64))
+        hdr_cws = deinterleave_block(hdr_syms, sf_app_hdr, 8)
+        hdr_nib = hamming_decode(hdr_cws, 4)
+        length = int((hdr_nib[0] << 4) | hdr_nib[1])
+        cr = int(hdr_nib[2] >> 1) & 0x7
+        has_crc = bool(hdr_nib[2] & 1)
+        chk = (hdr_nib[0] ^ hdr_nib[1] ^ hdr_nib[2]) & 0xF
+        if chk != hdr_nib[3] or not (1 <= cr <= 4) or length == 0:
+            return None
+        payload_nib_in_hdr = hdr_nib[5:sf_app_hdr]
+
+        # --- payload blocks ----------------------------------------------
+        n_body = length + (2 if has_crc else 0)
+        total_nibbles = 2 * n_body
+        remaining = total_nibbles - len(payload_nib_in_hdr)
+        cw_len = 4 + cr
+        n_blocks = max(0, -(-remaining // sf))
+        need_syms = 8 + n_blocks * cw_len
+        if n_syms < need_syms:
+            return None
+        nib: List[int] = list(payload_nib_in_hdr)
+        pos = 8
+        for _ in range(n_blocks):
+            bsyms = gray_encode(syms[pos : pos + cw_len].astype(np.int64))
+            cws = deinterleave_block(bsyms, sf, cw_len)
+            nib.extend(hamming_decode(cws, cr).tolist())
+            pos += cw_len
+        body = _nibbles_to_bytes(np.asarray(nib[:total_nibbles]))
+
+        wh = whitening_sequence(length)
+        payload = bytes(
+            np.frombuffer(body[:length], np.uint8) ^ wh[:length]
+        )
+        crc_ok = True
+        if has_crc:
+            rx_crc = body[length] | (body[length + 1] << 8)
+            crc_ok = _crc16(payload) == rx_crc
+        return LoraFrame(
+            payload=payload, crc_ok=crc_ok, snr=snr, start=t_align, cr=cr
+        )
+
+    def process(self, iq: np.ndarray) -> List[LoraFrame]:
+        x = np.asarray(iq, dtype=np.complex64)
+        out: List[LoraFrame] = []
+        seen = set()
+        for start in self._find_frames(x):
+            if start in seen:
+                continue
+            seen.add(start)
+            f = self._demod_frame(x, start)
+            if f is not None:
+                out.append(f)
+        self.frames.extend(out)
+        return out
