@@ -1,0 +1,252 @@
+"""ADS-B 1090ES receiver — TPU-shaped.
+
+Parity: ``examples/adsb/src/{preamble_detector.rs,demodulator.rs,
+decoder.rs,lib.rs}`` — 4 MS/s magnitude stream, ±1 preamble correlator
+(preamble_detector.rs:4-22), PPM bit decisions via SYMBOL_ONE/ZERO taps
+(lib.rs:13-15), CRC24 check and DF17 field decode.
+
+Device: one jitted pass computes |x|², the 32-tap preamble correlation,
+the noise floor moving average, and the per-offset PPM bit metric
+(first-half minus second-half energy). Host: threshold peaks, stride out
+112 bits per candidate, CRC24 + Mode S field decode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from futuresdr_tpu.ops import cplx
+
+SAMPLE_RATE = 4_000_000  # demod rate (lib.rs:10-11 with 4 MS/s)
+SPS_HALF = 2  # samples per half symbol
+SPS = 2 * SPS_HALF  # samples per 1 µs symbol
+N_BITS = 112
+PREAMBLE_PATTERN = np.array(
+    [1, -1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, -1, -1, -1, -1],
+    dtype=np.float32,
+)  # preamble_detector.rs:4-13
+PREAMBLE_LEN = len(PREAMBLE_PATTERN) * SPS_HALF  # 8 µs
+
+CRC_POLY = 0xFFF409  # Mode S CRC24
+
+
+def preamble_taps() -> np.ndarray:
+    """Correlator taps (preamble_detector.rs:16-22: reversed, expanded)."""
+    return np.repeat(PREAMBLE_PATTERN[::-1], SPS_HALF).astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _metrics_fn(n: int):
+    # conv1d_valid computes Σ x[k+t]·taps[T−1−t]; preamble_taps() is the
+    # reversed pattern, so passing it directly yields the straight
+    # correlation Σ mag[k+j]·pattern[j]
+    taps_p = jnp.asarray(preamble_taps())
+    taps_bit = jnp.asarray(
+        np.repeat([1.0, -1.0], SPS_HALF)[::-1].astype(np.float32)
+    )
+    ones = jnp.ones(PREAMBLE_LEN, jnp.float32)
+
+    def fn(xc):
+        from futuresdr_tpu.ops.fir import conv1d_valid
+
+        mag = xc.abs2()
+        cor = conv1d_valid(mag, taps_p)  # preamble correlation
+        nf = conv1d_valid(mag, ones) / PREAMBLE_LEN  # noise floor avg
+        bit = conv1d_valid(mag, taps_bit)  # PPM metric per offset
+        return mag, cor, nf, bit
+
+    return jax.jit(fn)
+
+
+def _crc_remainder(bits: np.ndarray) -> int:
+    """Polynomial remainder of bits (MSB first) modulo the CRC24 poly."""
+    reg = 0
+    for b in bits:
+        reg = (reg << 1) | int(b)
+        if reg & (1 << 24):
+            reg ^= (1 << 24) | CRC_POLY
+    return reg & 0xFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# encode (test vectors / TX parity)
+# ---------------------------------------------------------------------------
+
+
+def encode_df17(icao: int, me_bits: np.ndarray) -> np.ndarray:
+    """Build a 112-bit DF17 frame: DF(5)=17, CA(3)=5, ICAO(24), ME(56),
+    PI = CRC24 over the first 88 bits."""
+    me_bits = np.asarray(me_bits, dtype=np.uint8)
+    assert len(me_bits) == 56
+    bits = np.zeros(N_BITS, dtype=np.uint8)
+    bits[:5] = [(17 >> (4 - i)) & 1 for i in range(5)]
+    bits[5:8] = [(5 >> (2 - i)) & 1 for i in range(3)]
+    bits[8:32] = [(icao >> (23 - i)) & 1 for i in range(24)]
+    bits[32:88] = me_bits
+    rem = _crc_remainder(np.concatenate([bits[:88], np.zeros(24, np.uint8)]))
+    bits[88:] = [(rem >> (23 - i)) & 1 for i in range(24)]
+    return bits
+
+
+def callsign_me(callsign: str, tc: int = 4) -> np.ndarray:
+    """ME field for an identification message (TC 1-4)."""
+    charset = "#ABCDEFGHIJKLMNOPQRSTUVWXYZ##### ###############0123456789######"
+    me = np.zeros(56, dtype=np.uint8)
+    me[:5] = [(tc >> (4 - i)) & 1 for i in range(5)]
+    cs = (callsign + " " * 8)[:8]
+    for k, ch in enumerate(cs):
+        code = charset.index(ch)
+        for i in range(6):
+            me[8 + 6 * k + i] = (code >> (5 - i)) & 1
+    return me
+
+
+def synthesize_frame(
+    bits: np.ndarray, amplitude: float = 1.0, pad: int = 100
+) -> np.ndarray:
+    """PPM-modulate a 112-bit frame into complex baseband at 4 MS/s."""
+    mag = np.zeros(PREAMBLE_LEN + N_BITS * SPS, dtype=np.float32)
+    mag[:PREAMBLE_LEN] = np.repeat(
+        (PREAMBLE_PATTERN > 0).astype(np.float32), SPS_HALF
+    )
+    for i, b in enumerate(bits):
+        off = PREAMBLE_LEN + i * SPS
+        if b:
+            mag[off : off + SPS_HALF] = 1.0
+        else:
+            mag[off + SPS_HALF : off + SPS] = 1.0
+    env = np.sqrt(np.maximum(mag, 0.0)) * amplitude
+    sig = env.astype(np.complex64)
+    return np.concatenate(
+        [np.zeros(pad, np.complex64), sig, np.zeros(pad, np.complex64)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+_CHARSET = "#ABCDEFGHIJKLMNOPQRSTUVWXYZ##### ###############0123456789######"
+
+
+@dataclass
+class AdsbFrame:
+    bits: np.ndarray
+    df: int
+    icao: int
+    crc_passed: bool
+    start: int
+    snr: float
+    callsign: Optional[str] = None
+    altitude_ft: Optional[int] = None
+    type_code: Optional[int] = None
+
+
+def _decode_fields(frame: AdsbFrame) -> None:
+    bits = frame.bits
+    if frame.df != 17:
+        return
+    tc = int(bits[32:37] @ (1 << np.arange(4, -1, -1)))
+    frame.type_code = tc
+    if 1 <= tc <= 4:
+        cs = ""
+        for k in range(8):
+            code = int(
+                bits[40 + 6 * k : 46 + 6 * k] @ (1 << np.arange(5, -1, -1))
+            )
+            cs += _CHARSET[code]
+        frame.callsign = cs.replace("#", "").rstrip()
+    elif 9 <= tc <= 18:
+        # barometric altitude (ME bits 8..19, Q-bit at index 15 of alt)
+        alt = bits[40:52]
+        q = alt[7]
+        if q:
+            v = np.concatenate([alt[:7], alt[8:]])
+            n = int(v @ (1 << np.arange(10, -1, -1)))
+            frame.altitude_ft = n * 25 - 1000
+
+
+class AdsbReceiver:
+    """Magnitude-domain Mode S receiver over an IQ (or envelope) buffer."""
+
+    def __init__(self, threshold: float = 4.0, forward_failed_crc: bool = False):
+        self.threshold = float(threshold)
+        self.forward_failed_crc = forward_failed_crc
+        self.frames: List[AdsbFrame] = []
+        self.n_crc_ok = 0
+        self.n_crc_fail = 0
+
+    def process(self, iq: np.ndarray) -> List[AdsbFrame]:
+        x = np.asarray(iq, dtype=np.complex64)
+        bucket = -(-len(x) // 16384) * 16384
+        if bucket != len(x):
+            x = np.concatenate([x, np.zeros(bucket - len(x), np.complex64)])
+        xc = cplx.from_numpy(x)
+        mag_d, cor_d, nf_d, bit_d = _metrics_fn(len(x))(xc)
+        cor = np.asarray(cor_d)
+        nf = np.asarray(nf_d)
+        bit = np.asarray(bit_d)
+
+        out: List[AdsbFrame] = []
+        # detection: correlation peak vs the noise floor of the PRECEDING
+        # window (the in-window average contains the pulses themselves)
+        nf_pre = np.empty_like(nf)
+        nf_pre[PREAMBLE_LEN:] = nf[:-PREAMBLE_LEN]
+        nf_pre[:PREAMBLE_LEN] = nf[0]
+        score = cor / (nf_pre * PREAMBLE_LEN + 1e-9)
+        cand = np.nonzero(score > self.threshold)[0]
+        # non-max suppression: strongest peaks first, suppress neighbors
+        # (a weak early side-lobe must not shadow the true preamble)
+        order = cand[np.argsort(score[cand])[::-1]]
+        taken: List[int] = []
+        for j in order:
+            j = int(j)
+            if any(abs(j - t) < PREAMBLE_LEN for t in taken):
+                continue
+            f = self._demod(bit, nf_pre, j)
+            if f is None:
+                continue
+            taken.append(j)
+            if f.crc_passed:
+                self.n_crc_ok += 1
+            else:
+                self.n_crc_fail += 1
+                if not self.forward_failed_crc:
+                    continue
+            out.append(f)
+        out.sort(key=lambda f: f.start)
+        self.frames.extend(out)
+        return out
+
+    def _demod(self, bit: np.ndarray, nf: np.ndarray, start: int):
+        data0 = start + PREAMBLE_LEN
+        idx = data0 + SPS * np.arange(N_BITS)
+        if idx[-1] >= len(bit):
+            return None
+        bits = (bit[idx] > 0).astype(np.uint8)
+        df = int(bits[:5] @ (1 << np.arange(4, -1, -1)))
+        icao = int(bits[8:32] @ (1 << np.arange(23, -1, -1)))
+        crc_ok = _crc_remainder(bits) == 0
+        snr = float(
+            10.0
+            * np.log10(
+                (np.abs(bit[idx]).mean() + 1e-12) / (nf[start] + 1e-12)
+            )
+        )
+        f = AdsbFrame(
+            bits=bits,
+            df=df,
+            icao=icao,
+            crc_passed=crc_ok,
+            start=start,
+            snr=snr,
+        )
+        if crc_ok:
+            _decode_fields(f)
+        return f
