@@ -190,7 +190,17 @@ def conv1d_valid(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLike:
     if N < T:
         raise ValueError(f"chunk of {N} samples shorter than {T} taps")
 
-    if config.get("fir_backend", "matmul") == "matmul" and not _is_tracer(taps):
+    backend = config.get("fir_backend", "matmul")
+    if (
+        backend == "pallas"
+        and stride == 1
+        and not isinstance(taps, CArray)
+        and not _is_tracer(taps)
+    ):
+        from futuresdr_tpu.ops.pallas_fir import pallas_fir_valid
+
+        return pallas_fir_valid(x, taps)
+    if backend != "conv" and not _is_tracer(taps):
         return _conv_matmul(x, taps, stride)
 
     lead = x.shape[:-1]

@@ -1,0 +1,77 @@
+"""ZigBee / IEEE 802.15.4 modem tests (parity: examples/zigbee chain)."""
+
+import numpy as np
+
+from futuresdr_tpu.models.zigbee import (
+    ZigbeeReceiver,
+    make_phy_frame,
+    modulate,
+)
+from futuresdr_tpu.models.zigbee.zigbee import (
+    chip_table,
+    crc16_154,
+    demod_templates,
+)
+
+
+def _noisy(sig, power, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        sig
+        + np.sqrt(power / 2)
+        * (
+            rng.standard_normal(len(sig)) + 1j * rng.standard_normal(len(sig))
+        ).astype(np.complex64)
+    )
+
+
+def test_chip_table_properties():
+    t = chip_table()
+    assert t.shape == (16, 32)
+    # 802.15.4 sequences are cyclic shifts within each half
+    for s in range(1, 8):
+        assert np.array_equal(t[s], np.roll(t[0], -4 * s))
+    # demod-template separation: symbols s and s+8 are exact antipodes
+    # (I chips inverted ⇒ negated phase derivative) — signed argmax
+    # disambiguates them; every other pair is well separated
+    tm = demod_templates()
+    g = tm @ tm.T
+    for s in range(8):
+        assert g[s, s + 8] < -0.99
+    off = g - np.diag(np.diag(g))
+    for s in range(8):
+        off[s, s + 8] = off[s + 8, s] = 0.0
+    assert np.max(off) < 0.75
+
+
+def test_crc16_known_value():
+    # CRC-16/CCITT (Kermit, LSB-first): "123456789" → 0x2189
+    assert crc16_154(b"123456789") == 0x2189
+
+
+def test_loopback_clean():
+    payload = b"zigbee payload 123"
+    sig = modulate(make_phy_frame(payload), pad=80)
+    frames = ZigbeeReceiver().process(sig)
+    assert len(frames) == 1
+    assert frames[0].crc_ok
+    assert frames[0].payload == payload
+
+
+def test_loopback_noisy():
+    payload = b"noisy 802.15.4 frame payload!"
+    sig = _noisy(modulate(make_phy_frame(payload), pad=100), 0.02, seed=1)
+    frames = ZigbeeReceiver().process(sig)
+    assert len(frames) == 1
+    assert frames[0].crc_ok
+    assert frames[0].payload == payload
+
+
+def test_corruption_flagged():
+    payload = b"damage me"
+    sig = modulate(make_phy_frame(payload), pad=100)
+    # stomp on the payload chips region
+    sig[100 + 64 * 14 : 100 + 64 * 16] = 0.0
+    frames = ZigbeeReceiver().process(sig)
+    if frames:
+        assert not frames[0].crc_ok or frames[0].payload != payload
