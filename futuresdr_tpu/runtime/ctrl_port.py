@@ -51,6 +51,13 @@ class ControlPort:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _send_raw(self, body: bytes, ctype: str) -> None:
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def _route(self, method: str) -> None:
                 try:
                     body = None
@@ -159,7 +166,31 @@ class ControlPort:
             )
             return
 
+        # static frontend fallback (parity: ctrl_port.rs:135-145 serving
+        # the prophecy GUI; default = the bundled waterfall viewer)
+        if method == "GET" and self._serve_static(req, path):
+            return
         req._send(404, {"error": f"no route {method} {path}"})
+
+    def _serve_static(self, req, path: str) -> bool:
+        from pathlib import Path
+
+        base = config.get("frontend_path")
+        if not base:
+            base = Path(__file__).resolve().parent.parent / "gui"
+        base = Path(base).resolve()
+        rel = path.split("?", 1)[0].lstrip("/") or "index.html"
+        target = (base / rel).resolve()
+        if not str(target).startswith(str(base)) or not target.is_file():
+            return False
+        ctype = {
+            ".html": "text/html",
+            ".js": "text/javascript",
+            ".css": "text/css",
+            ".json": "application/json",
+        }.get(target.suffix, "application/octet-stream")
+        req._send_raw(target.read_bytes(), ctype)
+        return True
 
 
 _global: Optional[ControlPort] = None

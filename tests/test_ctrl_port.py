@@ -64,3 +64,24 @@ def test_ctrl_port_custom_route_and_404():
             assert e.code == 404
     finally:
         cp.shutdown()
+
+
+def test_ctrl_port_serves_gui():
+    from urllib.request import urlopen
+
+    cp = ControlPort(bind="127.0.0.1:0")
+    try:
+        with urlopen(f"http://127.0.0.1:{cp.port}/") as r:
+            body = r.read().decode()
+            assert r.headers["Content-Type"] == "text/html"
+            assert "waterfall" in body.lower() or "spectrum" in body.lower()
+        # path traversal must 404
+        from urllib.error import HTTPError
+
+        try:
+            urlopen(f"http://127.0.0.1:{cp.port}/../config.py")
+            raise AssertionError("expected 404")
+        except HTTPError as e:
+            assert e.code == 404
+    finally:
+        cp.shutdown()
