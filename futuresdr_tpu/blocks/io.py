@@ -95,7 +95,11 @@ class VectorSink(Block):
 
 class NullSource(Block):
     """Device source of zeros (parity: null_source.rs:70) — the perf
-    harness upstream end. Lives entirely on device: no H2D traffic."""
+    harness upstream end. Lives entirely on device: no H2D traffic.
+
+    The fill value is a runtime *param* (not a traced constant) so XLA
+    cannot constant-fold the downstream pipeline away — benches measure
+    real compute."""
 
     def __init__(self, dtype=np.complex64, name: Optional[str] = None):
         super().__init__(name)
@@ -103,6 +107,7 @@ class NullSource(Block):
         self.rate_out = (1,)
         self._complex = np.dtype(dtype) == np.complex64
         self._n = 0
+        self._params["fill"] = np.float32(0.0)
 
     def make_state(self, in_sizes, out_sizes):
         self._n = out_sizes[0]
@@ -111,11 +116,8 @@ class NullSource(Block):
     def apply(self, state, inputs, params):
         import jax.numpy as jnp
 
-        z = (
-            cplx.czeros((self._n,))
-            if self._complex
-            else jnp.zeros((self._n,), jnp.float32)
-        )
+        fill = jnp.full((self._n,), params["fill"], jnp.float32)
+        z = cplx.CArray(fill, fill) if self._complex else fill
         return state, [z], {}
 
 

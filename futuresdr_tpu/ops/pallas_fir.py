@@ -35,16 +35,23 @@ TILE = ROWS * LANES
 
 def _kernel(x_ref, w_ref, o_ref, *, taps: int):
     # x_ref: [B, 1, ROWS+spill, 128]; o_ref: [B, 1, ROWS, 128]
+    # A lane-shifted view with row carry: roll both the row slab and the
+    # next-row slab by −c lanes and select on lane index (Mosaic supports
+    # roll natively; a (c:, :c) slice concat does not lower)
+    from jax.experimental.pallas import tpu as pltpu
+
     x = x_ref[:, 0]
-    acc = jnp.zeros((x.shape[0], ROWS, LANES), jnp.float32)
+    b = x.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, ROWS, LANES), 2)
+    acc = jnp.zeros((b, ROWS, LANES), jnp.float32)
     for t in range(taps):
         r, c = divmod(t, LANES)
         if c == 0:
             view = x[:, r : r + ROWS, :]
         else:
-            left = x[:, r : r + ROWS, c:]
-            right = x[:, r + 1 : r + 1 + ROWS, :c]
-            view = jnp.concatenate([left, right], axis=-1)
+            a = pltpu.roll(x[:, r : r + ROWS, :], LANES - c, 2)
+            nxt = pltpu.roll(x[:, r + 1 : r + 1 + ROWS, :], LANES - c, 2)
+            view = jnp.where(lane < LANES - c, a, nxt)
         acc = acc + w_ref[0, t] * view
     o_ref[:, 0] = acc
 
