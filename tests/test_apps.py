@@ -59,3 +59,26 @@ def test_ssb_weaver_tone():
     assert snr > 40.0, f"SSB tone SNR {snr:.1f} dB"
     # level: amplitude 10_000 · 1e-4 · volume 0.5 ≈ 0.5
     assert 0.35 < np.hypot(a, b) < 0.65
+
+
+def test_cw_beacon_keys_tone():
+    from cw import build_cw, keying_envelope
+
+    fs = 8000.0
+    fg, tail, n = build_cw("SOS", fs)
+    snk = VectorSink(np.float32)
+    fg.stream(tail, snk)
+    from futuresdr_tpu import Runtime
+
+    Runtime(chunk_size=2048).run(fg)
+    y = snk.data()
+    env = keying_envelope("SOS", fs)
+    m = min(len(y), len(env))
+    # envelope of the keyed tone matches the key (tone power where key=1)
+    power = np.convolve(y[:m] ** 2, np.ones(64) / 64, mode="same")
+    on = power[env[:m] > 0.9]
+    off_mask = env[:m] < 0.1
+    # exclude ramp neighborhoods
+    off = power[off_mask]
+    assert on.mean() > 0.3
+    assert np.median(off) < 0.01
