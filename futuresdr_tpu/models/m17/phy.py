@@ -1,0 +1,375 @@
+"""M17 4FSK PHY: LSF + stream frames, modulation and reception.
+
+Parity: ``examples/m17/src/{encoder.rs,decoder.rs,lsf.rs,call_sign.rs,
+symbol_sync.rs}``; constants are the published M17 spec values
+(spec.m17project.org): puncture patterns P1/P2, the 368-bit QR
+interleaver π(i) = 45i + 92i² mod 368, the 46-byte decorrelator, sync
+bursts 0x55F7 (LSF) / 0xFF5D (stream), dibit→symbol map, RRC 0.5 pulse.
+
+TPU-first RX: quadrature demod + RRC matched filter run on device over
+the whole buffer; sync-burst correlation at sample resolution gives the
+symbol grid (replacing the reference's feedback SymbolSync at
+symbol_sync.rs, ~2k LoC of Gardner/PFB timing loop); the frame decode
+chain (deinterleave → depuncture → Viterbi → Golay → CRC) is host-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from futuresdr_tpu.models.m17 import fec
+from futuresdr_tpu.ops import cplx
+
+SPS = 10  # samples per symbol at 48 kHz / 4800 baud
+SYM_HZ = 800.0  # inner deviation: symbol ±1 → ±800 Hz, ±3 → ±2400
+FS = 48_000.0
+FRAME_SYMS = 192  # 40 ms frame: 8 sync syms + 184 payload syms
+
+PUNCTURE_1 = np.array(
+    [1, 1, 0, 1] * 15 + [1], dtype=np.uint8
+)  # 61-entry P1 (lib.rs:34-37 == spec)
+PUNCTURE_2 = np.array([1] * 11 + [0], dtype=np.uint8)  # P2
+SYNC_LSF = 0x55F7
+SYNC_STR = 0xFF5D
+
+RAND_SEQ = bytes(
+    [
+        0xD6, 0xB5, 0xE2, 0x30, 0x82, 0xFF, 0x84, 0x62, 0xBA, 0x4E, 0x96,
+        0x90, 0xD8, 0x98, 0xDD, 0x5D, 0x0C, 0xC8, 0x52, 0x43, 0x91, 0x1D,
+        0xF8, 0x6E, 0x68, 0x2F, 0x35, 0xDA, 0x14, 0xEA, 0xCD, 0x76, 0x19,
+        0x8D, 0xD5, 0x80, 0xD1, 0x33, 0x87, 0x13, 0x57, 0x18, 0x2D, 0x29,
+        0x78, 0xC3,
+    ]
+)  # 46-byte decorrelator (spec §"Randomizer"; lib.rs:68-72)
+
+
+@lru_cache(maxsize=None)
+def interleaver() -> np.ndarray:
+    """π(i) = (45·i + 92·i²) mod 368 (spec §"Interleaving")."""
+    i = np.arange(368, dtype=np.int64)
+    return (45 * i + 92 * i * i) % 368
+
+
+@lru_cache(maxsize=None)
+def rand_bits() -> np.ndarray:
+    return np.unpackbits(np.frombuffer(RAND_SEQ, np.uint8))[:368]
+
+
+# dibit → symbol (spec: 01→+3, 00→+1, 10→−1, 11→−3)
+_DIBIT_TO_SYM = {0b01: 3, 0b00: 1, 0b10: -1, 0b11: -3}
+_SYM_TO_DIBIT = {3: 0b01, 1: 0b00, -1: 0b10, -3: 0b11}
+
+
+def bits_to_symbols(bits: np.ndarray) -> np.ndarray:
+    b = bits.reshape(-1, 2)
+    di = (b[:, 0] << 1) | b[:, 1]
+    lut = np.array([1, 3, -1, -3], dtype=np.int8)  # index = dibit
+    return lut[di]
+
+
+def symbols_to_bits(syms: np.ndarray) -> np.ndarray:
+    inv = {1: 0b00, 3: 0b01, -1: 0b10, -3: 0b11}
+    out = np.empty(2 * len(syms), np.uint8)
+    for i, s in enumerate(syms):
+        d = inv[int(s)]
+        out[2 * i] = d >> 1
+        out[2 * i + 1] = d & 1
+    return out
+
+
+def sync_symbols(word: int) -> np.ndarray:
+    bits = np.array([(word >> (15 - i)) & 1 for i in range(16)], np.uint8)
+    return bits_to_symbols(bits)
+
+
+@lru_cache(maxsize=None)
+def rrc_taps(alpha: float = 0.5, span: int = 8) -> np.ndarray:
+    """Root-raised-cosine, SPS samples/symbol (encoder.rs RRC_TAPS len 81)."""
+    n = span * SPS + 1
+    t = (np.arange(n) - (n - 1) / 2) / SPS
+    h = np.zeros(n)
+    for i, ti in enumerate(t):
+        if abs(ti) < 1e-9:
+            h[i] = 1.0 + alpha * (4.0 / np.pi - 1.0)
+        elif abs(abs(4.0 * alpha * ti) - 1.0) < 1e-9:
+            h[i] = (
+                alpha
+                / np.sqrt(2.0)
+                * (
+                    (1 + 2 / np.pi) * np.sin(np.pi / (4 * alpha))
+                    + (1 - 2 / np.pi) * np.cos(np.pi / (4 * alpha))
+                )
+            )
+        else:
+            h[i] = (
+                np.sin(np.pi * ti * (1 - alpha))
+                + 4 * alpha * ti * np.cos(np.pi * ti * (1 + alpha))
+            ) / (np.pi * ti * (1 - (4 * alpha * ti) ** 2))
+    return (h / np.sqrt(np.sum(h**2))).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# callsigns (base-40, call_sign.rs parity)
+# ---------------------------------------------------------------------------
+
+_B40 = " ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-/."
+
+
+def encode_callsign(cs: str) -> int:
+    v = 0
+    for ch in reversed(cs.upper()[:9]):
+        v = v * 40 + _B40.index(ch)
+    return v
+
+
+def decode_callsign(v: int) -> str:
+    out = ""
+    while v > 0:
+        out += _B40[v % 40]
+        v //= 40
+    return out
+
+
+# ---------------------------------------------------------------------------
+# frames
+# ---------------------------------------------------------------------------
+
+
+def make_lsf(
+    dst: str, src: str, type_field: int = 0x0005, meta: bytes = b""
+) -> bytes:
+    """30-byte LSF: dst(6) src(6) type(2) meta(14) crc(2)."""
+    body = (
+        encode_callsign(dst).to_bytes(6, "big")
+        + encode_callsign(src).to_bytes(6, "big")
+        + int(type_field).to_bytes(2, "big")
+        + (meta + bytes(14))[:14]
+    )
+    return body + fec.crc_m17(body).to_bytes(2, "big")
+
+
+def _encode_368(bits: np.ndarray, pattern: np.ndarray) -> np.ndarray:
+    """conv(+4 flush) → puncture → interleave → decorrelate → 368 bits."""
+    full = np.concatenate([bits, np.zeros(4, np.uint8)])
+    coded = fec.conv_encode(full)
+    pp = fec.puncture(coded, pattern)
+    assert len(pp) == 368, len(pp)
+    inter = np.zeros(368, np.uint8)
+    inter[interleaver()] = pp  # rf_bits[π(i)] = enc_bits[i]? see decode
+    return inter ^ rand_bits()
+
+
+def _decode_368(
+    rf: np.ndarray, pattern: np.ndarray, n_bits: int
+) -> np.ndarray:
+    derand = rf ^ rand_bits()
+    deint = derand[interleaver()]
+    n_coded = 2 * (n_bits + 4)
+    coded, era = fec.depuncture(deint, pattern, n_coded)
+    return fec.viterbi_decode(coded, n_bits + 4, era)[:n_bits]
+
+
+def lsf_frame_symbols(lsf: bytes) -> np.ndarray:
+    bits = np.unpackbits(np.frombuffer(lsf, np.uint8))
+    rf = _encode_368(bits, PUNCTURE_1)
+    return np.concatenate([sync_symbols(SYNC_LSF), bits_to_symbols(rf)])
+
+
+def stream_frame_symbols(
+    lsf: bytes, frame_number: int, payload: bytes
+) -> np.ndarray:
+    """One 40 ms stream frame: sync + LICH chunk + payload.
+
+    LICH: 1/6 of the LSF (40 bits) + 3-bit counter (+5 pad) → 4 Golay
+    words (96 bits). Payload: FN(16) + 128 payload bits → conv+P2 → 272.
+    """
+    idx = frame_number % 6
+    chunk = np.unpackbits(np.frombuffer(lsf[idx * 5 : idx * 5 + 5], np.uint8))
+    lich48 = np.concatenate(
+        [chunk, np.array([(idx >> 2) & 1, (idx >> 1) & 1, idx & 1], np.uint8), np.zeros(5, np.uint8)]
+    )
+    lich_bits = []
+    for k in range(4):
+        w12 = int("".join(map(str, lich48[12 * k : 12 * k + 12])), 2)
+        cw = fec.golay_encode(w12)
+        lich_bits.extend((cw >> (23 - i)) & 1 for i in range(24))
+    lich96 = np.asarray(lich_bits, np.uint8)
+
+    fn16 = np.array(
+        [(frame_number >> (15 - i)) & 1 for i in range(16)], np.uint8
+    )
+    p = (payload + bytes(16))[:16]
+    pay128 = np.unpackbits(np.frombuffer(p, np.uint8))
+    data_bits = np.concatenate([fn16, pay128])  # 144
+    full = np.concatenate([data_bits, np.zeros(4, np.uint8)])
+    coded = fec.conv_encode(full)  # 296
+    pp = fec.puncture(coded, PUNCTURE_2)  # 272
+    rf = np.concatenate([lich96, pp])
+    inter = np.zeros(368, np.uint8)
+    inter[interleaver()] = rf
+    rf368 = inter ^ rand_bits()
+    return np.concatenate([sync_symbols(SYNC_STR), bits_to_symbols(rf368)])
+
+
+# ---------------------------------------------------------------------------
+# modulation
+# ---------------------------------------------------------------------------
+
+
+def _fm_mod(symbol_stream: np.ndarray) -> np.ndarray:
+    """Upsample, RRC shape, frequency-modulate at 48 kHz.
+
+    Impulses × unit-energy RRC at TX and the matched unit-energy RRC at
+    RX compose to a unit-gain raised cosine: the demodulated value at a
+    symbol center is exactly the symbol level."""
+    up = np.zeros(len(symbol_stream) * SPS, np.float32)
+    up[::SPS] = symbol_stream.astype(np.float32)
+    shaped = np.convolve(up, rrc_taps(), mode="same")
+    freq = shaped * SYM_HZ
+    phase = 2.0 * np.pi * np.cumsum(freq) / FS
+    return np.exp(1j * phase).astype(np.complex64)
+
+
+def modulate_transmission(
+    lsf: bytes, payloads: List[bytes], pad: int = 2000
+) -> np.ndarray:
+    """Preamble + LSF frame + stream frames → 48 kHz baseband."""
+    pre = np.tile(np.array([3, -3], np.int8), 96)  # 40 ms preamble
+    syms = [pre, lsf_frame_symbols(lsf)]
+    for fn, p in enumerate(payloads):
+        last = fn == len(payloads) - 1
+        syms.append(
+            stream_frame_symbols(lsf, fn | (0x8000 if last else 0), p)
+        )
+    stream = np.concatenate(syms)
+    sig = _fm_mod(stream)
+    z = np.zeros(pad, np.complex64)
+    return np.concatenate([z, sig, z])
+
+
+# ---------------------------------------------------------------------------
+# reception
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _demod_fn(n: int):
+    import jax.numpy as jnp
+
+    h = rrc_taps()
+    taps = jnp.asarray(h[::-1])  # matched filter (symmetric anyway)
+
+    def fn(xc):
+        from futuresdr_tpu.ops.fir import conv1d_valid
+
+        d = (xc[1:] * xc[:-1].conj()).angle() * (FS / (2.0 * np.pi * SYM_HZ))
+        return conv1d_valid(d, taps)
+
+    return jax.jit(fn)
+
+
+@dataclass
+class M17Frame:
+    dst: str
+    src: str
+    frame_number: int
+    payload: bytes
+    lsf_crc_ok: bool
+
+
+class M17Receiver:
+    """Buffer-oriented receiver: find the LSF, then walk stream frames."""
+
+    def __init__(self):
+        self.frames: List[M17Frame] = []
+
+    def process(self, iq: np.ndarray) -> List[M17Frame]:
+        x = np.asarray(iq, np.complex64)
+        pad = (-len(x)) % 16384
+        if pad:
+            x = np.concatenate([x, np.zeros(pad, np.complex64)])
+        d = np.asarray(_demod_fn(len(x))(cplx.from_numpy(x)))
+        # the discriminator slams to ±π·FS/(2π·800) ≈ ±30 in no-signal
+        # regions; clip to the symbol range so noise can't dominate
+        d = np.clip(d, -4.5, 4.5)
+
+        # normalized LSF sync correlation (energy-gated so noise bursts
+        # with high power but no structure score low)
+        tmpl = np.repeat(sync_symbols(SYNC_LSF).astype(np.float32), SPS)
+        cor = np.correlate(d, tmpl, mode="valid")
+        energy = np.convolve(d * d, np.ones(len(tmpl), np.float32), "valid")
+        score = cor / (
+            np.sqrt(energy * float(np.sum(tmpl * tmpl))) + 1e-9
+        )
+        # carrier-envelope gate: matched-filtered noise is smooth enough to
+        # fake a high normalized score, but it has no carrier under it
+        power = np.convolve(
+            np.abs(x[: len(d)]) ** 2,
+            np.ones(len(tmpl), np.float32) / len(tmpl),
+            "valid",
+        )
+        active = power > 0.25 * float(np.max(power))
+        score = np.where(active[: len(score)], score, 0.0)
+        peak = int(np.argmax(score))
+        if score[peak] < 0.5:
+            return []
+        sym0 = peak + SPS // 2  # center of first sync symbol
+
+        def read_syms(start: int, n: int) -> Optional[np.ndarray]:
+            idx = start + SPS * np.arange(n)
+            if idx[-1] >= len(d):
+                return None
+            raw = d[idx]
+            lv = np.array([-3, -1, 1, 3], np.float32)
+            return lv[np.argmin(np.abs(raw[:, None] - lv[None, :]), axis=1)]
+
+        # LSF frame: 8 sync + 184 data symbols
+        data = read_syms(sym0 + 8 * SPS, 184)
+        if data is None:
+            return []
+        rf = symbols_to_bits(data)
+        lsf_bits = _decode_368(rf, PUNCTURE_1, 240)
+        lsf = np.packbits(lsf_bits).tobytes()
+        body, crc = lsf[:28], int.from_bytes(lsf[28:30], "big")
+        crc_ok = fec.crc_m17(body) == crc
+        dst = decode_callsign(int.from_bytes(body[0:6], "big"))
+        src = decode_callsign(int.from_bytes(body[6:12], "big"))
+
+        out: List[M17Frame] = []
+        # stream frames follow back-to-back
+        pos = sym0 + FRAME_SYMS * SPS
+        while True:
+            syms = read_syms(pos, FRAME_SYMS)
+            if syms is None:
+                break
+            sync = syms[:8]
+            expect = sync_symbols(SYNC_STR)
+            if np.sum(sync != expect) > 2:
+                break
+            rf = symbols_to_bits(syms[8:])
+            derand = rf ^ rand_bits()
+            deint = derand[interleaver()]
+            pay_bits_coded = deint[96:]
+            coded, era = fec.depuncture(pay_bits_coded, PUNCTURE_2, 296)
+            dec = fec.viterbi_decode(coded, 148, era)[:144]
+            fn = int("".join(map(str, dec[:16])), 2)
+            payload = np.packbits(dec[16:]).tobytes()
+            out.append(
+                M17Frame(
+                    dst=dst,
+                    src=src,
+                    frame_number=fn & 0x7FFF,
+                    payload=payload,
+                    lsf_crc_ok=crc_ok,
+                )
+            )
+            pos += FRAME_SYMS * SPS
+            if fn & 0x8000:
+                break
+        self.frames.extend(out)
+        return out

@@ -1,0 +1,78 @@
+"""M17 modem tests (parity: examples/m17 chain)."""
+
+import numpy as np
+
+from futuresdr_tpu.models.m17 import (
+    M17Receiver,
+    decode_callsign,
+    encode_callsign,
+    make_lsf,
+    modulate_transmission,
+)
+from futuresdr_tpu.models.m17.fec import (
+    conv_encode,
+    crc_m17,
+    golay_decode,
+    golay_encode,
+    viterbi_decode,
+)
+
+
+def test_crc_spec_vectors():
+    # official spec test vectors
+    assert crc_m17(b"") == 0xFFFF
+    assert crc_m17(b"A") == 0x206E
+    assert crc_m17(b"123456789") == 0x772B
+
+
+def test_golay_corrects_three_errors():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        d = int(rng.integers(0, 1 << 12))
+        w = golay_encode(d)
+        e = 0
+        for b in rng.choice(24, 3, replace=False):
+            e |= 1 << int(b)
+        assert golay_decode(w ^ e) == d
+
+
+def test_conv_k5_roundtrip_with_errors():
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, 300).astype(np.uint8)
+    bits[-4:] = 0
+    coded = conv_encode(bits)
+    noisy = coded.copy()
+    noisy[rng.choice(len(coded), 10, replace=False)] ^= 1
+    assert np.array_equal(viterbi_decode(noisy, len(bits)), bits)
+
+
+def test_callsign_base40_roundtrip():
+    for cs in ("N0CALL", "TPU-1", "AB1CDE/P", "W1AW"):
+        assert decode_callsign(encode_callsign(cs)) == cs
+
+
+def test_loopback_two_frames():
+    lsf = make_lsf("TPU-1", "N0CALL")
+    payloads = [b"hello m17 frame one!", b"and frame number two"]
+    frames = M17Receiver().process(modulate_transmission(lsf, payloads))
+    assert len(frames) == 2
+    for i, f in enumerate(frames):
+        assert f.dst == "TPU-1" and f.src == "N0CALL"
+        assert f.lsf_crc_ok
+        assert f.frame_number == i
+        assert f.payload[:16] == (payloads[i] + bytes(16))[:16]
+
+
+def test_loopback_noisy():
+    lsf = make_lsf("DL1ABC", "SP5XYZ")
+    sig = modulate_transmission(lsf, [b"noisy m17 payload"])
+    rng = np.random.default_rng(2)
+    # FM is constant envelope; 15 dB SNR
+    npow = 10 ** (-15 / 10)
+    sig = sig + np.sqrt(npow / 2) * (
+        rng.standard_normal(len(sig)) + 1j * rng.standard_normal(len(sig))
+    ).astype(np.complex64)
+    frames = M17Receiver().process(sig)
+    assert len(frames) == 1
+    assert frames[0].lsf_crc_ok
+    assert frames[0].payload[:16] == (b"noisy m17 payload" + bytes(16))[:16]
