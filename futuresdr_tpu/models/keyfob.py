@@ -1,0 +1,128 @@
+"""Car keyfob OOK receiver (parity: examples/keyfob).
+
+The reference chain (main.rs): IQ → resample to 250 kS/s → magnitude →
+moving average → threshold → Manchester edge decoder with preamble
+``10101111`` and command suffix bytes (decoder.rs:36-51, 75-113).
+
+Device: |x|, moving-average smoothing and thresholding in one jitted pass.
+Host: the edge-duration Manchester state machine (half-bit 63–83 samples,
+full-bit 131–161 at 250 kS/s, decoder.rs:78-110).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from futuresdr_tpu.ops import cplx
+
+RATE = 250_000.0
+HALF = range(63, 84)  # half-bit duration window (decoder.rs:78)
+FULL = range(131, 162)
+PREAMBLE = "10101111"
+COMMANDS = {
+    "11010101": "Close",
+    "11100011": "Open",
+    "10111001": "Trunk",
+}
+HALF_N = 73  # nominal half-bit samples
+
+
+@lru_cache(maxsize=None)
+def _envelope_fn(n: int):
+    import jax.numpy as jnp
+
+    def fn(xc):
+        from futuresdr_tpu.ops.fir import conv1d_valid
+
+        mag = xc.abs()
+        sm = conv1d_valid(mag, jnp.full((16,), 1.0 / 16.0, jnp.float32))
+        thr = 0.5 * jnp.max(sm)
+        return (sm > thr).astype(jnp.uint8)
+
+    return jax.jit(fn)
+
+
+@dataclass
+class KeyfobFrame:
+    bits: str
+    command: Optional[str]
+
+
+def _decode_edges(levels: np.ndarray) -> List[KeyfobFrame]:
+    """decoder.rs state machine over the thresholded 0/1 stream."""
+    frames: List[KeyfobFrame] = []
+    out: List[str] = []
+    half_pending = False
+
+    def flush():
+        nonlocal half_pending
+        s = "".join(out)
+        out.clear()
+        half_pending = False
+        off = s.find(PREAMBLE)
+        if off < 0:
+            return
+        s = s[off:]
+        if len(s) >= 8:
+            cmd = next(
+                (name for suf, name in COMMANDS.items() if s.endswith(suf)),
+                None,
+            )
+            frames.append(KeyfobFrame(bits=s, command=cmd))
+
+    edges = np.flatnonzero(np.diff(levels.astype(np.int8)))
+    prev = None
+    for e in edges:
+        level_before = int(levels[e])  # 1→0 falling if 1
+        if prev is not None:
+            diff = int(e - prev)
+            bit = "1" if level_before == 1 else "0"
+            if diff in HALF:
+                if not half_pending:
+                    half_pending = True
+                else:
+                    half_pending = False
+                    out.append(bit)
+            elif diff in FULL:
+                half_pending = False
+                out.append(bit)
+            else:
+                flush()
+        prev = e
+    flush()
+    return frames
+
+
+class KeyfobReceiver:
+    def __init__(self):
+        self.frames: List[KeyfobFrame] = []
+
+    def process(self, iq: np.ndarray) -> List[KeyfobFrame]:
+        x = np.asarray(iq, np.complex64)
+        pad = (-len(x)) % 16384
+        if pad:
+            x = np.concatenate([x, np.zeros(pad, np.complex64)])
+        levels = np.asarray(_envelope_fn(len(x))(cplx.from_numpy(x)))
+        out = _decode_edges(levels)
+        self.frames.extend(out)
+        return out
+
+
+def synthesize(bits: str, pad: int = 2000) -> np.ndarray:
+    """Manchester-OOK a bit string at 250 kS/s (bit '1' = high→low)."""
+    wave = [np.zeros(pad, np.float32)]
+    for b in bits:
+        hi = np.ones(HALF_N, np.float32)
+        lo = np.zeros(HALF_N, np.float32)
+        wave.extend([hi, lo] if b == "1" else [lo, hi])
+    # final edge back to idle low
+    wave.append(np.zeros(pad, np.float32))
+    env = np.concatenate(wave)
+    return (env * np.exp(2j * np.pi * 0.01 * np.arange(len(env)))).astype(
+        np.complex64
+    )
