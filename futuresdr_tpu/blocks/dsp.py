@@ -88,6 +88,29 @@ class Fir(Block):
             hist = L - 1
         self.latency_out = (lat,)
         self._hist = hist
+        self._phase = 0
+
+    def absorb_latency(self, in_lats):
+        """Compiler hook (decimating mode): re-anchor the decimation grid
+        to the first valid input sample so cascaded rate changes bit-match
+        the reference's valid-stream composition."""
+        L = int(in_lats[0]) if in_lats else 0
+        T = self.taps.shape[0]
+        if self.interp == 1 and self.decim > 1:
+            self._phase = L % self.decim
+            return [
+                -(-(L + T - 1 - self._phase) // self.decim)
+            ]
+        if self.interp == 1 and self.decim == 1:
+            return [L + T - 1]
+        # resampler: keep the generic unit-scaled estimate
+        from fractions import Fraction
+        import math as _math
+
+        return [
+            self.latency_out[0]
+            + _math.ceil(Fraction(L, self.decim) * self.interp)
+        ]
 
     # ---- builder-style constructors (FirBuilder parity) -----------------
     @classmethod
@@ -116,14 +139,24 @@ class Fir(Block):
         return cls(taps, interp=interp, decim=decim, dtype=dtype, name=name)
 
     def make_state(self, in_sizes, out_sizes):
-        return _zeros_state(self._complex, self._hist)
+        hist = self._hist
+        if self.interp == 1 and self.decim > 1:
+            # mirror fir_decimate's history formula (phase may need
+            # lookback even for T == 1)
+            T = self.taps.shape[0]
+            hist = -(-(T - 1) // self.decim) * self.decim if T > 1 else 0
+            if T == 1 and self._phase:
+                hist = self.decim
+        return _zeros_state(self._complex, hist)
 
     def apply(self, state, inputs, params):
         x = inputs[0]
         if self.interp == 1 and self.decim == 1:
             state, y = fir_filter(x, self.taps, state)
         elif self.interp == 1:
-            state, y = fir_decimate(x, self.taps, self.decim, state)
+            state, y = fir_decimate(
+                x, self.taps, self.decim, state, phase=self._phase
+            )
         else:
             state, y = fir_resample_poly(
                 x, self.taps, self.interp, self.decim, state

@@ -79,6 +79,15 @@ class Delay(Block):
             cplx.czeros(shape) if self._complex else jnp.zeros(shape, jnp.float32)
         )
 
+    def absorb_latency(self, in_lats):
+        """With a transient-free input the inserted zeros are semantic
+        (latency 0, reference parity). Inside an upstream transient a
+        static 1:1 block cannot reorder zeros ahead of the garbage, so the
+        delay degrades to a pure stream shift: the zeros are counted into
+        the trimmed transient."""
+        L = int(in_lats[0]) if in_lats else 0
+        return [0 if L == 0 else L + self.n]
+
     def apply(self, state, inputs, params):
         x = inputs[0]
         if self.n == 0:

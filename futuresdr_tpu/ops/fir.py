@@ -306,22 +306,31 @@ def fir_filter(x: ArrayLike, taps: ArrayLike, state: Optional[ArrayLike] = None)
 
 
 def fir_decimate(
-    x: ArrayLike, taps: ArrayLike, decim: int, state: Optional[ArrayLike] = None
+    x: ArrayLike,
+    taps: ArrayLike,
+    decim: int,
+    state: Optional[ArrayLike] = None,
+    phase: int = 0,
 ):
     """Decimating FIR: consumes N (multiple of ``decim``), produces N/decim.
 
     Parity: ``futuredsp/src/decimating_fir.rs``. Output ``y[m]`` is the
-    filter evaluated at input phase ``m·decim``.
-    """
+    filter window ending at input index ``m·decim + phase``. ``phase``
+    (0 ≤ phase < decim) re-anchors the decimation grid — the compiler sets
+    it to ``upstream_latency mod decim`` so that, after trimming the
+    leading transient, the sampled phases bit-match the reference's
+    valid-stream composition."""
     x = cplx.asarray(x)
     taps = cplx.asarray(taps)
     T = taps.shape[0]
     # history must keep windows aligned to multiples of decim
     H = -(-(T - 1) // decim) * decim if T > 1 else 0
+    if T == 1 and phase:
+        H = decim  # need lookback to reach the shifted grid
     if state is None:
         state = cplx.zeros_like_shape(x, x.shape[:-1] + (H,))
     ext = cplx.concat([state, x], axis=-1) if H > 0 else x
-    off = H - (T - 1)
+    off = H + phase - (T - 1)
     y = conv1d_valid(ext[..., off:], taps, stride=decim)
     n_out = x.shape[-1] // decim
     y = y[..., :n_out]

@@ -312,10 +312,22 @@ def compile_flowgraph(
     for bid in order:
         b = fg.blocks[bid]
         rin, rout = rates[bid]
+        in_edges = fg.in_edges(bid)
+        if callable(getattr(b, "absorb_latency", None)):
+            # the block converts its input latencies itself (decimators
+            # re-anchor their sampling grid to the first valid sample and
+            # report the resulting absolute output latency)
+            in_lats = [
+                out_lat.get((e.src, e.src_port), 0) for e in in_edges
+            ]
+            lats = b.absorb_latency(in_lats)
+            for p in range(len(b.stream_outputs)):
+                out_lat[(bid, p)] = int(lats[p])
+            continue
         blat = _latency_out(b)
         # worst input latency in work units
         units = Fraction(0)
-        for e in fg.in_edges(bid):
+        for e in in_edges:
             lat_e = out_lat.get((e.src, e.src_port), 0)
             units = max(units, Fraction(lat_e, rin[e.dst_port]))
         for p in range(len(b.stream_outputs)):

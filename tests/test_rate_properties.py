@@ -1,0 +1,92 @@
+"""Property tests for the SDF compiler's chunk/latency math.
+
+Random chains of rate-changing blocks must produce exactly what composing
+the underlying ops over the whole stream produces (modulo the documented
+leading-transient trim). This guards the rational-rate solver, the
+128-aligned multiplier, per-edge latency accumulation, and valid-count
+propagation in one sweep.
+"""
+
+import numpy as np
+import pytest
+
+from futuresdr_tpu import Flowgraph, Runtime, connect
+from futuresdr_tpu.blocks import Apply, Delay, Fir, MovingAvg, VectorSink, VectorSource
+
+
+def _reference_chain(x, specs):
+    """Apply the chain semantics directly on the full stream.
+
+    A Delay below a transient-producing stage degrades to a pure shift
+    (documented in Delay.absorb_latency), so it inserts zeros only while
+    no filter has run yet."""
+    y = x.astype(np.complex64)
+    transient_seen = False
+    for kind, arg in specs:
+        if kind == "fir":
+            y = np.convolve(y, arg, mode="valid")
+            transient_seen = True
+        elif kind == "decim":
+            taps, q = arg
+            full = np.convolve(y, taps, mode="valid")
+            import math
+
+            m0 = math.ceil((len(taps) - 1) / q)
+            y = full[m0 * q - (len(taps) - 1) :: q]
+            transient_seen = True
+        elif kind == "scale":
+            y = y * arg
+        elif kind == "delay":
+            if not transient_seen:
+                y = np.concatenate([np.zeros(arg, y.dtype), y])
+    return y
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_multirate_chain_matches_direct(seed):
+    rng = np.random.default_rng(seed)
+    n = 60_000
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+
+    specs = []
+    blocks = []
+    n_stages = rng.integers(2, 5)
+    for _ in range(n_stages):
+        kind = rng.choice(["fir", "decim", "scale", "delay"])
+        if kind == "fir":
+            taps = rng.standard_normal(int(rng.integers(3, 48))).astype(
+                np.float32
+            )
+            specs.append(("fir", taps))
+            blocks.append(Fir(taps))
+        elif kind == "decim":
+            q = int(rng.choice([2, 3, 4]))
+            taps = rng.standard_normal(int(rng.integers(4, 32))).astype(
+                np.float32
+            )
+            specs.append(("decim", (taps, q)))
+            blocks.append(Fir.decimating(taps, q))
+        elif kind == "scale":
+            k = float(rng.standard_normal())
+            specs.append(("scale", k))
+            blocks.append(Apply(lambda v, k=k: v * k))
+        else:
+            d = int(rng.integers(1, 200))
+            specs.append(("delay", d))
+            blocks.append(Delay(d))
+
+    fg = Flowgraph()
+    snk = VectorSink(np.complex64)
+    connect(fg, VectorSource(x), *blocks, snk)
+    chunk = int(rng.choice([1000, 4096, 8192, 30000]))
+    Runtime(chunk_size=chunk).run(fg)
+    got = snk.data()
+    ref = _reference_chain(x, specs)
+
+    m = min(len(got), len(ref))
+    assert m > 0.5 * len(ref), f"only {m} of {len(ref)} items delivered"
+    err = np.max(np.abs(got[:m] - ref[:m]))
+    scale = np.max(np.abs(ref[:m])) + 1e-9
+    assert err / scale < 1e-4, f"seed {seed}: rel err {err / scale}"
