@@ -70,7 +70,7 @@ def main() -> None:
     ap.add_argument("--pipes", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--stages", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--samples", type=int, default=200_000_000)
-    ap.add_argument("--chunk", type=int, default=1 << 22)
+    ap.add_argument("--chunk", type=int, nargs="+", default=[1 << 22])
     args = ap.parse_args()
 
     _enable_compile_cache()
@@ -79,12 +79,13 @@ def main() -> None:
     for kind in kinds:
         for p in args.pipes:
             for s in args.stages:
-                total, dt = run_one(kind, p, s, args.samples, args.chunk)
-                print(
-                    f"{kind},{p},{s},{args.chunk},{total},{dt:.4f},"
-                    f"{total / dt / 1e9:.4f}",
-                    flush=True,
-                )
+                for chunk in args.chunk:
+                    total, dt = run_one(kind, p, s, args.samples, chunk)
+                    print(
+                        f"{kind},{p},{s},{chunk},{total},{dt:.4f},"
+                        f"{total / dt / 1e9:.4f}",
+                        flush=True,
+                    )
 
 
 if __name__ == "__main__":
