@@ -1,0 +1,105 @@
+"""1024-channel PFB + FM demod bank — the flagship pipeline as an app.
+
+Synthesizes a wideband multicarrier capture (FM stations on a channel
+grid), runs the BASELINE.json headline pipeline, and writes selected
+channels' demodulated audio to WAV.
+
+Run:  python examples/channelizer_bank.py [--channels 12 77 500] [--seconds 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+from futuresdr_tpu.models.pfb_fm_bank import (  # noqa: E402
+    BankConfig,
+    make_bank_step,
+)
+from futuresdr_tpu.ops import cplx  # noqa: E402
+
+
+def synth_wideband(
+    cfg: BankConfig,
+    n: int,
+    stations: dict,
+    fs_wideband: float,
+) -> np.ndarray:
+    """FM stations: {channel_index: audio_freq_hz} on the channel grid."""
+    t = np.arange(n) / fs_wideband
+    fs_ch = fs_wideband / cfg.n_ch
+    x = np.zeros(n, np.complex64)
+    for ch, fa in stations.items():
+        # channel center k/M cycles/sample; audio tone FM at deviation .25·fs_ch
+        audio = np.sin(2 * np.pi * fa * t)
+        phase = (
+            2 * np.pi * (ch / cfg.n_ch) * fs_wideband * t
+            + 2 * np.pi * 0.25 * fs_ch * np.cumsum(audio) / fs_wideband
+        )
+        x += np.exp(1j * phase).astype(np.complex64)
+    return (x / max(len(stations), 1)).astype(np.complex64)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--channels", type=int, nargs="+", default=[12, 500, 900])
+    ap.add_argument("--seconds", type=float, default=0.5)
+    ap.add_argument("--out-prefix", default="bank_ch")
+    args = ap.parse_args()
+
+    cfg = BankConfig()
+    fs_wideband = 1024 * 250e3  # 256 MS/s aggregate
+    fs_audio = fs_wideband / cfg.n_ch / cfg.audio_decim
+
+    stations = {ch: 400.0 * (1 + i) for i, ch in enumerate(args.channels)}
+    r_per_step = 512
+    step_samples = r_per_step * cfg.n_ch
+    n_steps = max(1, int(args.seconds * fs_wideband / step_samples))
+
+    init_state, step = make_bank_step(cfg)
+    step_j = jax.jit(step, donate_argnums=(0,))
+    state = init_state()
+
+    audio_out = {ch: [] for ch in args.channels}
+    t0 = time.time()
+    total = 0
+    for s in range(n_steps):
+        x = synth_wideband(
+            cfg, step_samples, stations, fs_wideband
+        )  # fresh block (phase-discontinuous but fine for a demo)
+        state, audio = step_j(state, cplx.from_numpy(x))
+        a = np.asarray(audio)
+        for ch in args.channels:
+            audio_out[ch].append(a[ch])
+        total += step_samples
+    dt = time.time() - t0
+    print(
+        f"processed {total/1e6:.0f} MS wideband in {dt:.2f}s "
+        f"({total/dt/1e9:.2f} GS/s incl. host synth)"
+    )
+
+    import wave
+
+    for ch in args.channels:
+        data = np.concatenate(audio_out[ch])
+        data = data / (np.max(np.abs(data)) + 1e-9)
+        pcm = (data * 32767).astype(np.int16)
+        path = f"{args.out_prefix}{ch}.wav"
+        with wave.open(path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(int(fs_audio))
+            w.writeframes(pcm.tobytes())
+        print(f"wrote {path} ({len(pcm)/fs_audio:.2f}s @ {fs_audio:.0f} Hz)")
+
+
+if __name__ == "__main__":
+    main()

@@ -124,6 +124,11 @@ def conv_encode(bits: np.ndarray) -> np.ndarray:
 def viterbi_decode(
     coded: np.ndarray, n_bits: int, erasures: Optional[np.ndarray] = None
 ) -> np.ndarray:
+    from futuresdr_tpu.native import viterbi_r12 as _native
+
+    res = _native(5, 0b11001, 0b10111, np.asarray(coded), erasures, n_bits)
+    if res is not None:
+        return res
     _, bit_of, pred0, pred1, e0, e1 = _conv_tables()
     coded = np.asarray(coded, dtype=np.uint8).reshape(n_bits, 2)
     if erasures is None:

@@ -21,7 +21,7 @@ core impedance mismatch with XLA's static shapes):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Optional
 
 import jax
@@ -159,6 +159,12 @@ def frame_front(w: CArray):
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=None)
+def _frame_front_batch(k: int):
+    """jitted vmap of frame_front over a [k, FRAME_WIN] window batch."""
+    return jax.jit(jax.vmap(frame_front))
+
+
 @dataclass
 class RxFrame:
     mcs: str
@@ -171,18 +177,17 @@ class RxFrame:
 def _detect_starts(cor: np.ndarray, autocorr: np.ndarray) -> List[tuple]:
     """sync_short state machine (sync_short.rs:84-140) over the metric
     arrays: two consecutive above-threshold samples open a frame; a fresh
-    double-crossing ≥ MIN_GAP after the current start resyncs."""
+    double-crossing ≥ MIN_GAP after the current start resyncs.
+    Vectorized: only candidate indices are walked in Python."""
     above = cor > THRESHOLD
+    cand = np.nonzero(above[1:] & above[:-1])[0] + 1
     starts: List[tuple] = []
-    i = 1
-    n = len(cor)
     last_start = -(10**9)
-    while i < n:
-        if above[i] and above[i - 1] and i - last_start >= MIN_GAP:
+    for i in cand:
+        if i - last_start >= MIN_GAP:
             f_off = -np.angle(autocorr[i]) / 16.0
-            starts.append((i, float(f_off)))
+            starts.append((int(i), float(f_off)))
             last_start = i
-        i += 1
     return starts
 
 
@@ -209,19 +214,21 @@ def _decode_signal(eq_sym0: np.ndarray) -> Optional[C.FrameParam]:
 
 
 def _descramble(decoded: np.ndarray, psdu_size: int) -> bytes:
-    """decoder.rs:92-118: seed from the first 7 bits, then LFSR forward."""
+    """decoder.rs:92-118: seed from the first 7 bits, then LFSR forward —
+    vectorized via the precomputed scrambler stream."""
     state = 0
     for i in range(7):
         if decoded[i]:
             state |= 1 << (6 - i)
-    out = np.zeros(psdu_size + 2, dtype=np.uint8)
-    out[0] = state
-    for i in range(7, psdu_size * 8 + 16):
-        feedback = ((state >> 6) ^ (state >> 3)) & 1
-        bit = feedback ^ (decoded[i] & 1)
-        out[i // 8] |= bit << (i % 8)
-        state = ((state << 1) & 0x7E) | feedback
-    return bytes(out[2:])
+    total = psdu_size * 8 + 16
+    from futuresdr_tpu.models.wlan.consts import scrambler_stream
+
+    fb = scrambler_stream(state, total - 7)
+    bits = np.zeros(total, dtype=np.uint8)
+    bits[7:] = (decoded[7:total] & 1) ^ fb
+    # bits 0..15 are the SERVICE field and are discarded below
+    data = np.packbits(bits, bitorder="little")
+    return bytes(data[2 : psdu_size + 2])
 
 
 class WlanReceiver:
@@ -244,33 +251,50 @@ class WlanReceiver:
         a_dev, cor_dev = sync_metrics(x)
         autocorr = cplx.to_numpy(a_dev)
         cor = np.asarray(cor_dev)
-        out: List[RxFrame] = []
+
+        # gather every candidate's CFO-corrected window, run frame_front
+        # ONCE batched (per-frame dispatches serialize on device RTT)
+        cands = []
+        wins = []
         for m, f_short in _detect_starts(cor, autocorr)[: self.max_frames]:
             # metric index m ← trailing-window sums over x[m .. m+63];
             # the reference's delayed-stream copy starts at x[m+47]
-            frame = self._demod_frame(iq, m + 47, f_short)
+            start = m + 47
+            w = iq[start : start + FRAME_WIN]
+            if len(w) < SEARCH_WINDOW + 128 + 16 + 80:
+                continue
+            if len(w) < FRAME_WIN:
+                w = np.concatenate(
+                    [w, np.zeros(FRAME_WIN - len(w), np.complex64)]
+                )
+            n = np.arange(FRAME_WIN, dtype=np.float32)
+            # coarse CFO correction (sync_short.rs:131: e^{j·f_offset·n})
+            wins.append((w * np.exp(1j * f_short * n)).astype(np.complex64))
+            cands.append(start)
+        out: List[RxFrame] = []
+        if not cands:
+            return out
+        k = len(cands)
+        kb = 1 << (k - 1).bit_length()  # pow2 bucket for stable jit shapes
+        wb = np.zeros((kb, FRAME_WIN), np.complex64)
+        wb[:k] = np.stack(wins)
+        eq_b, h_b, snr_b, off_b, ff_b = _frame_front_batch(kb)(
+            cplx.from_numpy(wb)
+        )
+        eq_np_all = cplx.to_numpy(eq_b)
+        snr_all = np.asarray(snr_b)
+        for i, start in enumerate(cands):
+            frame = self._decode_frame(
+                eq_np_all[i], float(snr_all[i]), start
+            )
             if frame is not None:
                 out.append(frame)
         self.frames.extend(out)
         return out
 
-    def _demod_frame(
-        self, iq: np.ndarray, start: int, f_short: float
+    def _decode_frame(
+        self, eq_np: np.ndarray, snr: float, start: int
     ) -> Optional[RxFrame]:
-        w = iq[start : start + FRAME_WIN]
-        if len(w) < SEARCH_WINDOW + 128 + 16 + 80:
-            return None
-        if len(w) < FRAME_WIN:
-            w = np.concatenate(
-                [w, np.zeros(FRAME_WIN - len(w), np.complex64)]
-            )
-        # coarse CFO correction (sync_short.rs:131: e^{j·f_offset·n})
-        n = np.arange(FRAME_WIN, dtype=np.float32)
-        w = (w * np.exp(1j * f_short * n)).astype(np.complex64)
-        eq, h, snr, off, ff = frame_front(cplx.from_numpy(w))
-        eq_np = cplx.to_numpy(eq)
-        snr = float(snr)
-
         param = _decode_signal(eq_np[0])
         if param is None:
             return None

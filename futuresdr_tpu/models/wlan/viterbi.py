@@ -58,7 +58,14 @@ def viterbi_decode(
 ) -> np.ndarray:
     """Hard-decision decode of ``2·n_bits`` channel bits → ``n_bits`` bits.
 
-    ``erasures``: bool mask over coded positions, True = punctured."""
+    ``erasures``: bool mask over coded positions, True = punctured.
+    Uses the native C++ ACS kernel when available (the reference's SSE
+    viterbi_decoder.rs tier); numpy fallback below."""
+    from futuresdr_tpu.native import viterbi_r12 as _native
+
+    res = _native(7, 0o133, 0o171, np.asarray(coded), erasures, n_bits)
+    if res is not None:
+        return res
     coded = np.asarray(coded, dtype=np.uint8).reshape(n_bits, 2)
     if erasures is None:
         valid = np.ones((n_bits, 2), dtype=np.float32)

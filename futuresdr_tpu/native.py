@@ -102,6 +102,17 @@ def _declare(m: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int16),
         i64,
     ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    m.viterbi_r12.restype = None
+    m.viterbi_r12.argtypes = [
+        ctypes.c_int,
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        u8p,
+        u8p,
+        i64,
+        u8p,
+    ]
 
 
 _IN_DTYPE = {"cs8": np.int8, "cs16": np.int16, "cf32": np.float32}
@@ -134,6 +145,40 @@ def convert_iq(raw: np.ndarray, fmt: str):
         re[:] = raw[0::2].astype(np.float32) * k
         im[:] = raw[1::2].astype(np.float32) * k
     return re, im
+
+
+def viterbi_r12(
+    k: int,
+    g0: int,
+    g1: int,
+    coded: np.ndarray,
+    erasures: Optional[np.ndarray],
+    n_bits: int,
+) -> Optional[np.ndarray]:
+    """Native rate-1/2 hard-decision Viterbi (K ∈ {5, 7}); None when the
+    native library is unavailable (callers fall back to numpy)."""
+    m = lib()
+    if m is None or k not in (5, 7):
+        return None
+    import ctypes as ct
+
+    coded = np.ascontiguousarray(coded, dtype=np.uint8)
+    out = np.empty(n_bits, dtype=np.uint8)
+    u8p = ct.POINTER(ct.c_uint8)
+    era_ptr = None
+    if erasures is not None:
+        erasures = np.ascontiguousarray(erasures, dtype=np.uint8)
+        era_ptr = erasures.ctypes.data_as(u8p)
+    m.viterbi_r12(
+        k,
+        g0,
+        g1,
+        coded.ctypes.data_as(u8p),
+        era_ptr,
+        n_bits,
+        out.ctypes.data_as(u8p),
+    )
+    return out
 
 
 class NativeRing:

@@ -154,3 +154,105 @@ uint64_t ring_read(void* rp, uint8_t* dst, uint64_t n) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// hard-decision Viterbi with erasures (rate 1/2), templated on constraint
+// length. Replaces the Python ACS loop for the WLAN (K=7, 133/171) and M17
+// (K=5, 31/27) decoders — the host-side hot path of frame decoding.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <int K>
+struct Trellis {
+    static constexpr int NS = 1 << (K - 1);
+    uint8_t e0[NS][2];  // expected bits for pred0 -> n
+    uint8_t e1[NS][2];
+    int pred0[NS];
+    int pred1[NS];
+    uint8_t bit_of[NS];
+
+    Trellis(uint32_t g0, uint32_t g1) {
+        auto parity = [](uint32_t v) {
+            return static_cast<uint8_t>(__builtin_popcount(v) & 1);
+        };
+        uint8_t out[2][NS][2];
+        for (int s = 0; s < NS; ++s) {
+            for (int b = 0; b < 2; ++b) {
+                uint32_t reg = (static_cast<uint32_t>(b) << (K - 1)) | s;
+                out[b][s][0] = parity(reg & g0);
+                out[b][s][1] = parity(reg & g1);
+            }
+        }
+        for (int n = 0; n < NS; ++n) {
+            bit_of[n] = n >> (K - 2);
+            pred0[n] = (n & ((NS >> 1) - 1)) << 1;
+            pred1[n] = pred0[n] | 1;
+            e0[n][0] = out[bit_of[n]][pred0[n]][0];
+            e0[n][1] = out[bit_of[n]][pred0[n]][1];
+            e1[n][0] = out[bit_of[n]][pred1[n]][0];
+            e1[n][1] = out[bit_of[n]][pred1[n]][1];
+        }
+    }
+};
+
+template <int K>
+void viterbi_decode_impl(uint32_t g0, uint32_t g1, const uint8_t* coded,
+                         const uint8_t* erasures, int64_t n_bits,
+                         uint8_t* out) {
+    static thread_local Trellis<K>* tr = nullptr;
+    static thread_local uint32_t tg0 = 0, tg1 = 0;
+    if (!tr || tg0 != g0 || tg1 != g1) {
+        delete tr;
+        tr = new Trellis<K>(g0, g1);
+        tg0 = g0;
+        tg1 = g1;
+    }
+    constexpr int NS = Trellis<K>::NS;
+    float metric[NS], next[NS];
+    for (int s = 0; s < NS; ++s) metric[s] = 1e6f;
+    metric[0] = 0.0f;
+    uint8_t* dec = static_cast<uint8_t*>(std::malloc(n_bits * NS));
+    for (int64_t t = 0; t < n_bits; ++t) {
+        uint8_t r0 = coded[2 * t], r1 = coded[2 * t + 1];
+        float v0 = erasures && erasures[2 * t] ? 0.0f : 1.0f;
+        float v1 = erasures && erasures[2 * t + 1] ? 0.0f : 1.0f;
+        uint8_t* drow = dec + t * NS;
+        for (int n = 0; n < NS; ++n) {
+            float bm0 = (tr->e0[n][0] != r0) * v0 + (tr->e0[n][1] != r1) * v1;
+            float bm1 = (tr->e1[n][0] != r0) * v0 + (tr->e1[n][1] != r1) * v1;
+            float m0 = metric[tr->pred0[n]] + bm0;
+            float m1 = metric[tr->pred1[n]] + bm1;
+            bool take1 = m1 < m0;
+            next[n] = take1 ? m1 : m0;
+            drow[n] = take1;
+        }
+        float mn = next[0];
+        for (int n = 1; n < NS; ++n) mn = next[n] < mn ? next[n] : mn;
+        for (int n = 0; n < NS; ++n) metric[n] = next[n] - mn;
+    }
+    int s = 0;
+    float best = metric[0];
+    for (int n = 1; n < NS; ++n)
+        if (metric[n] < best) { best = metric[n]; s = n; }
+    for (int64_t t = n_bits - 1; t >= 0; --t) {
+        out[t] = tr->bit_of[s];
+        s = dec[t * NS + s] ? tr->pred1[s] : tr->pred0[s];
+    }
+    std::free(dec);
+}
+
+}  // namespace
+
+extern "C" {
+
+void viterbi_r12(int k, uint32_t g0, uint32_t g1, const uint8_t* coded,
+                 const uint8_t* erasures, int64_t n_bits, uint8_t* out) {
+    if (k == 7) {
+        viterbi_decode_impl<7>(g0, g1, coded, erasures, n_bits, out);
+    } else if (k == 5) {
+        viterbi_decode_impl<5>(g0, g1, coded, erasures, n_bits, out);
+    }
+}
+
+}  // extern "C"
