@@ -32,17 +32,21 @@ def synth_wideband(
     n: int,
     stations: dict,
     fs_wideband: float,
+    offset: int = 0,
 ) -> np.ndarray:
-    """FM stations: {channel_index: audio_freq_hz} on the channel grid."""
-    t = np.arange(n) / fs_wideband
+    """FM stations: {channel_index: audio_freq_hz} on the channel grid.
+
+    Closed-form FM phase (∫dev·sin = −dev/ω·cos), so blocks generated at
+    any absolute sample ``offset`` are phase-continuous — no per-step
+    discontinuity clicks in the demodulated audio."""
+    t = (offset + np.arange(n)) / fs_wideband
     fs_ch = fs_wideband / cfg.n_ch
+    dev = 0.25 * fs_ch
     x = np.zeros(n, np.complex64)
     for ch, fa in stations.items():
-        # channel center k/M cycles/sample; audio tone FM at deviation .25·fs_ch
-        audio = np.sin(2 * np.pi * fa * t)
         phase = (
             2 * np.pi * (ch / cfg.n_ch) * fs_wideband * t
-            + 2 * np.pi * 0.25 * fs_ch * np.cumsum(audio) / fs_wideband
+            - (dev / fa) * np.cos(2 * np.pi * fa * t)
         )
         x += np.exp(1j * phase).astype(np.complex64)
     return (x / max(len(stations), 1)).astype(np.complex64)
@@ -59,23 +63,36 @@ def main() -> None:
     fs_wideband = 1024 * 250e3  # 256 MS/s aggregate
     fs_audio = fs_wideband / cfg.n_ch / cfg.audio_decim
 
-    stations = {ch: 400.0 * (1 + i) for i, ch in enumerate(args.channels)}
     r_per_step = 512
     step_samples = r_per_step * cfg.n_ch
     n_steps = max(1, int(args.seconds * fs_wideband / step_samples))
+    n_pre = min(n_steps, 4)
+    # quantize audio tones to the block-reuse period so the synth stays
+    # phase-continuous when blocks wrap
+    quantum = fs_wideband / (n_pre * step_samples)
+    stations = {
+        ch: max(1, round(400.0 * (1 + i) / quantum)) * quantum
+        for i, ch in enumerate(args.channels)
+    }
+    print({ch: round(f, 1) for ch, f in stations.items()})
 
     init_state, step = make_bank_step(cfg)
     step_j = jax.jit(step, donate_argnums=(0,))
     state = init_state()
 
     audio_out = {ch: [] for ch in args.channels}
+    blocks = [
+        cplx.from_numpy(
+            synth_wideband(
+                cfg, step_samples, stations, fs_wideband, offset=s * step_samples
+            )
+        )
+        for s in range(n_pre)
+    ]
     t0 = time.time()
     total = 0
     for s in range(n_steps):
-        x = synth_wideband(
-            cfg, step_samples, stations, fs_wideband
-        )  # fresh block (phase-discontinuous but fine for a demo)
-        state, audio = step_j(state, cplx.from_numpy(x))
+        state, audio = step_j(state, blocks[s % n_pre])
         a = np.asarray(audio)
         for ch in args.channels:
             audio_out[ch].append(a[ch])
