@@ -1,0 +1,183 @@
+"""Rattlegram-style OFDM acoustic modem.
+
+Parity target: ``examples/rattlegram/src/{encoder,decoder,psk,mls}.rs``
+(COFDMTV lineage): 48 kHz real audio, 7680-sample OFDM symbols with a
+960-sample guard, 256 payload carriers, an MLS-BPSK sync/reference symbol,
+differential QPSK payload, polar-coded bits with a CRC. This is a fresh,
+self-consistent implementation of that architecture; byte-exact waveform
+interop with the reference app is future work.
+
+At 48 kHz audio rates the whole receiver runs comfortably host-side
+(numpy); nothing here is throughput-critical enough to justify device
+dispatch latency. The polar/SC tier is shared, reusable FEC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List, Optional
+
+import numpy as np
+
+from futuresdr_tpu.models.rattlegram.polar import (
+    frozen_mask,
+    polar_decode_sc,
+    polar_encode_systematic,
+)
+
+RATE = 48_000
+SYMBOL_LEN = 7680  # encoder.rs:51
+GUARD_LEN = SYMBOL_LEN // 8  # 960
+EXT_LEN = SYMBOL_LEN + GUARD_LEN
+CODE_ORDER = 11
+CODE_LEN = 1 << CODE_ORDER
+PAY_CAR_CNT = 256  # encoder.rs:61
+CAR0 = 320  # first payload carrier bin (2.0 kHz at 6.25 Hz spacing)
+SYMBOL_COUNT = 4  # encoder.rs:50
+MOD_BITS = 2  # DQPSK
+MAX_BYTES = 170  # MAX_BITS 1360 (encoder.rs:54)
+CRC_POLY = 0x1021
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0xFFFF
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ CRC_POLY) if crc & 0x8000 else (crc << 1)
+            crc &= 0xFFFF
+    return crc
+
+
+@lru_cache(maxsize=None)
+def mls_sequence(poly: int, length: int) -> np.ndarray:
+    """Maximal-length sequence from an LFSR polynomial (mls.rs parity)."""
+    degree = poly.bit_length() - 1
+    state = 1
+    out = np.empty(length, np.uint8)
+    for i in range(length):
+        out[i] = state & 1
+        fb = 0
+        s = state & poly
+        while s:
+            fb ^= s & 1
+            s >>= 1
+        state = (state >> 1) | (fb << (degree - 1))
+    return out
+
+
+@lru_cache(maxsize=None)
+def _sync_symbol() -> np.ndarray:
+    """Reference symbol: BPSK MLS on the payload carriers (also the DQPSK
+    phase reference)."""
+    seq = mls_sequence(0b100101011, PAY_CAR_CNT)  # PRE_SEQ_POLY
+    spec = np.zeros(SYMBOL_LEN // 2 + 1, np.complex128)
+    spec[CAR0 : CAR0 + PAY_CAR_CNT] = 1.0 - 2.0 * seq.astype(np.float64)
+    td = np.fft.irfft(spec, SYMBOL_LEN)
+    return (td / np.max(np.abs(td))).astype(np.float32)
+
+
+def _with_guard(sym: np.ndarray) -> np.ndarray:
+    return np.concatenate([sym[-GUARD_LEN:], sym])
+
+
+@lru_cache(maxsize=None)
+def _frozen():
+    return frozen_mask(CODE_ORDER, 8 * MAX_BYTES)
+
+
+def encode_frame(payload: bytes) -> np.ndarray:
+    """payload (≤170 bytes incl. implicit CRC16) → 48 kHz audio frame."""
+    if len(payload) > MAX_BYTES - 2:
+        raise ValueError(f"payload > {MAX_BYTES - 2} bytes")
+    body = payload + bytes(MAX_BYTES - 2 - len(payload))
+    crc = _crc16(body)
+    msg = body + bytes([crc >> 8, crc & 0xFF])
+    bits = np.unpackbits(np.frombuffer(msg, np.uint8))
+    cw = polar_encode_systematic(bits, _frozen())
+
+    # DQPSK: Gray dibit → phase step, differential per carrier across syms
+    dibits = cw.reshape(SYMBOL_COUNT, PAY_CAR_CNT, MOD_BITS)
+    gray_phase = np.array([0, 1, 3, 2]) * (np.pi / 2)  # 00,01,10,11
+    steps = gray_phase[dibits[..., 0] * 2 + dibits[..., 1]]
+
+    seq = mls_sequence(0b100101011, PAY_CAR_CNT)
+    ref_phase = np.pi * seq.astype(np.float64)  # sync symbol phases
+    out = [np.zeros(GUARD_LEN, np.float32), _with_guard(_sync_symbol())]
+    phase = ref_phase.copy()
+    for s in range(SYMBOL_COUNT):
+        phase = phase + steps[s]
+        spec = np.zeros(SYMBOL_LEN // 2 + 1, np.complex128)
+        spec[CAR0 : CAR0 + PAY_CAR_CNT] = np.exp(1j * phase)
+        td = np.fft.irfft(spec, SYMBOL_LEN)
+        td = td / np.max(np.abs(td))
+        out.append(_with_guard(td.astype(np.float32)))
+    out.append(np.zeros(GUARD_LEN, np.float32))
+    return np.concatenate(out)
+
+
+@dataclass
+class RattlegramFrame:
+    payload: bytes
+    crc_ok: bool
+    start: int
+
+
+class RattlegramReceiver:
+    def __init__(self):
+        self.frames: List[RattlegramFrame] = []
+
+    def process(self, audio: np.ndarray) -> List[RattlegramFrame]:
+        x = np.asarray(audio, np.float32)
+        tmpl = _sync_symbol()
+        # sync correlation (normalized) over the buffer
+        cor = np.correlate(x, tmpl, mode="valid")
+        energy = np.convolve(
+            x * x, np.ones(SYMBOL_LEN, np.float32), "valid"
+        )
+        score = cor / (np.sqrt(energy * float(np.sum(tmpl * tmpl))) + 1e-9)
+        out: List[RattlegramFrame] = []
+        thr = 0.5
+        order = np.argsort(score)[::-1]
+        taken: List[int] = []
+        for p in order[:32]:
+            p = int(p)
+            if score[p] < thr:
+                break
+            if any(abs(p - t) < EXT_LEN for t in taken):
+                continue
+            f = self._demod(x, p)
+            if f is not None:
+                taken.append(p)
+                out.append(f)
+        out.sort(key=lambda f: f.start)
+        self.frames.extend(out)
+        return out
+
+    def _demod(self, x: np.ndarray, sync_pos: int) -> Optional[RattlegramFrame]:
+        need = sync_pos + SYMBOL_LEN + SYMBOL_COUNT * EXT_LEN
+        if need > len(x):
+            return None
+        ref = np.fft.rfft(x[sync_pos : sync_pos + SYMBOL_LEN])
+        prev = ref[CAR0 : CAR0 + PAY_CAR_CNT]
+        llrs = np.empty((SYMBOL_COUNT, PAY_CAR_CNT, MOD_BITS), np.float64)
+        pos = sync_pos + SYMBOL_LEN + GUARD_LEN
+        for s in range(SYMBOL_COUNT):
+            spec = np.fft.rfft(x[pos : pos + SYMBOL_LEN])
+            cur = spec[CAR0 : CAR0 + PAY_CAR_CNT]
+            d = cur * np.conj(prev)
+            # Gray DQPSK soft bits for the TX map θ(00,01,11,10) =
+            # (0, π/2, π, 3π/2): b0 ⇔ sign(cosθ+sinθ), b1 ⇔ sign(cosθ−sinθ)
+            scale = np.abs(d) + 1e-12
+            llrs[s, :, 0] = (d.real + d.imag) / scale
+            llrs[s, :, 1] = (d.real - d.imag) / scale
+            prev = cur
+            pos += EXT_LEN
+        llr = llrs.reshape(-1)
+        bits, _ = polar_decode_sc(4.0 * llr, _frozen())
+        data = np.packbits(bits)
+        body, crc = data[: MAX_BYTES - 2].tobytes(), data[MAX_BYTES - 2 :]
+        crc_ok = _crc16(body) == ((int(crc[0]) << 8) | int(crc[1]))
+        payload = body.rstrip(b"\x00")
+        return RattlegramFrame(payload=payload, crc_ok=crc_ok, start=sync_pos)

@@ -1,0 +1,102 @@
+"""Polar codes: systematic encoding + successive-cancellation decoding.
+
+Parity: ``examples/rattlegram/src/polar.rs`` (systematic polar encoder /
+decoder for the COFDMTV waveform, CODE_ORDER 11). Fresh implementation of
+the textbook algorithms:
+
+* frozen set by Bhattacharyya parameter construction (BEC heuristic),
+* systematic encoding via the encode→re-freeze→encode identity,
+* min-sum successive cancellation over an LLR tree (vectorized per
+  stage; the bit-order loop is host python — ~N log N ops).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import numpy as np
+
+
+@lru_cache(maxsize=None)
+def frozen_mask(order: int, data_bits: int, design_erasure: float = 0.5):
+    """Boolean mask [N]: True = frozen. The ``data_bits`` most reliable
+    channels (smallest Bhattacharyya parameter) carry data.
+
+    Channel i's parameter folds the BEC recursion over i's bits MSB→LSB
+    (z² for bit 1, 2z−z² for bit 0) — the ordering that matches the
+    natural-order butterfly in :func:`_polar_transform` (verified
+    empirically: the bit-reversed pairing costs ~10 dB)."""
+    n = 1 << order
+    z = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        zz = design_erasure
+        for b in range(order - 1, -1, -1):
+            if (i >> b) & 1:
+                zz = zz * zz
+            else:
+                zz = 2.0 * zz - zz * zz
+        z[i] = zz
+    order_idx = np.argsort(z, kind="stable")  # most reliable first
+    frozen = np.ones(n, dtype=bool)
+    frozen[order_idx[:data_bits]] = False
+    return frozen
+
+
+def _polar_transform(u: np.ndarray) -> np.ndarray:
+    """x = u·Gₙ over GF(2), Gₙ = F^{⊗order} (butterfly, no bit reversal)."""
+    x = u.copy()
+    n = len(x)
+    h = 1
+    while h < n:
+        for i in range(0, n, 2 * h):
+            x[i : i + h] ^= x[i + h : i + 2 * h]
+        h *= 2
+    return x
+
+
+def polar_encode_systematic(
+    message: np.ndarray, frozen: np.ndarray
+) -> np.ndarray:
+    """Systematic encoding: codeword bits at non-frozen positions equal
+    the message (encode → zero frozen → encode, polar.rs parity)."""
+    n = len(frozen)
+    u = np.zeros(n, dtype=np.uint8)
+    u[~frozen] = np.asarray(message, dtype=np.uint8)
+    x = _polar_transform(u)
+    x[frozen] = 0
+    return _polar_transform(x)
+
+
+def _f_minsum(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.sign(a) * np.sign(b) * np.minimum(np.abs(a), np.abs(b))
+
+
+def _g(a: np.ndarray, b: np.ndarray, u: np.ndarray) -> np.ndarray:
+    return b + (1.0 - 2.0 * u) * a
+
+
+def polar_decode_sc(
+    llr: np.ndarray, frozen: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Successive-cancellation decode.
+
+    ``llr``: channel LLRs (positive → bit 0). Returns ``(message_bits,
+    codeword_estimate)`` — with systematic encoding the message is read
+    from the re-encoded codeword at non-frozen positions."""
+    n = len(frozen)
+
+    def decode(llrs: np.ndarray, fr: np.ndarray) -> np.ndarray:
+        if len(llrs) == 1:
+            if fr[0]:
+                return np.zeros(1, np.uint8)
+            return np.array([0 if llrs[0] >= 0 else 1], np.uint8)
+        half = len(llrs) // 2
+        a, b = llrs[:half], llrs[half:]
+        u1 = decode(_f_minsum(a, b), fr[:half])
+        u2 = decode(_g(a, b, _polar_transform(u1).astype(np.float64)), fr[half:])
+        return np.concatenate([u1, u2])
+
+    u = decode(np.asarray(llr, np.float64), np.asarray(frozen, bool))
+    x = _polar_transform(u)
+    return x[~frozen].astype(np.uint8), x

@@ -45,9 +45,9 @@ def main() -> None:
     sig = np.concatenate(chunks).astype(np.complex64)
 
     rx = WlanReceiver(max_frames_per_chunk=args.frames + 4)
-    # warmup (device compiles)
-    rx.process(sig[: 1 << 16])
-    rx.frames.clear()
+    # warmup with the SAME buffer (identical jit shapes — otherwise the
+    # measured pass pays the compiles)
+    rx.process(sig)
 
     rx2 = WlanReceiver(max_frames_per_chunk=args.frames + 4)
     t0 = time.perf_counter()

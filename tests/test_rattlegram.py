@@ -1,0 +1,65 @@
+"""Rattlegram-style acoustic OFDM modem + polar code tests."""
+
+import numpy as np
+import pytest
+
+from futuresdr_tpu.models.rattlegram import (
+    RattlegramReceiver,
+    encode_frame,
+    frozen_mask,
+    polar_decode_sc,
+    polar_encode_systematic,
+)
+
+
+def test_polar_systematic_roundtrip():
+    rng = np.random.default_rng(0)
+    fr = frozen_mask(11, 1360)
+    msg = rng.integers(0, 2, 1360).astype(np.uint8)
+    cw = polar_encode_systematic(msg, fr)
+    assert np.array_equal(cw[~fr], msg)  # systematic
+    llr = (1.0 - 2.0 * cw.astype(np.float64)) * 4.0
+    dec, _ = polar_decode_sc(llr, fr)
+    assert np.array_equal(dec, msg)
+
+
+def test_polar_corrects_noise_rate_half():
+    rng = np.random.default_rng(1)
+    fr = frozen_mask(10, 512)
+    msg = rng.integers(0, 2, 512).astype(np.uint8)
+    cw = polar_encode_systematic(msg, fr)
+    x = 1.0 - 2.0 * cw
+    y = x + 0.6 * rng.standard_normal(len(x))
+    dec, _ = polar_decode_sc(2.0 * y / 0.36, fr)
+    assert np.array_equal(dec, msg)
+
+
+def test_acoustic_loopback():
+    payload = b"acoustic OFDM with polar coding over 48 kHz audio"
+    audio = encode_frame(payload)
+    rng = np.random.default_rng(2)
+    sig = np.concatenate(
+        [np.zeros(4321, np.float32), audio, np.zeros(2000, np.float32)]
+    )
+    sig = sig + 0.02 * rng.standard_normal(len(sig)).astype(np.float32)
+    frames = RattlegramReceiver().process(sig)
+    assert len(frames) == 1
+    assert frames[0].crc_ok
+    assert frames[0].payload == payload
+
+
+def test_acoustic_corruption_flagged():
+    payload = b"damage this one"
+    audio = encode_frame(payload)
+    # wipe out two payload symbols
+    audio[12000:24000] = 0.0
+    frames = RattlegramReceiver().process(
+        np.concatenate([np.zeros(1000, np.float32), audio])
+    )
+    if frames:
+        assert not frames[0].crc_ok or frames[0].payload != payload
+
+
+def test_payload_too_long_rejected():
+    with pytest.raises(ValueError):
+        encode_frame(bytes(200))
