@@ -27,7 +27,20 @@ from futuresdr_tpu.ops import cplx
 from futuresdr_tpu.ops.cplx import CArray
 
 _MAX_RADIX = 64
-_PREC = jax.lax.Precision.HIGHEST
+
+
+def _PREC():
+    """FFT matmul precision (config ``fft_precision``): HIGHEST (6-pass
+    f32, default — 90+ dB chains) or HIGH (3-pass — ~2× faster FFT stages
+    when the SNR budget allows)."""
+    from futuresdr_tpu import config
+
+    p = str(config.get("fft_precision", "highest")).lower()
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }.get(p, jax.lax.Precision.HIGHEST)
 
 
 @lru_cache(maxsize=None)
@@ -62,7 +75,7 @@ def _best_factor(n: int) -> int:
 def _dft_matmul(x: CArray, n: int, sign: int) -> CArray:
     wr, wi = _dft_consts(n, sign)
     w = CArray(jnp.asarray(wr), jnp.asarray(wi))
-    return cplx.matmul(x, w, precision=_PREC)
+    return cplx.matmul(x, w, precision=_PREC())
 
 
 def _fft_last(x: CArray, sign: int) -> CArray:
