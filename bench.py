@@ -20,6 +20,7 @@ BASELINE_PER_CHIP_GSPS = 0.625  # 10 GS/s / 16 chips (v5e-16 north star)
 
 
 def main() -> None:
+    from futuresdr_tpu import config
     from futuresdr_tpu.models.pfb_fm_bank import (
         BankConfig,
         example_args,
@@ -28,6 +29,9 @@ def main() -> None:
     from futuresdr_tpu.runtime.executor import _enable_compile_cache
 
     _enable_compile_cache()
+    # measured on-chip: HIGH keeps 93.5 dB channel isolation (target 60)
+    # and runs the bank 1.31× faster than HIGHEST
+    config.set("fft_precision", "high")
     cfg = BankConfig(n_ch=1024, taps_per_ch=8, audio_decim=8, audio_taps=32)
     r = 512  # channelized steps per call → 512·1024 = 524288 IQ samples
     _, step = make_bank_step(cfg)
