@@ -20,7 +20,7 @@ core impedance mismatch with XLA's static shapes):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache, partial
 from typing import List, Optional
 

@@ -28,7 +28,6 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--r", type=int, default=512, help="channelized steps")
-    ap.add_argument("--cpu", action="store_true", default=None)
     args = ap.parse_args()
 
     import jax
@@ -83,9 +82,6 @@ def main() -> None:
         def fake_halo(x_, h, axis_name, carry=None):
             if h == 0:
                 return x_
-            pad = cplx.apply1(
-                lambda t: t[..., : 0] * 0, x_
-            )
             zeros = cplx.zeros_like_shape(x_, x_.shape[:-1] + (h,))
             return cplx.concat([zeros, x_], axis=-1)
 
