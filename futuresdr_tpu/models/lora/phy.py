@@ -377,6 +377,16 @@ class LoraReceiver:
             z += 1
         if z < 2:
             return None
+        # verify the two sync-word upchirps (network discrimination — the
+        # reference's frame_sync rejects foreign sync words; ±1 bin slack)
+        if z + 1 < len(bins):
+            s1 = ((cfg.sync_word >> 4) & 0xF) << 3
+            s2 = (cfg.sync_word & 0xF) << 3
+            if (
+                abs(int(bins[z]) - s1) > 1
+                or abs(int(bins[z + 1]) - s2) > 1
+            ):
+                return None
         # two sync-word upchirps, then 2.25 downchirps, then data
         data_off = (z + 2) * n + 2 * n + n // 4
         if data_off + n > len(seg):

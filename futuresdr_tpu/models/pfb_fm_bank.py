@@ -161,6 +161,81 @@ def make_sharded_bank_step(
     return init_carry, fn
 
 
+def make_sharded_bank_step_2d(
+    cfg: BankConfig,
+    mesh,
+    ch_axis: str = "ch",
+    time_axis: str = "time",
+):
+    """Channels × time 2D-mesh step (the BASELINE "channels sharded
+    across chips" axis combined with time sharding).
+
+    Layout: the wideband chunk is sharded over ``time`` and replicated
+    over ``ch``; each device channelizes its time slice (replicated over
+    the channel axis — zero-communication redundancy, see NOTES_ROUND2 for
+    the partial-DFT sharding that removes it) and then keeps only its
+    ``n_ch / C`` channels for the per-channel demod + audio FIR, whose
+    lookback halos ride ``ppermute`` over the time axis exactly as in the
+    1D variant. Audio returns sharded over (ch, time)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    branch_taps, audio_taps = _design(cfg)
+    M, L = cfg.n_ch, cfg.branch_len
+    Ta = cfg.audio_taps
+    Ha = -(-(Ta - 1) // cfg.audio_decim) * cfg.audio_decim
+    Hw = (L - 1) * M
+    n_ch_dev = mesh.shape[ch_axis]
+    Mc = M // n_ch_dev
+
+    def init_carry():
+        # GLOBAL shapes (shard_map splits the channel-sharded tails)
+        return (
+            cplx.czeros((Hw,)),
+            cplx.czeros((M, 1)),
+            jnp.zeros((M, Ha), jnp.float32),
+        )
+
+    def shard_fn(carry, x):
+        cw, cz, ca = carry  # cz/ca arrive as the local (Mc, ·) slices
+        ci = jax.lax.axis_index(ch_axis)
+        hist = halo_left(x, Hw, time_axis, carry=cw)[..., :Hw]
+        st = cplx.apply1(lambda t: t.reshape(L - 1, M).T, hist)
+        _, y = pfb_channelize(x, branch_taps, M, st)  # [R_loc, M]
+        # keep this device's channel slice
+        yc = cplx.apply1(
+            lambda t: jax.lax.dynamic_slice_in_dim(t, ci * Mc, Mc, axis=1),
+            y,
+        )
+        z = cplx.apply1(lambda t: t.T, yc)  # [Mc, R_loc]
+        zprev = halo_left(z, 1, time_axis, carry=cz)[..., :1]
+        _, a = quadrature_demod(z, zprev, cfg.demod_gain)
+        ast = halo_left(a, Ha, time_axis, carry=ca)[..., :Ha]
+        _, audio = fir_decimate(a, audio_taps, cfg.audio_decim, ast)
+        new_carry = (
+            ring_carry(x, Hw, time_axis),
+            ring_carry(z, 1, time_axis),
+            ring_carry(a, Ha, time_axis),
+        )
+        return new_carry, audio
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            (P(), P(ch_axis), P(ch_axis)),  # carries: wideband replicated;
+            # channelized/audio tails sharded by channel
+            P(time_axis),
+        ),
+        out_specs=(
+            (P(), P(ch_axis), P(ch_axis)),
+            P(ch_axis, time_axis),
+        ),
+        check_rep=False,
+    )
+    return init_carry, fn
+
+
 # ---------------------------------------------------------------------------
 # Convenience: jittable single-chip step with concrete example args
 # ---------------------------------------------------------------------------

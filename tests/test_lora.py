@@ -103,3 +103,19 @@ def test_corrupted_crc_flagged():
     frames = LoraReceiver(cfg).process(sig)
     if frames:  # header may survive; payload CRC must flag the damage
         assert not frames[0].crc_ok or frames[0].payload != payload
+
+
+def test_sync_word_discrimination():
+    """A frame with a foreign sync word is rejected (frame_sync parity —
+    the Meshtastic-vs-default network split)."""
+    cfg_tx = LoraConfig(sf=7, cr=1, sync_word=0x34)
+    cfg_rx = LoraConfig(sf=7, cr=1, sync_word=0x12)
+    payload = b"wrong network"
+    iq = modulate_frame(cfg_tx, payload)
+    sig = np.concatenate(
+        [np.zeros(500, np.complex64), iq, np.zeros(500, np.complex64)]
+    )
+    assert LoraReceiver(cfg_rx).process(sig) == []
+    # matching receiver still decodes it
+    frames = LoraReceiver(cfg_tx).process(sig)
+    assert len(frames) == 1 and frames[0].payload == payload
