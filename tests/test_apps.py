@@ -82,3 +82,41 @@ def test_cw_beacon_keys_tone():
     off = power[off_mask]
     assert on.mean() > 0.3
     assert np.median(off) < 0.01
+
+
+def test_ssb_tx_rx_roundtrip():
+    """transmit.rs ∘ receive.rs: a 700 Hz USB tone round-trips."""
+    from ssb import build_ssb_receiver
+    from ssb_tx import build_ssb_tx
+
+    from futuresdr_tpu.blocks import Head, SignalSource
+
+    audio_rate, file_rate = 32_000, 256_000
+    src = SignalSource(700.0, float(audio_rate), kind="sin")
+    fg, tail = build_ssb_tx(src, audio_rate, file_rate, frequency=53_000.0)
+    tx_snk = VectorSink(np.complex64)
+    head = Head(file_rate, np.complex64)  # 1 s
+    fg.stream(tail, head)
+    fg.stream(head, tx_snk)
+    from futuresdr_tpu import Runtime
+
+    Runtime(chunk_size=1 << 16).run(fg)
+    iq = tx_snk.data()
+    assert len(iq) > 0.97 * file_rate  # Head cap minus the transient trim
+
+    fg2, tail2 = build_ssb_receiver(
+        VectorSource(iq), file_rate, audio_rate, center_freq=51_500.0, level=1.0
+    )
+    rx = VectorSink(np.float32)
+    fg2.stream(tail2, rx)
+    Runtime(chunk_size=1 << 16).run(fg2)
+    y = rx.data()
+    n0, n1 = int(0.2 * len(y)), int(0.9 * len(y))
+    t = np.arange(len(y)) / audio_rate
+    seg, tt = y[n0:n1], t[n0:n1]
+    s = np.sin(2 * np.pi * 700.0 * tt)
+    c = np.cos(2 * np.pi * 700.0 * tt)
+    a, b = 2 * np.mean(seg * s), 2 * np.mean(seg * c)
+    fit = a * s + b * c
+    snr = 10 * np.log10(np.mean(fit**2) / np.mean((seg - fit) ** 2))
+    assert snr > 30.0, f"SSB TX→RX tone SNR {snr:.1f} dB"
