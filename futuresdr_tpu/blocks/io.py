@@ -52,18 +52,28 @@ class VectorSource(Block):
 
     def host_produce(self, n: int, port: int = 0):
         total = self.data.shape[-1]
-        if self._pos >= total:
-            if not self.repeat:
-                return None
-            self._pos = 0
-        end = min(self._pos + n, total)
-        chunk = self.data[..., self._pos : end]
-        tags = [
-            ItemTag(t.index - self._pos, t.tag)
-            for t in self._tags
-            if self._pos <= t.index < end
-        ]
-        self._pos = end
+        if self._pos >= total and not self.repeat:
+            return None
+        pieces = []
+        tags: List[ItemTag] = []
+        got = 0
+        while got < n:
+            if self._pos >= total:
+                if not self.repeat:
+                    break
+                self._pos = 0
+            end = min(self._pos + (n - got), total)
+            pieces.append(self.data[..., self._pos : end])
+            tags.extend(
+                ItemTag(t.index - self._pos + got, t.tag)
+                for t in self._tags
+                if self._pos <= t.index < end
+            )
+            got += end - self._pos
+            self._pos = end
+        chunk = pieces[0] if len(pieces) == 1 else np.concatenate(
+            pieces, axis=-1
+        )
         self._abs += chunk.shape[-1]
         return (chunk, tags) if tags else chunk
 
@@ -349,8 +359,15 @@ class ChannelSource(Block):
                 self._closed = True
                 break
             self._buf = np.concatenate([self._buf, item], axis=-1)
-        if self._buf.shape[-1] == 0:
-            return None if self._closed else np.zeros((0,), self._buf.dtype)
+        if self._closed:
+            if self._buf.shape[-1] == 0:
+                return None
+            out, self._buf = self._buf[..., :n], self._buf[..., n:]
+            return out  # final (possibly short) chunk at EOS
+        if self._buf.shape[-1] < n:
+            # mid-stream partials would zero-pad into stateful blocks —
+            # wait for a full chunk
+            return np.zeros((0,), self._buf.dtype)
         out, self._buf = self._buf[..., :n], self._buf[..., n:]
         return out
 

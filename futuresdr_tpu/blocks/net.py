@@ -81,6 +81,8 @@ class TcpSource(Block):
                 break
             self._buf += data
         items = len(self._buf) // self._dtype.itemsize
+        if not self._eos and items < n:
+            return np.zeros((0,), self._dtype)  # wait for a full chunk
         take = min(items, n)
         if take == 0:
             return None if self._eos else np.zeros((0,), self._dtype)
@@ -190,9 +192,10 @@ class UdpSource(Block):
                 break
             self._buf += data
         items = len(self._buf) // self._dtype.itemsize
-        take = min(items, n)
-        raw = self._buf[: take * self._dtype.itemsize]
-        self._buf = self._buf[take * self._dtype.itemsize :]
+        if items < n:
+            return np.zeros((0,), self._dtype)  # wait for a full chunk
+        raw = self._buf[: n * self._dtype.itemsize]
+        self._buf = self._buf[n * self._dtype.itemsize :]
         return np.frombuffer(raw, dtype=self._dtype)
 
     def on_finish(self) -> None:

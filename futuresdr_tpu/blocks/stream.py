@@ -42,20 +42,29 @@ class Head(Block):
         super().__init__(name)
         self.n = int(n)
         self._remaining = int(n)
+        self._lat_free = 0
         self.stream_inputs = [PortSpec("in", dtype)]
         self.stream_outputs = [PortSpec("out", dtype)]
         self.rate_in = (1,)
         self.rate_out = (1,)
 
+    def absorb_latency(self, in_lats):
+        # upstream transient items pass through without consuming the
+        # budget (the sink trims them), so Head(n) delivers exactly n
+        self._lat_free = int(in_lats[0]) if in_lats else 0
+        return [self._lat_free]
+
     def apply(self, state, inputs, params):
         return state, [inputs[0]], {}
 
     def host_limit(self, port: int, valid: int) -> int:
-        v = min(valid, self._remaining)
+        free = min(valid, self._lat_free)
+        self._lat_free -= free
+        v = min(valid - free, self._remaining)
         self._remaining -= v
         if self._remaining == 0:
             self.request_finish()
-        return v
+        return free + v
 
 
 class Delay(Block):

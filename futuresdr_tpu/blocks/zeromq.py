@@ -89,9 +89,10 @@ class SubSource(Block):
             except zmq.Again:
                 break
         items = len(self._buf) // self._dtype.itemsize
-        take = min(items, n)
-        raw = self._buf[: take * self._dtype.itemsize]
-        self._buf = self._buf[take * self._dtype.itemsize :]
+        if items < n:
+            return np.zeros((0,), self._dtype)  # wait for a full chunk
+        raw = self._buf[: n * self._dtype.itemsize]
+        self._buf = self._buf[n * self._dtype.itemsize :]
         return np.frombuffer(raw, dtype=self._dtype)
 
     def on_finish(self) -> None:

@@ -11,8 +11,10 @@ Parity: the reference ``Kernel`` trait (``src/runtime/kernel.rs:54-90``) and
 * **Host blocks** (sources/sinks) sit at the graph boundary and move numpy
   chunks in/out of the device program (the reference's ``#[blocking]``
   hardware blocks, ``block.rs:62-65``).
-* ``WorkIo::finished`` becomes: host sources return EOS; pure blocks signal
-  via their ``aux`` output (see :meth:`Block.host_valid_limit`).
+* ``WorkIo::finished`` becomes: host sources return EOS (any finished
+  input terminates the flowgraph); pure blocks cap/finish via
+  :meth:`Block.host_limit` + :meth:`Block.request_finish` (Head), or
+  surface device events through ``aux`` → :meth:`Block.on_aux`.
 * Message ports/handlers run host-side between steps; retunable values are
   **params** — device scalars passed as jit arguments so updates never
   recompile (replaces ``kernel.call_handler`` dispatch,
@@ -85,6 +87,7 @@ class Block:
         self.tag_propagation = TagPropagation.PROPAGATE
         self.is_blocking = False  # host-I/O bound (drivers, audio, network)
         self._params: Dict[str, np.ndarray] = {}
+        self._params_version = 0
         self._finished_requested = False
 
     # ---- classification ------------------------------------------------
@@ -150,16 +153,11 @@ class Block:
             self._params[key] = new
         else:
             self._params[key] = np.asarray(value)
+        self._params_version += 1
 
     # ---- aux / lifecycle hooks ------------------------------------------
     def on_aux(self, aux: Dict[str, np.ndarray]) -> None:
         """Host hook: called after each step with this block's aux output."""
-
-    def host_valid_limit(self, aux: Dict[str, np.ndarray]) -> Optional[int]:
-        """If not None, caps the number of valid output items this step
-        (Head-style limiting); the executor also finishes the flowgraph
-        when a block requests it via :meth:`request_finish`."""
-        return None
 
     def request_finish(self) -> None:
         self._finished_requested = True

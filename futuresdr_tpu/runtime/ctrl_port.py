@@ -181,7 +181,11 @@ class ControlPort:
         base = Path(base).resolve()
         rel = path.split("?", 1)[0].lstrip("/") or "index.html"
         target = (base / rel).resolve()
-        if not str(target).startswith(str(base)) or not target.is_file():
+        try:
+            inside = target.is_relative_to(base)
+        except AttributeError:  # pragma: no cover - py<3.9
+            inside = str(target).startswith(str(base) + "/")
+        if not inside or not target.is_file():
             return False
         ctype = {
             ".html": "text/html",

@@ -133,6 +133,7 @@ class Executor:
         )
         self._thread: Optional[threading.Thread] = None
         self._done = threading.Event()
+        self.fg_id: Optional[int] = None  # control-port registration
         self._wire_message_ports()
 
     # ---- message plumbing ------------------------------------------------
@@ -201,6 +202,15 @@ class Executor:
     def request_stop(self) -> None:
         self._stop.set()
 
+    def _unregister_ctrl(self) -> None:
+        if self.fg_id is None:
+            return
+        from futuresdr_tpu.runtime.ctrl_port import global_ctrl_port
+
+        cp = global_ctrl_port()
+        if cp is not None:
+            cp.unregister(self.fg_id)
+
     def join(self, timeout: Optional[float] = None) -> Flowgraph:
         self._done.wait(timeout)
         if self._thread is not None:
@@ -216,6 +226,12 @@ class Executor:
             self.error = exc
         finally:
             self.running = False
+            try:
+                # anything enqueued while running was still True
+                self._drain_messages()
+            except BaseException:  # noqa: BLE001 - shutdown path
+                pass
+            self._unregister_ctrl()
             self._done.set()
 
     # ---- valid/tag propagation through the DAG (host mirror) -------------
@@ -311,6 +327,16 @@ class Executor:
                 self.items_delivered[bid] += np_arr.shape[-1]
                 b.host_consume(np_arr, tags_, port=i)
 
+    def _deliver_full(self, flight: _Inflight, lat_left: Dict[str, int]) -> None:
+        """Deliver sink data AND route aux to block hooks (every path)."""
+        self._deliver(flight, lat_left)
+        if flight.aux:
+            aux_host = jax.device_get(flight.aux)
+            for bid in self.cfg.pure_ids:
+                a = aux_host.get(self.cfg.bkey(bid))
+                if a:
+                    self.fg.blocks[bid].on_aux(a)
+
     # ---- metrics (observability parity: chunks/s, samples/s) -------------
     def stats(self) -> Dict[str, Any]:
         now = time.monotonic()
@@ -358,6 +384,7 @@ class Executor:
         step_no = 0
         eos = False
         params_cache = None
+        params_ver = -1
         while not self._stop.is_set():
             if self._drain_messages():
                 params_cache = None  # a handler may have retuned params
@@ -376,7 +403,7 @@ class Executor:
             src_arrays: Dict[str, Any] = {}
             src_valid: Dict[str, int] = {}
             src_tags: Dict[str, List[ItemTag]] = {}
-            src_exhausted = has_host_sources
+            any_eos = False
             for bid in cfg.host_source_ids:
                 b = fg.blocks[bid]
                 for p in range(len(b.stream_outputs)):
@@ -388,20 +415,21 @@ class Executor:
                         produced, tags_ = produced
                     if produced is None:
                         arr = np.zeros((0,), dtype=src_dtypes[key])
+                        any_eos = True  # a finished input terminates the
+                        # flowgraph (the reference's BlockDone cascade)
                     else:
                         arr = np.asarray(produced)
-                        src_exhausted = False
                     dev, valid = _to_device(arr, n, src_dtypes[key])
                     src_arrays[key] = dev
                     src_valid[key] = valid
                     src_tags[key] = tags_
-            if src_exhausted:
+            if any_eos:
                 eos = True
             elif has_host_sources and not any(src_valid.values()):
                 # live sources idle: flush pending output, don't burn a
                 # step on all-pad chunks
                 while inflight:
-                    self._deliver(inflight.popleft(), lat_left)
+                    self._deliver_full(inflight.popleft(), lat_left)
                 time.sleep(0.001)
                 continue
 
@@ -409,8 +437,12 @@ class Executor:
                 sink_valid, sink_tags, any_valid = self._propagate_valid(
                     src_valid, src_tags
                 )
-                if params_cache is None:
+                ver = sum(
+                    fg.blocks[bid]._params_version for bid in cfg.pure_ids
+                )
+                if params_cache is None or ver != params_ver:
                     params_cache = cfg.gather_params()
+                    params_ver = ver
                 states, sink_arrays, aux = cfg.step(
                     states, params_cache, src_arrays
                 )
@@ -428,22 +460,14 @@ class Executor:
 
             # -- deliver completed steps ----------------------------------
             while inflight and (eos or len(inflight) >= self.max_inflight):
-                flight = inflight.popleft()
-                self._deliver(flight, lat_left)
-                if flight.aux:
-                    aux_host = jax.device_get(flight.aux)
-                    for bid in cfg.pure_ids:
-                        a = aux_host.get(cfg.bkey(bid))
-                        if a:
-                            fg.blocks[bid].on_aux(a)
+                self._deliver_full(inflight.popleft(), lat_left)
 
             if eos:
                 break
 
         # drain remaining inflight; ensure the device stream has retired
         while inflight:
-            flight = inflight.popleft()
-            self._deliver(flight, lat_left)
+            self._deliver_full(inflight.popleft(), lat_left)
         if getattr(self, "_last_arrays", None) is not None:
             jax.block_until_ready(self._last_arrays)
         self._drain_messages()
@@ -520,5 +544,5 @@ class Runtime:
 
         cp = global_ctrl_port()
         if cp is not None:
-            handle.fg_id = cp.register(handle)
+            ex.fg_id = cp.register(handle)
         return handle

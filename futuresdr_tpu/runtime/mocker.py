@@ -33,7 +33,9 @@ class Mocker:
         self._messages: List[Tuple[str, Pmt]] = []
         self._state: Any = None
         self._state_ready = False
-        self._out_offset = 0
+        self._out_offsets: Dict[int, int] = {
+            p: 0 for p in range(len(block.stream_outputs))
+        }
         block._post_fn = lambda port, pmt: self._messages.append((port, pmt))
 
     # ---- input staging ---------------------------------------------------
@@ -81,16 +83,16 @@ class Mocker:
             for p in range(len(outs)):
                 ts = rescale_tags(in_tags[0], in_sizes[0], out_sizes[p])
                 self._out_tags[p].extend(
-                    t.shifted(self._out_offset) for t in ts
+                    t.shifted(self._out_offsets[p]) for t in ts
                 )
         elif b.tag_propagation == TagPropagation.CUSTOM:
             out_t = b.propagate_tags(in_tags, in_sizes, out_sizes)
             for p in range(len(outs)):
                 self._out_tags[p].extend(
-                    t.shifted(self._out_offset) for t in out_t[p]
+                    t.shifted(self._out_offsets[p]) for t in out_t[p]
                 )
-        if outs:
-            self._out_offset += out_sizes[0]
+        for p in range(len(outs)):
+            self._out_offsets[p] += out_sizes[p]
         self._inputs.clear()
         self._in_tags.clear()
         return self

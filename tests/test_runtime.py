@@ -432,3 +432,40 @@ def test_block_error_propagates():
     h = rt.start(fg)
     with pytest.raises(ValueError):
         h.wait(timeout=10)
+
+
+def test_head_delivers_exact_n_after_transient():
+    """Head(n) budget must not be consumed by upstream transient items
+    (which the sink trims): exactly n items reach the sink."""
+    rng = np.random.default_rng(11)
+    taps = rng.standard_normal(64).astype(np.float32)
+    x = rng.standard_normal(50_000).astype(np.float32)
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(
+        fg,
+        VectorSource(x),
+        Fir(taps, dtype=np.float32),
+        Head(1000, np.float32),
+        snk,
+    )
+    run(fg, chunk=4096)
+    assert len(snk.data()) == 1000
+
+
+def test_one_finished_source_terminates_graph():
+    """A finished input stream terminates the flowgraph even while other
+    sources are still live (the reference's BlockDone cascade)."""
+    import time
+
+    a = VectorSource(np.ones(5000, np.float32), repeat=True)  # endless
+    b = VectorSource(np.ones(20_000, np.float32))  # finite
+    add = Combine(lambda x, y: x + y, np.float32)
+    snk = VectorSink(np.float32)
+    fg = Flowgraph()
+    fg.stream(a, add, dst_port=0)
+    fg.stream(b, add, dst_port=1)
+    fg.stream(add, snk)
+    h = Runtime(chunk_size=4096).start(fg)
+    h.wait(timeout=30)  # must terminate on its own
+    assert len(snk.data()) >= 16_000
