@@ -64,6 +64,8 @@ class CArray:
     def _coerce(self, other) -> "CArray":
         if isinstance(other, CArray):
             return other
+        if isinstance(other, (complex, np.complexfloating)):
+            other = complex(other)
         if isinstance(other, complex):
             return CArray(
                 jnp.asarray(other.real, dtype=self.real_dtype),
@@ -76,6 +78,8 @@ class CArray:
     def __add__(self, other):
         if isinstance(other, CArray):
             return CArray(self.re + other.re, self.im + other.im)
+        if isinstance(other, np.complexfloating):
+            other = complex(other)
         if isinstance(other, complex):
             return CArray(self.re + other.real, self.im + other.imag)
         return CArray(self.re + other, self.im)
@@ -85,6 +89,8 @@ class CArray:
     def __sub__(self, other):
         if isinstance(other, CArray):
             return CArray(self.re - other.re, self.im - other.im)
+        if isinstance(other, np.complexfloating):
+            other = complex(other)
         if isinstance(other, complex):
             return CArray(self.re - other.real, self.im - other.imag)
         return CArray(self.re - other, self.im)
@@ -101,6 +107,8 @@ class CArray:
                 self.re * other.re - self.im * other.im,
                 self.re * other.im + self.im * other.re,
             )
+        if isinstance(other, np.complexfloating):
+            other = complex(other)
         if isinstance(other, complex):
             return CArray(
                 self.re * other.real - self.im * other.imag,
@@ -111,7 +119,7 @@ class CArray:
     __rmul__ = __mul__
 
     def __truediv__(self, other):
-        if isinstance(other, (CArray, complex)):
+        if isinstance(other, (CArray, complex, np.complexfloating)):
             o = self._coerce(other)
             denom = o.re * o.re + o.im * o.im
             return CArray(
@@ -119,6 +127,15 @@ class CArray:
                 (self.im * o.re - self.re * o.im) / denom,
             )
         return CArray(self.re / other, self.im / other)
+
+    def __rtruediv__(self, other):
+        # real-or-complex / CArray: numerator coerced, standard formula
+        num = self._coerce(other)
+        denom = self.re * self.re + self.im * self.im
+        return CArray(
+            (num.re * self.re + num.im * self.im) / denom,
+            (num.im * self.re - num.re * self.im) / denom,
+        )
 
     # ---- complex ops --------------------------------------------------------
     def conj(self) -> "CArray":
@@ -216,12 +233,16 @@ def asarray(x) -> ArrayLike:
         return x
     if isinstance(x, np.ndarray) and np.iscomplexobj(x):
         return from_numpy(x)
-    if isinstance(x, (complex,)) or (
-        hasattr(x, "dtype") and jnp.issubdtype(jnp.asarray(x).dtype, jnp.complexfloating)
-    ):
-        arr = np.asarray(x)
+    if isinstance(x, (complex, np.complexfloating)):
+        return from_numpy(np.asarray(x))
+    if hasattr(x, "dtype"):  # jax array or tracer: never pull to host
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            return from_numpy(np.asarray(x))  # concrete-only path
+        return jnp.asarray(x)
+    arr = np.asarray(x)
+    if np.iscomplexobj(arr):  # lists/tuples of complex included
         return from_numpy(arr)
-    return jnp.asarray(x)
+    return jnp.asarray(arr)
 
 
 # ---- generic helpers that work on real arrays AND CArrays -------------------

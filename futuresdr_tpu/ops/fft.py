@@ -153,7 +153,12 @@ def fft_chunk(
     frames = x.reshape(*x.shape[:-1], n // size, size)
     if window is not None:
         frames = frames * window
-    out = ifft_c(frames) if inverse else fft_c(frames)
+    if inverse:
+        # rustfft parity: the inverse transform is UNNORMALIZED; the
+        # ``normalize`` option is the only scaling (fft.rs:28-56)
+        out = ifft_c(frames) * float(size)
+    else:
+        out = fft_c(frames)
     if normalize:
         out = out * float(1.0 / np.sqrt(size))
     if shift:

@@ -257,13 +257,22 @@ def conv1d_valid_fft(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLik
     T = taps.shape[0]
     N = x.shape[-1]
     M = N - T + 1
+    # pad to a power of two: a prime-ish length would fall back to a full
+    # O(N²) DFT matmul (an [N, N] constant!) in the mixed-radix FFT
+    nfft = 1 << (N - 1).bit_length()
     tp = cplx.asarray(taps)
     if not isinstance(tp, CArray):
         tp = CArray(tp, jnp.zeros_like(tp))
-    pad = cplx.apply1(
-        lambda t: jnp.concatenate([t, jnp.zeros(N - T, dtype=t.dtype)]), tp
+    xp = cplx.apply1(
+        lambda t: jnp.concatenate(
+            [t, jnp.zeros(t.shape[:-1] + (nfft - N,), dtype=t.dtype)], axis=-1
+        ),
+        x,
     )
-    X = fft_c(x)
+    pad = cplx.apply1(
+        lambda t: jnp.concatenate([t, jnp.zeros(nfft - T, dtype=t.dtype)]), tp
+    )
+    X = fft_c(xp)
     H = fft_c(pad)
     y = ifft_c(X * H)[..., T - 1 : T - 1 + M]
     if stride > 1:

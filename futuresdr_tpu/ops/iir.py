@@ -63,8 +63,9 @@ def iir_apply(
     a = jnp.asarray(a, dtype=jnp.float32)
     if a.shape[0] < 1:
         raise ValueError("a must have at least a[0]")
-    a = a / a[0]
-    b = b / jnp.asarray(a[0], dtype=b.dtype)
+    a0 = a[0]
+    a = a / a0
+    b = b / jnp.asarray(a0, dtype=b.dtype)
     p = a.shape[0] - 1
 
     if state is None:

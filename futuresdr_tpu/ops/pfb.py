@@ -153,8 +153,8 @@ def arb_resample(
 ):
     """Apply an arbitrary-rate PFB resampler with a precomputed plan.
 
-    ``y[m] = Σ_k phase_taps[phase[m], k] · x[input_index[m] − k]``.
-    state: last L-1 input samples.
+    ``y[..., m] = Σ_k phase_taps[phase[m], k] · x[..., input_index[m] − k]``.
+    state: last L-1 input samples. Leading axes are batch.
     """
     x = cplx.asarray(x)
     P, L = phase_taps.shape
@@ -167,10 +167,15 @@ def arb_resample(
             lambda t: jax.lax.dynamic_slice_in_dim(t, s, L, axis=-1), ext
         )
     )
-    win = gather(input_index)  # [n_out, L]
-    taps = phase_taps[phase_index][..., ::-1]  # align newest-sample ordering
+    win = gather(input_index)  # [n_out, ..., L] (n_out leads from vmap)
+    taps = phase_taps[phase_index][..., ::-1]  # [n_out, L], newest first
+    # broadcast taps across any batch axes between n_out and L
+    n_batch = (win.ndim if not isinstance(win, CArray) else win.re.ndim) - 2
+    taps = taps.reshape(taps.shape[:1] + (1,) * n_batch + taps.shape[1:])
     y = (win * taps).sum(axis=-1) if isinstance(win, CArray) else jnp.sum(
         win * taps, axis=-1
     )
+    # vmap put n_out first; restore the batch-leading convention
+    y = cplx.apply1(lambda t: jnp.moveaxis(t, 0, -1), y)
     new_state = ext[..., ext.shape[-1] - (L - 1) :]
     return new_state, y
