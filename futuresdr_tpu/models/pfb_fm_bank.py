@@ -17,8 +17,6 @@ exactly the serial semantics.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +52,9 @@ def _design(cfg: BankConfig):
     branch = jnp.asarray(
         analysis_branch_taps(proto, cfg.n_ch).astype(np.float32)
     )
-    win = np.hamming(cfg.audio_taps)
+    from futuresdr_tpu.dsp import windows
+
+    win = windows.hamming(cfg.audio_taps)
     audio = jnp.asarray(
         firdes.lowpass(0.4 / cfg.audio_decim, win).astype(np.float32)
     )
@@ -70,7 +70,7 @@ def make_bank_step(cfg: BankConfig = BankConfig()):
     ``audio`` is ``[n_ch, R/audio_decim]`` float32.
     """
     branch_taps, audio_taps = _design(cfg)
-    M, L = cfg.n_ch, cfg.branch_len
+    M, L = cfg.n_ch, int(branch_taps.shape[-1])
     Ta = cfg.audio_taps
     Ha = -(-(Ta - 1) // cfg.audio_decim) * cfg.audio_decim
 
@@ -115,7 +115,7 @@ def make_sharded_bank_step(
     from jax.experimental.shard_map import shard_map
 
     branch_taps, audio_taps = _design(cfg)
-    M, L = cfg.n_ch, cfg.branch_len
+    M, L = cfg.n_ch, int(branch_taps.shape[-1])
     Ta = cfg.audio_taps
     Ha = -(-(Ta - 1) // cfg.audio_decim) * cfg.audio_decim
     Hw = (L - 1) * M  # wideband halo
@@ -129,6 +129,13 @@ def make_sharded_bank_step(
 
     def shard_fn(carry, x):
         cw, cz, ca = carry
+        r_loc = x.shape[-1] // M
+        if x.shape[-1] % M or r_loc % cfg.audio_decim:
+            raise ValueError(
+                f"per-shard chunk of {x.shape[-1]} samples must be a "
+                f"multiple of n_ch·audio_decim = {M * cfg.audio_decim} "
+                "(otherwise decimation grids silently desync across shards)"
+            )
         # PFB with halo-derived branch history ([Hw] wideband → [M, L-1])
         hist = halo_left(x, Hw, axis, carry=cw)[..., :Hw]
         st = cplx.apply1(lambda t: t.reshape(L - 1, M).T, hist)
@@ -181,7 +188,7 @@ def make_sharded_bank_step_2d(
     from jax.experimental.shard_map import shard_map
 
     branch_taps, audio_taps = _design(cfg)
-    M, L = cfg.n_ch, cfg.branch_len
+    M, L = cfg.n_ch, int(branch_taps.shape[-1])
     Ta = cfg.audio_taps
     Ha = -(-(Ta - 1) // cfg.audio_decim) * cfg.audio_decim
     Hw = (L - 1) * M
@@ -198,6 +205,13 @@ def make_sharded_bank_step_2d(
 
     def shard_fn(carry, x):
         cw, cz, ca = carry  # cz/ca arrive as the local (Mc, ·) slices
+        r_loc = x.shape[-1] // M
+        if x.shape[-1] % M or r_loc % cfg.audio_decim:
+            raise ValueError(
+                f"per-shard chunk of {x.shape[-1]} samples must be a "
+                f"multiple of n_ch·audio_decim = {M * cfg.audio_decim} "
+                "(otherwise decimation grids silently desync across shards)"
+            )
         ci = jax.lax.axis_index(ch_axis)
         hist = halo_left(x, Hw, time_axis, carry=cw)[..., :Hw]
         st = cplx.apply1(lambda t: t.reshape(L - 1, M).T, hist)

@@ -43,9 +43,14 @@ def halo_left(
     n = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
     tail = x[..., x.shape[-1] - h :]
-    recv = cplx.apply1(
-        lambda t: jax.lax.ppermute(t, axis_name, perm=perm), tail
-    )
+    if isinstance(tail, cplx.CArray):
+        # one collective for both components (halves ICI message count)
+        both = jax.lax.ppermute(
+            jnp.stack([tail.re, tail.im]), axis_name, perm=perm
+        )
+        recv = cplx.CArray(both[0], both[1])
+    else:
+        recv = jax.lax.ppermute(tail, axis_name, perm=perm)
     idx = jax.lax.axis_index(axis_name)
     if carry is None:
         recv = cplx.apply1(
@@ -66,10 +71,19 @@ def ring_carry(x: ArrayLike, h: int, axis_name: str) -> ArrayLike:
     """Replicate the LAST shard's last ``h`` items to every shard — the
     next step's ``carry`` for :func:`halo_left` (cross-step stream
     continuity when the time axis wraps to the next chunk)."""
+    if h > x.shape[-1]:
+        raise ValueError(
+            f"ring carry of {h} items exceeds the {x.shape[-1]}-item shard"
+        )
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
     tail = x[..., x.shape[-1] - h :]
     masked = cplx.apply1(
         lambda t: jnp.where(idx == n - 1, t, jnp.zeros_like(t)), tail
     )
-    return cplx.apply1(lambda t: jax.lax.psum(t, axis_name), masked)
+    if isinstance(masked, cplx.CArray):
+        both = jax.lax.psum(
+            jnp.stack([masked.re, masked.im]), axis_name
+        )
+        return cplx.CArray(both[0], both[1])
+    return jax.lax.psum(masked, axis_name)

@@ -113,20 +113,24 @@ def solve_repetitions(fg: Flowgraph) -> List[int]:
 def topo_order(fg: Flowgraph) -> List[int]:
     n = len(fg.blocks)
     indeg = [0] * n
+    out_adj: List[List[int]] = [[] for _ in range(n)]
     for e in fg.stream_edges:
         indeg[e.dst] += 1
+        out_adj[e.src].append(e.dst)
     ready = [i for i in range(n) if indeg[i] == 0]
     order: List[int] = []
     while ready:
         b = ready.pop()
         order.append(b)
-        for e in fg.stream_edges:
-            if e.src == b:
-                indeg[e.dst] -= 1
-                if indeg[e.dst] == 0:
-                    ready.append(e.dst)
+        for dst in out_adj[b]:
+            indeg[dst] -= 1
+            if indeg[dst] == 0:
+                ready.append(dst)
     if len(order) != n:
-        cyc = [fg.blocks[i].instance_name for i in range(n) if i not in order]
+        placed = set(order)
+        cyc = [
+            fg.blocks[i].instance_name for i in range(n) if i not in placed
+        ]
         raise RateError(f"flowgraph has a stream cycle involving {cyc}")
     return order
 
@@ -200,9 +204,11 @@ class CompiledFlowgraph:
         }
 
     # ---- scan variant (amortized dispatch for benches / bulk files) ------
-    def make_scan_step(self, k: int):
-        """Return a jitted fn processing ``k`` stacked chunks via lax.scan."""
-        if self.scan_step is not None and self._scan_k == k:
+    def make_scan_step(self):
+        """Jitted fn processing K stacked chunks via lax.scan (K is the
+        leading axis of ``stacked_srcs``; jax's shape-keyed cache handles
+        different K without rebuilding)."""
+        if self.scan_step is not None:
             return self.scan_step
         base = self._eval  # unjitted single-step body
 
@@ -215,7 +221,6 @@ class CompiledFlowgraph:
             return states, sinks, aux
 
         self.scan_step = jax.jit(scanned, donate_argnums=(0,))
-        self._scan_k = k
         return self.scan_step
 
     # ---- the traced body -------------------------------------------------
