@@ -110,6 +110,11 @@ def make_sharded_bank_step(
 
     each one ``ppermute`` (the "overlap-save exchange" the BASELINE metric
     tracks).
+
+    Per-shard chunks must also be at least ``Ha = ceil((audio_taps-1)/
+    audio_decim)·audio_decim`` audio samples long — a single ppermute hop
+    only reaches the immediate neighbor, so a halo cannot span shards
+    (``halo_left`` raises if it would).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax.experimental.shard_map import shard_map

@@ -177,7 +177,6 @@ class CompiledFlowgraph:
     pure_ids: List[int]
     step: Any = None  # jitted fn, attached by _trace
     scan_step: Any = None  # jitted K-chunk lax.scan variant (built lazily)
-    _scan_k: Optional[int] = None
 
     # ---- key helpers -----------------------------------------------------
     @staticmethod
