@@ -255,6 +255,121 @@ def make_sharded_bank_step_2d(
     return init_carry, fn
 
 
+def make_sharded_bank_step_2d_partial(
+    cfg: BankConfig,
+    mesh,
+    ch_axis: str = "ch",
+    time_axis: str = "time",
+):
+    """Channels × time 2D-mesh step **without** the replicated-channelizer
+    redundancy of :func:`make_sharded_bank_step_2d`.
+
+    Each device filters only its ``M/C`` polyphase *branches* (branch taps
+    arrive as a ``P(ch, None)``-sharded operand), the branch signals are
+    re-assembled with one ``all_gather`` over the channel axis, and the
+    length-M FFT is replaced by that device's ``[M/C, M]`` row-slice of
+    the DFT matrix — one dense MXU matmul producing exactly the local
+    channels. Per-device channelizer FLOPs drop by C on the branch FIR;
+    the DFT becomes M²/C MACs/step (MXU-dense, beats a replicated
+    full FFT for moderate C). Time halos ride ``ppermute`` exactly as in
+    the 1D variant."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from futuresdr_tpu.ops.fft import _PREC
+    from futuresdr_tpu.ops.fir import conv1d_valid_branches_w
+
+    branch_taps, audio_taps = _design(cfg)
+    M, L = cfg.n_ch, int(branch_taps.shape[-1])
+    Ta = cfg.audio_taps
+    Ha = -(-(Ta - 1) // cfg.audio_decim) * cfg.audio_decim
+    Hw = (L - 1) * M
+    C = mesh.shape[ch_axis]
+    if M % C:
+        raise ValueError(f"n_ch {M} not divisible by {C} channel shards")
+    Mc = M // C
+
+    # host-built operands, sharded by the channel mesh axis via in_specs
+    bt = np.asarray(branch_taps)
+    w_rev = jnp.asarray(np.ascontiguousarray(bt[:, ::-1]))  # [M, L]
+    k = np.arange(M, dtype=np.float64)[:, None]
+    p = np.arange(M, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * k * p / M
+    d_re = jnp.asarray(np.cos(ang).astype(np.float32))  # [M, M]
+    d_im = jnp.asarray(np.sin(ang).astype(np.float32))
+
+    def init_carry():
+        return (
+            cplx.czeros((Hw,)),
+            cplx.czeros((M, 1)),
+            jnp.zeros((M, Ha), jnp.float32),
+        )
+
+    def shard_fn(carry, x, w_loc, dre, dim):
+        cw, cz, ca = carry  # cz/ca arrive as the local (Mc, ·) slices
+        r_loc = x.shape[-1] // M
+        if x.shape[-1] % M or r_loc % cfg.audio_decim:
+            raise ValueError(
+                f"per-shard chunk of {x.shape[-1]} samples must be a "
+                f"multiple of n_ch·audio_decim = {M * cfg.audio_decim} "
+                "(otherwise decimation grids silently desync across shards)"
+            )
+        ci = jax.lax.axis_index(ch_axis)
+        hist = halo_left(x, Hw, time_axis, carry=cw)[..., :Hw]
+        st = cplx.apply1(lambda t: t.reshape(L - 1, M).T, hist)  # [M, L-1]
+        xb = cplx.apply1(lambda t: t.reshape(r_loc, M).T, x)  # [M, R_loc]
+        ext = cplx.concat([st, xb], axis=-1)  # [M, L-1+R_loc]
+        ext_loc = cplx.apply1(
+            lambda t: jax.lax.dynamic_slice_in_dim(t, ci * Mc, Mc, axis=0),
+            ext,
+        )
+        v_loc = conv1d_valid_branches_w(ext_loc, w_loc)  # [Mc, R_loc]
+        # re-assemble all branches: ONE all_gather for both components
+        both = jax.lax.all_gather(
+            jnp.stack([v_loc.re, v_loc.im]), ch_axis, axis=1, tiled=True
+        )  # [2, M, R_loc]
+        # partial DFT: this device's channel rows only ([Mc, M] @ [M, R])
+        prec = _PREC()
+        zre = jnp.matmul(dre, both[0], precision=prec) - jnp.matmul(
+            dim, both[1], precision=prec
+        )
+        zim = jnp.matmul(dre, both[1], precision=prec) + jnp.matmul(
+            dim, both[0], precision=prec
+        )
+        z = CArray(zre, zim)  # [Mc, R_loc] channel-major
+        zprev = halo_left(z, 1, time_axis, carry=cz)[..., :1]
+        _, a = quadrature_demod(z, zprev, cfg.demod_gain)
+        ast = halo_left(a, Ha, time_axis, carry=ca)[..., :Ha]
+        _, audio = fir_decimate(a, audio_taps, cfg.audio_decim, ast)
+        new_carry = (
+            ring_carry(x, Hw, time_axis),
+            ring_carry(z, 1, time_axis),
+            ring_carry(a, Ha, time_axis),
+        )
+        return new_carry, audio
+
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            (P(), P(ch_axis), P(ch_axis)),
+            P(time_axis),
+            P(ch_axis, None),  # branch-tap rows
+            P(ch_axis, None),  # DFT rows (re)
+            P(ch_axis, None),  # DFT rows (im)
+        ),
+        out_specs=(
+            (P(), P(ch_axis), P(ch_axis)),
+            P(ch_axis, time_axis),
+        ),
+        check_rep=False,
+    )
+
+    def fn(carry, x):
+        return sharded(carry, x, w_rev, d_re, d_im)
+
+    return init_carry, fn
+
+
 # ---------------------------------------------------------------------------
 # Convenience: jittable single-chip step with concrete example args
 # ---------------------------------------------------------------------------

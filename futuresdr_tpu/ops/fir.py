@@ -161,6 +161,20 @@ def conv1d_valid_branches(xb: ArrayLike, taps_b: ArrayLike) -> ArrayLike:
     return cplx.einsum("pt,...ptn->...pn", W, view, precision=_precision())
 
 
+def conv1d_valid_branches_w(xb: ArrayLike, w_rev: ArrayLike) -> ArrayLike:
+    """:func:`conv1d_valid_branches` with *pre-reversed, possibly traced*
+    taps ``w_rev`` [P, T] (``w_rev[p, t]`` multiplies ``xb[p, n+t]``).
+
+    Used where the taps arrive as a sharded ``shard_map`` operand (each
+    device sees its branch slice) and so cannot be host-reversed inside
+    the trace."""
+    xb = cplx.asarray(xb)
+    T = w_rev.shape[-1]
+    M = xb.shape[-1] - T + 1
+    view = _shift_stack(xb, T, M)  # [..., P, T, M]
+    return cplx.einsum("pt,...ptn->...pn", w_rev, view, precision=_precision())
+
+
 def conv1d_valid_shared(x: ArrayLike, taps_b: ArrayLike) -> ArrayLike:
     """Branch bank over a shared input: x [..., Ne] × taps_b [P, T]
     (concrete) → [..., P, M] (the polyphase-interpolator workhorse).
@@ -243,11 +257,51 @@ def conv1d_valid(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLike:
     return CArray(out[:, 0, :].reshape(*lead, M), out[:, 1, :].reshape(*lead, M))
 
 
+_TAPS_SPECTRUM_CACHE: dict = {}
+_TAPS_SPECTRUM_CACHE_MAX = 64
+
+
+def _is_concrete(t) -> bool:
+    return isinstance(t, np.ndarray) or (
+        isinstance(t, jax.Array) and not isinstance(t, jax.core.Tracer)
+    )
+
+
+def _taps_spectrum(taps: ArrayLike, nfft: int) -> Optional[CArray]:
+    """Host-precomputed DFT of the (static) taps, cached per (taps, nfft).
+
+    Returns None when the taps are traced values (runtime params) — the
+    caller then falls back to an on-device FFT. For the usual case of taps
+    closed over as constants this removes the whole tap-FFT subgraph from
+    the trace (faster compile, and no reliance on XLA constant folding)."""
+    if isinstance(taps, CArray):
+        if not (_is_concrete(taps.re) and _is_concrete(taps.im)):
+            return None
+        h = np.asarray(taps.re) + 1j * np.asarray(taps.im)
+    else:
+        if not _is_concrete(taps):
+            return None
+        h = np.asarray(taps).astype(np.complex128)
+    key = (h.tobytes(), nfft)
+    hit = _TAPS_SPECTRUM_CACHE.get(key)
+    if hit is None:
+        if len(_TAPS_SPECTRUM_CACHE) >= _TAPS_SPECTRUM_CACHE_MAX:
+            _TAPS_SPECTRUM_CACHE.clear()
+        spec = np.fft.fft(h.astype(np.complex128), nfft)
+        hit = (
+            spec.real.astype(np.float32),
+            spec.imag.astype(np.float32),
+        )
+        _TAPS_SPECTRUM_CACHE[key] = hit
+    return CArray(jnp.asarray(hit[0]), jnp.asarray(hit[1]))
+
+
 def conv1d_valid_fft(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLike:
     """FFT fast-convolution variant of :func:`conv1d_valid` (long taps).
 
     One full-chunk matmul-FFT multiply; preferable once direct O(N·T) MACs
-    exceed the FFT cost.
+    exceed the FFT cost. The taps' spectrum is precomputed host-side and
+    cached when the taps are compile-time constants (the usual case).
     """
     from futuresdr_tpu.ops.fft import fft_c, ifft_c
 
@@ -260,20 +314,25 @@ def conv1d_valid_fft(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLik
     # pad to a power of two: a prime-ish length would fall back to a full
     # O(N²) DFT matmul (an [N, N] constant!) in the mixed-radix FFT
     nfft = 1 << (N - 1).bit_length()
-    tp = cplx.asarray(taps)
-    if not isinstance(tp, CArray):
-        tp = CArray(tp, jnp.zeros_like(tp))
     xp = cplx.apply1(
         lambda t: jnp.concatenate(
             [t, jnp.zeros(t.shape[:-1] + (nfft - N,), dtype=t.dtype)], axis=-1
         ),
         x,
     )
-    pad = cplx.apply1(
-        lambda t: jnp.concatenate([t, jnp.zeros(nfft - T, dtype=t.dtype)]), tp
-    )
+    H = _taps_spectrum(taps, nfft)
+    if H is None:
+        tp = taps
+        if not isinstance(tp, CArray):
+            tp = CArray(tp, jnp.zeros_like(tp))
+        pad = cplx.apply1(
+            lambda t: jnp.concatenate(
+                [t, jnp.zeros(nfft - T, dtype=t.dtype)]
+            ),
+            tp,
+        )
+        H = fft_c(pad)
     X = fft_c(xp)
-    H = fft_c(pad)
     y = ifft_c(X * H)[..., T - 1 : T - 1 + M]
     if stride > 1:
         y = y[..., ::stride]

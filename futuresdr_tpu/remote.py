@@ -41,6 +41,10 @@ class RemoteFlowgraph:
     def describe(self) -> dict:
         return self._remote._get(f"/api/fg/{self.id}/")
 
+    def stats(self) -> dict:
+        """Executor counters (steps, items, wall time) for a live graph."""
+        return self._remote._get(f"/api/fg/{self.id}/stats/")
+
     def blocks(self) -> List[RemoteBlock]:
         return [
             RemoteBlock(self._remote, self.id, d)

@@ -8,6 +8,9 @@ thread) — here the stdlib ``http.server`` on a daemon thread. Routes:
 * ``GET /api/fg/{fg}/block/{blk}/`` — BlockDescription
 * ``GET|POST /api/fg/{fg}/block/{blk}/call/{handler}/`` — handler RPC
   (POST body = Pmt as JSON; GET calls with null)
+* ``GET /api/fg/{fg}/stats/`` — executor counters (steps, items in/out,
+  wall time) from :meth:`FlowgraphHandle.stats` (TPU-side addition; the
+  reference exposes perf data via tracing/LTTng instead)
 
 Custom user routes merge via ``add_route`` (parity:
 ``Runtime::with_custom_routes``, runtime.rs:74).
@@ -125,6 +128,18 @@ class ControlPort:
             d = asdict(h.describe())
             d["id"] = int(m_fg.group(1))
             req._send(200, d)
+            return
+
+        m_stats = re.fullmatch(r"/api/fg/(\d+)/stats/?", path)
+        if method == "GET" and m_stats:
+            h = self._handles.get(int(m_stats.group(1)))
+            if h is None:
+                req._send(404, {"error": "no such flowgraph"})
+                return
+            if not hasattr(h, "stats"):
+                req._send(404, {"error": "handle exposes no stats"})
+                return
+            req._send(200, h.stats())
             return
 
         m_blk = re.fullmatch(r"/api/fg/(\d+)/block/(\d+)/?", path)

@@ -49,9 +49,9 @@ class RuntimeError_(Exception):
     pass
 
 
-def _to_device(arr: np.ndarray, n: int, dtype) -> Tuple[Any, int]:
-    """Pad a host chunk to n items and move to device repr. Returns
-    (device_array, valid)."""
+def _pad_host(arr: np.ndarray, n: int, dtype) -> Tuple[np.ndarray, int]:
+    """Pad a host chunk to n items and cast to the port dtype. Returns
+    (host_array, valid)."""
     arr = np.asarray(arr)
     valid = arr.shape[-1] if arr.ndim else 0
     if valid < n:
@@ -59,7 +59,7 @@ def _to_device(arr: np.ndarray, n: int, dtype) -> Tuple[Any, int]:
         arr = np.concatenate([arr, pad], axis=-1)
     elif valid > n:
         raise RuntimeError_(f"source produced {valid} items for chunk {n}")
-    return cplx.from_numpy(arr.astype(dtype, copy=False)), valid
+    return arr.astype(dtype, copy=False), valid
 
 
 @dataclass
@@ -71,6 +71,16 @@ class _Inflight:
     sink_valid: Dict[str, int]
     sink_tags: Dict[str, List[ItemTag]]
     any_valid: bool
+
+
+@dataclass
+class _InflightBatch:
+    """K chunks dispatched as one ``lax.scan`` step (``steps_per_call``);
+    sink/aux arrays carry a leading K axis."""
+
+    sink_arrays: Dict[str, Any]
+    aux: Dict[str, Any]
+    chunks: List[Tuple[Dict[str, int], Dict[str, List[ItemTag]]]]
 
 
 class FlowgraphHandle:
@@ -327,8 +337,11 @@ class Executor:
                 self.items_delivered[bid] += np_arr.shape[-1]
                 b.host_consume(np_arr, tags_, port=i)
 
-    def _deliver_full(self, flight: _Inflight, lat_left: Dict[str, int]) -> None:
+    def _deliver_full(self, flight, lat_left: Dict[str, int]) -> None:
         """Deliver sink data AND route aux to block hooks (every path)."""
+        if isinstance(flight, _InflightBatch):
+            self._deliver_batch(flight, lat_left)
+            return
         self._deliver(flight, lat_left)
         if flight.aux:
             aux_host = jax.device_get(flight.aux)
@@ -336,6 +349,51 @@ class Executor:
                 a = aux_host.get(self.cfg.bkey(bid))
                 if a:
                     self.fg.blocks[bid].on_aux(a)
+
+    def _deliver_batch(
+        self, flight: _InflightBatch, lat_left: Dict[str, int]
+    ) -> None:
+        """One D2H fetch for a whole K-chunk scan batch, then per-chunk
+        delivery in stream order (valid/tags/latency exactly as if the K
+        steps had been dispatched individually)."""
+        cfg, fg = self.cfg, self.fg
+        need_fetch = any(
+            not getattr(fg.blocks[bid], "device_reduce", False)
+            for bid in cfg.host_sink_ids
+        )
+        host = jax.device_get(flight.sink_arrays) if need_fetch else None
+        self._last_arrays = flight.sink_arrays
+        aux_host = jax.device_get(flight.aux) if flight.aux else None
+        for k, (sink_valid, sink_tags) in enumerate(flight.chunks):
+            for bid in cfg.host_sink_ids:
+                b = fg.blocks[bid]
+                for i, e in enumerate(fg.in_edges(bid)):
+                    key = cfg.pkey(bid, e.dst_port)
+                    v = sink_valid.get(key, 0)
+                    if getattr(b, "device_reduce", False):
+                        self.items_delivered[bid] += v
+                        b.host_consume_count(v)
+                        continue
+                    np_arr = cplx.to_numpy(host[key])[k][..., :v]
+                    tags_ = [
+                        t for t in sink_tags.get(key, []) if t.index < v
+                    ]
+                    skip = min(lat_left.get(key, 0), np_arr.shape[-1])
+                    if skip:
+                        np_arr = np_arr[..., skip:]
+                        tags_ = [
+                            t.shifted(-skip) for t in tags_ if t.index >= skip
+                        ]
+                        lat_left[key] -= skip
+                    self.items_delivered[bid] += np_arr.shape[-1]
+                    b.host_consume(np_arr, tags_, port=i)
+            if aux_host:
+                for bid in cfg.pure_ids:
+                    a = aux_host.get(cfg.bkey(bid))
+                    if a:
+                        fg.blocks[bid].on_aux(
+                            jax.tree_util.tree_map(lambda t: t[k], a)
+                        )
 
     # ---- metrics (observability parity: chunks/s, samples/s) -------------
     def stats(self) -> Dict[str, Any]:
@@ -381,6 +439,11 @@ class Executor:
         tickers = [
             b for b in fg.blocks if callable(getattr(b, "host_tick", None))
         ]
+        # steps_per_call > 1: fuse K chunks into one lax.scan dispatch.
+        # Amortizes the per-dispatch host/tunnel overhead; the tradeoff is
+        # control granularity — messages/tickers run once per batch.
+        K = max(1, int(config.get("steps_per_call", 1)))
+        scan_step = cfg.make_scan_step() if K > 1 else None
         step_no = 0
         eos = False
         params_cache = None
@@ -399,33 +462,49 @@ class Executor:
             if self.max_steps is not None and step_no >= self.max_steps:
                 break
 
-            # -- feed sources --------------------------------------------
-            src_arrays: Dict[str, Any] = {}
-            src_valid: Dict[str, int] = {}
-            src_tags: Dict[str, List[ItemTag]] = {}
-            any_eos = False
-            for bid in cfg.host_source_ids:
-                b = fg.blocks[bid]
-                for p in range(len(b.stream_outputs)):
-                    key = cfg.pkey(bid, p)
-                    n = cfg.out_chunks[bid][p]
-                    produced = b.host_produce(n, port=p)
-                    tags_: List[ItemTag] = []
-                    if isinstance(produced, tuple):
-                        produced, tags_ = produced
-                    if produced is None:
-                        arr = np.zeros((0,), dtype=src_dtypes[key])
-                        any_eos = True  # a finished input terminates the
-                        # flowgraph (the reference's BlockDone cascade)
-                    else:
-                        arr = np.asarray(produced)
-                    dev, valid = _to_device(arr, n, src_dtypes[key])
-                    src_arrays[key] = dev
-                    src_valid[key] = valid
-                    src_tags[key] = tags_
-            if any_eos:
-                eos = True
-            elif has_host_sources and not any(src_valid.values()):
+            # -- feed sources: collect up to K chunk sets ------------------
+            budget = K
+            if self.max_steps is not None:
+                budget = min(budget, self.max_steps - step_no)
+            batch: List[
+                Tuple[
+                    Dict[str, np.ndarray],
+                    Dict[str, int],
+                    Dict[str, List[ItemTag]],
+                ]
+            ] = []
+            while len(batch) < budget and not eos:
+                src_host: Dict[str, np.ndarray] = {}
+                src_valid: Dict[str, int] = {}
+                src_tags: Dict[str, List[ItemTag]] = {}
+                any_eos = False
+                for bid in cfg.host_source_ids:
+                    b = fg.blocks[bid]
+                    for p in range(len(b.stream_outputs)):
+                        key = cfg.pkey(bid, p)
+                        n = cfg.out_chunks[bid][p]
+                        produced = b.host_produce(n, port=p)
+                        tags_: List[ItemTag] = []
+                        if isinstance(produced, tuple):
+                            produced, tags_ = produced
+                        if produced is None:
+                            arr = np.zeros((0,), dtype=src_dtypes[key])
+                            any_eos = True  # a finished input terminates
+                            # the flowgraph (reference's BlockDone cascade)
+                        else:
+                            arr = np.asarray(produced)
+                        host_arr, valid = _pad_host(arr, n, src_dtypes[key])
+                        src_host[key] = host_arr
+                        src_valid[key] = valid
+                        src_tags[key] = tags_
+                if any_eos:
+                    eos = True
+                    break
+                if has_host_sources and not any(src_valid.values()):
+                    break  # live sources idle: dispatch what we have
+                batch.append((src_host, src_valid, src_tags))
+
+            if not batch and not eos:
                 # live sources idle: flush pending output, don't burn a
                 # step on all-pad chunks
                 while inflight:
@@ -433,29 +512,64 @@ class Executor:
                 time.sleep(0.001)
                 continue
 
-            if not eos:
-                sink_valid, sink_tags, any_valid = self._propagate_valid(
-                    src_valid, src_tags
-                )
+            if batch:
                 ver = sum(
                     fg.blocks[bid]._params_version for bid in cfg.pure_ids
                 )
                 if params_cache is None or ver != params_ver:
                     params_cache = cfg.gather_params()
                     params_ver = ver
-                states, sink_arrays, aux = cfg.step(
-                    states, params_cache, src_arrays
-                )
-                inflight.append(
-                    _Inflight(
-                        sink_arrays=sink_arrays,
-                        aux=aux,
-                        sink_valid=sink_valid,
-                        sink_tags=sink_tags,
-                        any_valid=any_valid,
+                if len(batch) > 1 and scan_step is not None:
+                    # valid/tag propagation per chunk, in stream order
+                    per_chunk = []
+                    for _, sv, stg in batch:
+                        pv, pt, _ = self._propagate_valid(sv, stg)
+                        per_chunk.append((pv, pt))
+                    stacked = {
+                        key: cplx.from_numpy(
+                            np.stack([c[0][key] for c in batch])
+                        )
+                        for key in batch[0][0]
+                    }
+                    if not stacked:  # device-source-only graph: scan still
+                        # needs a leading-axis operand to infer its length
+                        stacked = {
+                            "__scan_len": np.zeros(
+                                (len(batch), 1), np.float32
+                            )
+                        }
+                    states, sink_arrays, aux = scan_step(
+                        states, params_cache, stacked
                     )
-                )
-                step_no += 1
+                    inflight.append(
+                        _InflightBatch(
+                            sink_arrays=sink_arrays,
+                            aux=aux,
+                            chunks=per_chunk,
+                        )
+                    )
+                else:
+                    for src_host, sv, stg in batch:
+                        sink_valid, sink_tags, any_valid = (
+                            self._propagate_valid(sv, stg)
+                        )
+                        src_arrays = {
+                            key: cplx.from_numpy(a)
+                            for key, a in src_host.items()
+                        }
+                        states, sink_arrays, aux = cfg.step(
+                            states, params_cache, src_arrays
+                        )
+                        inflight.append(
+                            _Inflight(
+                                sink_arrays=sink_arrays,
+                                aux=aux,
+                                sink_valid=sink_valid,
+                                sink_tags=sink_tags,
+                                any_valid=any_valid,
+                            )
+                        )
+                step_no += len(batch)
                 self.steps_run = step_no
 
             # -- deliver completed steps ----------------------------------

@@ -150,3 +150,29 @@ def test_sharded_bank_2d_matches_serial():
 
     np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-5)
+
+
+def test_sharded_bank_2d_partial_dft_matches_serial():
+    """Partial-DFT 2D variant (branch-sharded channelizer + DFT row
+    slice) == serial, including cross-chunk carries."""
+    from futuresdr_tpu.models.pfb_fm_bank import (
+        make_sharded_bank_step_2d_partial,
+    )
+
+    cfg = BankConfig(n_ch=8, taps_per_ch=4, audio_decim=4, audio_taps=16)
+    N = 8 * 8 * 16
+    xc = cplx.from_numpy(_rand_c64(N, seed=11))
+
+    init, step = make_bank_step(cfg)
+    st = init()
+    st, a1 = jax.jit(step)(st, xc)
+    st, a2 = jax.jit(step)(st, xc)
+
+    mesh = make_mesh((2, 4), ("ch", "time"))
+    initc, sstep = make_sharded_bank_step_2d_partial(cfg, mesh)
+    carry = initc()
+    carry, b1 = jax.jit(sstep)(carry, xc)
+    carry, b2 = jax.jit(sstep)(carry, xc)
+
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-5)
