@@ -13,7 +13,11 @@ key                default   meaning
 ================== ========= =====================================================
 chunk_size         32768     items per compiled step on the base-rate edge
                              (replaces ``buffer_size`` bytes of the ring buffers)
-steps_per_call     1         chunks fused into one device dispatch via lax.scan
+steps_per_call     1         chunks fused into one device dispatch via lax.scan.
+                             Use >1 only in the small-chunk (dispatch-bound)
+                             regime: measured +35% at 16k-sample chunks but a
+                             large LOSS at 128k chunks (scan serializes what
+                             the async dispatch queue already overlaps)
 queue_size         8192      host-side bounded queue depth (source/sink staging)
 precision          highest   matmul/conv precision for DSP paths (60 dB SNR target)
 ctrlport_enable    False     start the REST control port with the runtime

@@ -5,5 +5,17 @@ from futuresdr_tpu.models.lora.phy import (
     LoraReceiver,
     modulate_frame,
 )
+from futuresdr_tpu.models.lora.meshtastic import (
+    PRESETS as MESHTASTIC_PRESETS,
+    MeshtasticChannel,
+    MeshtasticChannels,
+)
 
-__all__ = ["LoraConfig", "LoraReceiver", "modulate_frame"]
+__all__ = [
+    "LoraConfig",
+    "LoraReceiver",
+    "modulate_frame",
+    "MESHTASTIC_PRESETS",
+    "MeshtasticChannel",
+    "MeshtasticChannels",
+]

@@ -185,6 +185,10 @@ class LoraConfig:
     preamble_len: int = 8
     sync_word: int = 0x12
     has_crc: bool = True
+    # low-data-rate optimization (utils.rs LdroMode): payload blocks drop
+    # to sf-2 bits/symbol (same reduced-rate trick as the header) so long
+    # symbols tolerate clock drift; both ends must agree, as in hardware
+    ldro: bool = False
 
     @property
     def n(self) -> int:
@@ -254,12 +258,16 @@ def encode_symbols(cfg: LoraConfig, payload: bytes) -> np.ndarray:
     syms.extend((gray_decode(hdr_syms) << 2).tolist())
 
     cw_len = 4 + cfg.cr
-    pad = (-len(rest)) % sf
+    sf_p = sf - 2 if cfg.ldro else sf  # LDRO: reduced-rate payload blocks
+    pad = (-len(rest)) % sf_p
     rest = np.concatenate([rest, np.zeros(pad, np.uint8)])
-    for blk in rest.reshape(-1, sf):
+    for blk in rest.reshape(-1, sf_p):
         cws = hamming_encode(blk, cfg.cr)
-        bsyms = interleave_block(cws, sf, cw_len)
-        syms.extend(gray_decode(bsyms).tolist())
+        bsyms = interleave_block(cws, sf_p, cw_len)
+        s = gray_decode(bsyms)
+        if cfg.ldro:
+            s = s << 2
+        syms.extend(s.tolist())
     return np.asarray(syms, dtype=np.int64)
 
 
@@ -425,15 +433,19 @@ class LoraReceiver:
         total_nibbles = 2 * n_body
         remaining = total_nibbles - len(payload_nib_in_hdr)
         cw_len = 4 + cr
-        n_blocks = max(0, -(-remaining // sf))
+        sf_p = sf - 2 if cfg.ldro else sf  # LDRO mirror of encode_symbols
+        n_blocks = max(0, -(-remaining // sf_p))
         need_syms = 8 + n_blocks * cw_len
         if n_syms < need_syms:
             return None
         nib: List[int] = list(payload_nib_in_hdr)
         pos = 8
         for _ in range(n_blocks):
-            bsyms = gray_encode(syms[pos : pos + cw_len].astype(np.int64))
-            cws = deinterleave_block(bsyms, sf, cw_len)
+            blk = syms[pos : pos + cw_len].astype(np.int64)
+            if cfg.ldro:
+                blk = blk >> 2
+            bsyms = gray_encode(blk)
+            cws = deinterleave_block(bsyms, sf_p, cw_len)
             nib.extend(hamming_decode(cws, cr).tolist())
             pos += cw_len
         body = _nibbles_to_bytes(np.asarray(nib[:total_nibbles]))
