@@ -77,8 +77,10 @@ from futuresdr_tpu.blocks.audio import (
 )
 from futuresdr_tpu.blocks import seify, zeromq
 from futuresdr_tpu.blocks.dsp import FreqShift, WeaverDecode
+from futuresdr_tpu.blocks.framed import FramedReceiverSink
 
 __all__ = [
+    "FramedReceiverSink",
     "Apply",
     "Combine",
     "Filter",

@@ -11,66 +11,32 @@ from typing import List, Optional
 
 import numpy as np
 
+from futuresdr_tpu.blocks.framed import FramedReceiverSink
 from futuresdr_tpu.models.wlan.rx import FRAME_WIN, RxFrame, WlanReceiver
 from futuresdr_tpu.models.wlan.tx import encode_frame
 from futuresdr_tpu.runtime.block import Block, PortSpec, message_handler
 from futuresdr_tpu.types.pmt import Pmt
 
 
-class WlanRxSink(Block):
+class WlanRxSink(FramedReceiverSink):
     """IQ sink running the full 802.11 receiver; decoded PSDUs post on the
-    ``rx_frames`` message port as Pmt blobs (decoder.rs parity)."""
+    ``rx_frames`` message port as Pmt blobs (decoder.rs parity). One
+    instantiation of :class:`FramedReceiverSink` (overlap = the longest
+    frame window)."""
 
     def __init__(
         self,
         process_size: int = 1 << 17,
         name: Optional[str] = None,
     ):
-        super().__init__(name)
-        self.stream_inputs = [PortSpec("in", np.complex64)]
-        self.rate_in = (1,)
-        self.is_blocking = True
-        self.message_outputs = ["rx_frames"]
-        self.rx = WlanReceiver()
-        self.process_size = int(process_size)
-        self._buf = np.zeros(0, np.complex64)
-        self._abs = 0  # absolute index of _buf[0]
-        self._emitted = set()
-        self.frames: List[RxFrame] = []
-
-    def _run(self, final: bool = False) -> None:
-        while len(self._buf) >= self.process_size or (
-            final and len(self._buf) > 0
-        ):
-            take = (
-                len(self._buf)
-                if final
-                else min(len(self._buf), self.process_size + FRAME_WIN)
-            )
-            chunk = self._buf[:take]
-            for f in self.rx.process(chunk):
-                key = self._abs + f.start
-                if key in self._emitted:
-                    continue
-                self._emitted.add(key)
-                self.frames.append(f)
-                if f.crc_ok:
-                    self.post("rx_frames", Pmt.blob(f.psdu))
-            # keep FRAME_WIN overlap so straddling frames complete next call
-            advance = max(0, take - FRAME_WIN) if not final else take
-            if advance == 0:
-                break
-            self._buf = self._buf[advance:]
-            self._abs += advance
-            if final:
-                break
-
-    def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:
-        self._buf = np.concatenate([self._buf, arr])
-        self._run(final=False)
-
-    def on_finish(self) -> None:
-        self._run(final=True)
+        super().__init__(
+            WlanReceiver(),
+            overlap=FRAME_WIN,
+            process_size=process_size,
+            emit=lambda f: Pmt.blob(f.psdu) if f.crc_ok else None,
+            port_name="rx_frames",
+            name=name,
+        )
 
 
 class WlanTxSource(Block):

@@ -281,11 +281,27 @@ class WlanReceiver:
         eq_b, h_b, snr_b, off_b, ff_b = _frame_front_batch(kb)(
             cplx.from_numpy(wb)
         )
-        eq_np_all = cplx.to_numpy(eq_b)
+        # two-phase fetch: SIG symbols first (tiny), then only the data
+        # symbol range the decoded SIGNAL fields actually need — the full
+        # [kb, MAX_SYMS+1, 48] matrix is ~13 MB over a ~35 ms-RTT tunnel,
+        # and real frames are usually far shorter than MAX_SYMS
+        eq_sig = cplx.to_numpy(eq_b[:, 0])  # [kb, 48]
         snr_all = np.asarray(snr_b)
+        params = [_decode_signal(eq_sig[i]) for i in range(k)]
+        need = [
+            p.n_symbols
+            for p in params
+            if p is not None and p.n_symbols <= MAX_SYMS
+        ]
+        if not need:
+            return out
+        nmax = max(need)
+        # pow2 bucket keeps the device-slice shape set small (cached)
+        nf = min(MAX_SYMS, 1 << (nmax - 1).bit_length() if nmax > 1 else 1)
+        eq_data = cplx.to_numpy(eq_b[:, 1 : 1 + nf])  # [kb, nf, 48]
         for i, start in enumerate(cands):
             frame = self._decode_frame(
-                eq_np_all[i], float(snr_all[i]), start
+                params[i], eq_data[i], float(snr_all[i]), start
             )
             if frame is not None:
                 out.append(frame)
@@ -293,16 +309,19 @@ class WlanReceiver:
         return out
 
     def _decode_frame(
-        self, eq_np: np.ndarray, snr: float, start: int
+        self,
+        param: Optional[C.FrameParam],
+        eq_data: np.ndarray,
+        snr: float,
+        start: int,
     ) -> Optional[RxFrame]:
-        param = _decode_signal(eq_np[0])
         if param is None:
             return None
         n_sym = param.n_symbols
         if n_sym > MAX_SYMS:
             return None
         mcs = param.mcs
-        bits = C.demap_hard(eq_np[1 : 1 + n_sym].reshape(-1), mcs.n_bpsc)
+        bits = C.demap_hard(eq_data[:n_sym].reshape(-1), mcs.n_bpsc)
         deint = _deinterleave(bits, mcs)
         n_coded = 2 * param.n_data_bits
         coded, erasures = depuncture(deint, mcs.puncture, n_coded)

@@ -211,3 +211,33 @@ def test_websocket_sink_streams():
     Runtime(chunk_size=4096).run(fg)
     t.join(timeout=20)
     assert got and got[0].size > 0
+
+
+def test_framed_receiver_sink_lora():
+    """Generic FramedReceiverSink runs any modem receiver in a flowgraph;
+    frames straddling the process window dedup/complete via overlap."""
+    import numpy as np
+    from futuresdr_tpu import Flowgraph, Runtime
+    from futuresdr_tpu.blocks import FramedReceiverSink, VectorSource
+    from futuresdr_tpu.models.lora import (
+        LoraConfig,
+        LoraReceiver,
+        modulate_frame,
+    )
+
+    cfg = LoraConfig(sf=7, cr=1)
+    iq1 = modulate_frame(cfg, b"frame one")
+    iq2 = modulate_frame(cfg, b"frame two!")
+    gap = np.zeros(3000, np.complex64)
+    sig = np.concatenate([gap, iq1, gap, iq2, gap]).astype(np.complex64)
+
+    fg = Flowgraph()
+    src = VectorSource(sig)
+    # small window forces both frames to straddle process boundaries
+    snk = FramedReceiverSink(
+        LoraReceiver(cfg), overlap=len(iq1) + 256, process_size=4096
+    )
+    fg.stream(src, snk)
+    Runtime().run(fg)
+    payloads = sorted(f.payload for f in snk.frames if f.crc_ok)
+    assert payloads == [b"frame one", b"frame two!"]
