@@ -3,6 +3,11 @@
 from futuresdr_tpu.models.wlan.consts import MCS, FrameParam, Mcs
 from futuresdr_tpu.models.wlan.rx import RxFrame, WlanReceiver
 from futuresdr_tpu.models.wlan.tx import encode_frame, make_mac_frame
+from futuresdr_tpu.models.wlan.mac import (
+    WlanMac,
+    mac_data_frame,
+    parse_mac_frame,
+)
 
 __all__ = [
     "MCS",
@@ -12,4 +17,7 @@ __all__ = [
     "WlanReceiver",
     "encode_frame",
     "make_mac_frame",
+    "WlanMac",
+    "mac_data_frame",
+    "parse_mac_frame",
 ]

@@ -143,17 +143,8 @@ def encode_frame(
 
 
 def make_mac_frame(payload: bytes, seq: int = 0) -> bytes:
-    """Minimal 802.11 data MPDU: header + payload + FCS (mac.rs parity)."""
-    import zlib
+    """Minimal 802.11 data MPDU with the default addresses
+    (mac.rs parity; full framing lives in :mod:`.mac`)."""
+    from futuresdr_tpu.models.wlan.mac import mac_data_frame
 
-    hdr = bytearray(24)
-    hdr[0] = 0x08  # data frame
-    hdr[1] = 0x01
-    hdr[4:10] = b"\x42\x42\x42\x42\x42\x42"  # addr1
-    hdr[10:16] = b"\x23\x23\x23\x23\x23\x23"  # addr2
-    hdr[16:22] = b"\xff\xff\xff\xff\xff\xff"  # addr3
-    hdr[22] = (seq << 4) & 0xFF
-    hdr[23] = (seq >> 4) & 0xFF
-    body = bytes(hdr) + payload
-    fcs = zlib.crc32(body) & 0xFFFFFFFF
-    return body + fcs.to_bytes(4, "little")
+    return mac_data_frame(payload, seq)

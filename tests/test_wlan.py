@@ -120,3 +120,60 @@ def test_snr_estimate_tracks_noise():
     lo = WlanReceiver().process(_channel(iq, snr_db=10.0, seed=5))
     assert hi and lo
     assert hi[0].snr > lo[0].snr + 5.0
+
+
+def test_mac_frame_structure_and_parse():
+    """mac.rs parity: header layout, sequence field, FCS residue."""
+    import zlib
+
+    from futuresdr_tpu.models.wlan import mac_data_frame, parse_mac_frame
+    from futuresdr_tpu.models.wlan.rx import CRC32_RESIDUE
+
+    psdu = mac_data_frame(b"payload!", sequence=5)
+    assert psdu[0:2] == (0x0008).to_bytes(2, "little")  # mac.rs:20
+    assert (zlib.crc32(psdu) & 0xFFFFFFFF) == CRC32_RESIDUE
+    hdr = parse_mac_frame(psdu)
+    assert hdr["sequence"] == 5
+    assert hdr["payload"] == b"payload!"
+    assert hdr["src"] == b"\x42" * 6 and hdr["bssid"] == b"\xff" * 6
+
+
+def test_wlan_mac_block_sequence_and_oversize():
+    from futuresdr_tpu.models.wlan import WlanMac, parse_mac_frame
+    from futuresdr_tpu.types.pmt import Pmt
+
+    mac = WlanMac()
+    posted = []
+    mac._post_fn = lambda port, pmt: posted.append((port, pmt))
+    mac.call_handler("tx", Pmt.blob(b"one"))
+    mac.call_handler("tx", Pmt.blob(b"two"))
+    assert [p[0] for p in posted] == ["tx_frames", "tx_frames"]
+    seqs = [parse_mac_frame(p[1].to_py())["sequence"] for p in posted]
+    assert seqs == [0, 1]
+    # oversize dropped with no post (mac.rs:45-50)
+    mac.call_handler("tx", Pmt.blob(b"x" * 2000))
+    assert len(posted) == 2
+
+
+def test_mac_to_phy_loopback():
+    """WlanMac → encode → receiver → parse: full MAC+PHY roundtrip."""
+    import numpy as np
+
+    from futuresdr_tpu.models.wlan import (
+        WlanMac,
+        WlanReceiver,
+        encode_frame,
+        parse_mac_frame,
+    )
+
+    mac = WlanMac(src=b"\x01\x02\x03\x04\x05\x06")
+    psdu = mac.frame(b"mac layer over the air")
+    iq = np.asarray(encode_frame(psdu, "qpsk12"), np.complex64)
+    sig = np.concatenate(
+        [np.zeros(3000, np.complex64), iq, np.zeros(3000, np.complex64)]
+    )
+    frames = WlanReceiver().process(sig)
+    assert len(frames) == 1 and frames[0].crc_ok
+    hdr = parse_mac_frame(frames[0].psdu)
+    assert hdr["payload"] == b"mac layer over the air"
+    assert hdr["src"] == b"\x01\x02\x03\x04\x05\x06"
