@@ -23,6 +23,7 @@ import numpy as np
 from futuresdr_tpu.models.rattlegram.polar import (
     frozen_mask,
     polar_decode_sc,
+    polar_decode_scl,
     polar_encode_systematic,
 )
 
@@ -125,7 +126,8 @@ class RattlegramFrame:
 
 
 class RattlegramReceiver:
-    def __init__(self):
+    def __init__(self, list_size: int = 8):
+        self.list_size = int(list_size)
         self.frames: List[RattlegramFrame] = []
 
     def process(self, audio: np.ndarray) -> List[RattlegramFrame]:
@@ -175,9 +177,19 @@ class RattlegramReceiver:
             prev = cur
             pos += EXT_LEN
         llr = llrs.reshape(-1)
-        bits, _ = polar_decode_sc(4.0 * llr, _frozen())
+
+        def crc_fn(msg_bits: np.ndarray) -> bool:
+            d = np.packbits(msg_bits)
+            return _crc16(d[: MAX_BYTES - 2].tobytes()) == (
+                (int(d[MAX_BYTES - 2]) << 8) | int(d[MAX_BYTES - 1])
+            )
+
+        # CRC-aided list decode (PolarListDecoder parity): the CRC16
+        # picks the surviving path, worth ~1-2 dB over plain SC
+        bits, _, crc_ok = polar_decode_scl(
+            4.0 * llr, _frozen(), list_size=self.list_size, crc_fn=crc_fn
+        )
         data = np.packbits(bits)
-        body, crc = data[: MAX_BYTES - 2].tobytes(), data[MAX_BYTES - 2 :]
-        crc_ok = _crc16(body) == ((int(crc[0]) << 8) | int(crc[1]))
+        body = data[: MAX_BYTES - 2].tobytes()
         payload = body.rstrip(b"\x00")
         return RattlegramFrame(payload=payload, crc_ok=crc_ok, start=sync_pos)

@@ -100,3 +100,99 @@ def polar_decode_sc(
     u = decode(np.asarray(llr, np.float64), np.asarray(frozen, bool))
     x = _polar_transform(u)
     return x[~frozen].astype(np.uint8), x
+
+
+def polar_decode_scl(
+    llr: np.ndarray,
+    frozen: np.ndarray,
+    list_size: int = 8,
+    crc_fn=None,
+) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """CRC-aided successive-cancellation LIST decoding
+    (``polar.rs:306+`` ``PolarListDecoder`` parity; LLR-based SCL after
+    Stimming et al., path axis vectorized in numpy).
+
+    Keeps the ``list_size`` best partial decodes; the winner is the
+    lowest-metric path whose message satisfies ``crc_fn`` (falling back
+    to the best metric when none passes). Returns ``(message_bits,
+    codeword_estimate, crc_ok)``. Typically worth ~1-2 dB of sensitivity
+    over plain SC at L=8."""
+    llr = np.asarray(llr, np.float64)
+    frozen = np.asarray(frozen, bool)
+    n = len(frozen)
+    m = n.bit_length() - 1
+    L = int(list_size)
+    if L <= 1:
+        msg, x = polar_decode_sc(llr, frozen)
+        ok = bool(crc_fn(msg)) if crc_fn is not None else True
+        return msg, x, ok
+    INF = 1e30
+
+    # per-layer LLR / bit memories, path axis first (layer m = leaves)
+    P = [np.zeros((L, n >> d)) for d in range(m + 1)]
+    C = [np.zeros((L, 2, n >> d), np.uint8) for d in range(m + 1)]
+    pm = np.full(L, INF)
+    pm[0] = 0.0
+    P[0][:] = llr[None, :]
+    u_leaf = np.zeros((L, n), np.uint8)
+
+    def calc_P(lam: int, phi: int) -> None:
+        if lam == 0:
+            return
+        if phi % 2 == 0:
+            calc_P(lam - 1, phi >> 1)
+        half = n >> lam
+        a = P[lam - 1][:, :half]
+        b = P[lam - 1][:, half : 2 * half]
+        if phi % 2 == 0:
+            P[lam][:] = _f_minsum(a, b)
+        else:
+            u = C[lam][:, 0, :].astype(np.float64)
+            P[lam][:] = _g(a, b, u)
+
+    def update_C(lam: int, phi: int) -> None:
+        # phi odd: fold this node's bits into the parent
+        psi = phi >> 1
+        half = n >> lam
+        left = C[lam][:, 0, :]
+        right = C[lam][:, 1, :]
+        C[lam - 1][:, psi % 2, :half] = left ^ right
+        C[lam - 1][:, psi % 2, half : 2 * half] = right
+        if psi % 2 == 1:
+            update_C(lam - 1, psi)
+
+    for phi in range(n):
+        calc_P(m, phi)
+        leaf = P[m][:, 0]  # [L]
+        mag = np.abs(leaf)
+        if frozen[phi]:
+            pm = pm + np.where(leaf < 0, mag, 0.0)
+            bits = np.zeros(L, np.uint8)
+        else:
+            pm0 = pm + np.where(leaf < 0, mag, 0.0)  # choose 0
+            pm1 = pm + np.where(leaf >= 0, mag, 0.0)  # choose 1
+            both = np.concatenate([pm0, pm1])  # [2L]
+            keep = np.argsort(both, kind="stable")[:L]
+            src = keep % L
+            bits = (keep >= L).astype(np.uint8)
+            pm = both[keep]
+            # permute every per-path memory to the surviving paths
+            for d in range(m + 1):
+                P[d] = P[d][src]
+                C[d] = C[d][src]
+            u_leaf = u_leaf[src]
+        u_leaf[:, phi] = bits
+        C[m][:, phi % 2, 0] = bits
+        if phi % 2 == 1:
+            update_C(m, phi)
+
+    order = np.argsort(pm, kind="stable")
+    best = None
+    for li in order:
+        x = _polar_transform(u_leaf[li].copy())
+        msg = x[~frozen].astype(np.uint8)
+        if best is None:
+            best = (msg, x)
+        if crc_fn is not None and crc_fn(msg):
+            return msg, x, True
+    return best[0], best[1], (crc_fn is None)

@@ -63,3 +63,48 @@ def test_acoustic_corruption_flagged():
 def test_payload_too_long_rejected():
     with pytest.raises(ValueError):
         encode_frame(bytes(200))
+
+
+def test_list_decoding_beats_sc_at_waterfall():
+    """CRC-aided SCL (PolarListDecoder parity) recovers a frame plain SC
+    loses at the noise waterfall (seed pinned from a sweep where SCL8
+    decoded 9/10 vs SC 4/10 at sigma=0.5)."""
+    import numpy as np
+
+    from futuresdr_tpu.models.rattlegram.phy import (
+        RattlegramReceiver,
+        encode_frame,
+    )
+
+    payload = b"list decoding test payload"
+    audio = encode_frame(payload)
+    rng = np.random.default_rng(2)
+    noisy = audio + 0.5 * rng.standard_normal(len(audio)).astype(np.float32)
+    sig = np.concatenate(
+        [np.zeros(5000, np.float32), noisy, np.zeros(5000, np.float32)]
+    )
+    sc = RattlegramReceiver(list_size=1).process(sig)
+    scl = RattlegramReceiver(list_size=8).process(sig)
+    assert not any(f.crc_ok and f.payload == payload for f in sc)
+    assert any(f.crc_ok and f.payload == payload for f in scl)
+
+
+def test_scl_matches_sc_on_clean_channel():
+    import numpy as np
+
+    from futuresdr_tpu.models.rattlegram.polar import (
+        frozen_mask,
+        polar_decode_sc,
+        polar_decode_scl,
+        polar_encode_systematic,
+    )
+
+    rng = np.random.default_rng(0)
+    frozen = frozen_mask(9, 200)
+    msg = rng.integers(0, 2, 200).astype(np.uint8)
+    cw = polar_encode_systematic(msg, frozen)
+    llr = (1.0 - 2.0 * cw.astype(np.float64)) * 4.0
+    llr += 0.5 * rng.standard_normal(len(llr))
+    m1, _ = polar_decode_sc(llr, frozen)
+    m8, _, ok = polar_decode_scl(llr, frozen, list_size=8)
+    assert np.array_equal(m1, msg) and np.array_equal(m8, msg)
