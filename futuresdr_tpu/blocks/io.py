@@ -345,14 +345,19 @@ class ChannelSource(Block):
 
     def push(self, arr) -> None:
         self._q.put(np.asarray(arr))
+        self.notify_data()
 
     def close(self) -> None:
         self._q.put(None)
+        self.notify_data()
 
     def host_produce(self, n: int, port: int = 0):
+        # non-blocking: push() wakes the executor's event-driven idle
+        # wait, so blocking here would only delay delivery of data
+        # already in flight
         while self._buf.shape[-1] < n and not self._closed:
             try:
-                item = self._q.get(timeout=0.1)
+                item = self._q.get_nowait()
             except queue.Empty:
                 break
             if item is None:

@@ -89,6 +89,15 @@ class Block:
         self._params: Dict[str, np.ndarray] = {}
         self._params_version = 0
         self._finished_requested = False
+        self._wake_fn = None  # executor wakeup (set while running)
+
+    def notify_data(self) -> None:
+        """Wake the executor's idle wait — call from any thread after
+        handing this block new data (the reference's coalescing
+        ``BlockNotifier::notify``, block_inbox.rs:48-52)."""
+        fn = self._wake_fn
+        if fn is not None:
+            fn()
 
     # ---- classification ------------------------------------------------
     @property

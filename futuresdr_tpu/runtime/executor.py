@@ -138,6 +138,7 @@ class Executor:
         self._t_stop: Optional[float] = None
         self._last_arrays = None
         self._stop = threading.Event()
+        self._wake = threading.Event()
         self._msgq: "queue.Queue[Tuple[int, str, Pmt, Optional[queue.Queue]]]" = (
             queue.Queue()
         )
@@ -172,6 +173,7 @@ class Executor:
             return self.fg.blocks[bid].call_handler(handler, pmt)
         replyq: Optional[queue.Queue] = queue.Queue(1) if wait else None
         self._msgq.put((bid, handler, pmt, replyq))
+        self._wake.set()
         if wait:
             try:
                 kind, val = replyq.get(timeout=timeout)
@@ -211,6 +213,7 @@ class Executor:
 
     def request_stop(self) -> None:
         self._stop.set()
+        self._wake.set()
 
     def _unregister_ctrl(self) -> None:
         if self.fg_id is None:
@@ -241,6 +244,8 @@ class Executor:
                 self._drain_messages()
             except BaseException:  # noqa: BLE001 - shutdown path
                 pass
+            for b in self.fg.blocks:
+                b._wake_fn = None
             self._unregister_ctrl()
             self._done.set()
 
@@ -417,6 +422,8 @@ class Executor:
     def run_loop(self) -> None:
         cfg, fg = self.cfg, self.fg
         self._t_start = time.monotonic()
+        for b in fg.blocks:  # event-driven wakeup (BlockNotifier parity)
+            b._wake_fn = self._wake.set
         states = cfg.init_states()
         # every state leaf must be its own buffer (step donates states)
         states = jax.tree_util.tree_map(
@@ -457,7 +464,8 @@ class Executor:
                 break
             if not has_streams:
                 # message-only flowgraph: no device program to dispatch
-                time.sleep(0.001)
+                self._wake.wait(0.005)
+                self._wake.clear()
                 continue
             if self.max_steps is not None and step_no >= self.max_steps:
                 break
@@ -509,7 +517,10 @@ class Executor:
                 # step on all-pad chunks
                 while inflight:
                     self._deliver_full(inflight.popleft(), lat_left)
-                time.sleep(0.001)
+                # event-driven idle: woken instantly by notify_data /
+                # messages / stop; 5 ms fallback for sources that poll
+                self._wake.wait(0.005)
+                self._wake.clear()
                 continue
 
             if batch:
