@@ -11,8 +11,10 @@ from futuresdr_tpu.models.rattlegram.phy import (
 from futuresdr_tpu.models.rattlegram.polar import (
     frozen_mask,
     polar_decode_sc,
+    polar_decode_scl,
     polar_encode_systematic,
 )
+from futuresdr_tpu.models.rattlegram.bch import Bch
 
 __all__ = [
     "RattlegramFrame",
@@ -20,5 +22,7 @@ __all__ = [
     "encode_frame",
     "frozen_mask",
     "polar_decode_sc",
+    "polar_decode_scl",
     "polar_encode_systematic",
+    "Bch",
 ]

@@ -108,3 +108,29 @@ def test_scl_matches_sc_on_clean_channel():
     m1, _ = polar_decode_sc(llr, frozen)
     m8, _, ok = polar_decode_scl(llr, frozen, list_size=8)
     assert np.array_equal(m1, msg) and np.array_equal(m8, msg)
+
+
+def test_bch_255_71_roundtrip_and_correction():
+    """BCH(255,71) from the reference's minimal-poly list (bch.rs /
+    encoder.rs:80-105): t=29, corrects up to t errors, flags beyond."""
+    import numpy as np
+
+    from futuresdr_tpu.models.rattlegram.bch import Bch
+
+    bch = Bch()
+    assert (bch.np_bits, bch.msg_bits, bch.t) == (184, 71, 29)
+    rng = np.random.default_rng(7)
+    msg = rng.integers(0, 2, 71).astype(np.uint8)
+    cw = bch.encode(msg)
+    assert len(cw) == 255
+    dec, n = bch.decode(cw)
+    assert n == 0 and np.array_equal(dec, cw)
+    for n_err in (1, 13, 29):
+        bad = cw.copy()
+        bad[rng.choice(255, n_err, replace=False)] ^= 1
+        m, n = bch.decode_message(bad)
+        assert n == n_err and np.array_equal(m, msg)
+    bad = cw.copy()
+    bad[rng.choice(255, 40, replace=False)] ^= 1
+    _, n = bch.decode(bad)
+    assert n == -1  # fails loudly, never silently mis-corrects
