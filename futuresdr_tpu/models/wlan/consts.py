@@ -211,5 +211,35 @@ def demap_hard(sym: np.ndarray, n_bpsc: int) -> np.ndarray:
     return np.concatenate([bi, bq], axis=1).reshape(-1)
 
 
+def demap_soft(sym: np.ndarray, n_bpsc: int) -> np.ndarray:
+    """Max-log bit LLRs [n_sym·n_bpsc], positive = bit 1.
+
+    Per Gray axis: LLR_i = min over bit-0 levels of (v-x)^2 minus the
+    bit-1 min (so the hard decision is the LLR sign). The soft-Viterbi
+    companion of :func:`demap_hard`."""
+    if n_bpsc == 1:
+        return (2.0 * np.asarray(sym).real).astype(np.float64)
+    half = n_bpsc // 2
+    lev = _gray_levels(half) / MOD_NORM[n_bpsc]  # index = bit pattern
+    shifts = half - 1 - np.arange(half)
+    bits_of_lev = ((np.arange(len(lev))[:, None] >> shifts) & 1).astype(
+        bool
+    )  # [n_lev, half]
+
+    def axis_llrs(v: np.ndarray) -> np.ndarray:
+        d2 = (v[:, None] - lev[None, :]) ** 2  # [n_sym, n_lev]
+        out = np.empty((len(v), half))
+        for i in range(half):
+            m1 = d2[:, bits_of_lev[:, i]].min(axis=1)
+            m0 = d2[:, ~bits_of_lev[:, i]].min(axis=1)
+            out[:, i] = m0 - m1
+        return out
+
+    sym = np.asarray(sym)
+    li = axis_llrs(sym.real)
+    lq = axis_llrs(sym.imag)
+    return np.concatenate([li, lq], axis=1).reshape(-1)
+
+
 def scrambler_stream(seed: int, n: int) -> np.ndarray:
     return _scrambler_stream(seed, n)

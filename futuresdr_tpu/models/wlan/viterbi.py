@@ -99,6 +99,52 @@ def viterbi_decode(
     return bits
 
 
+def viterbi_decode_soft(llrs: np.ndarray, n_bits: int) -> np.ndarray:
+    """Soft-decision decode: ``llrs[2·n_bits]`` per-channel-bit LLRs
+    (positive = bit 1, zero = erasure/punctured) → ``n_bits`` bits.
+
+    Typically ~2 dB more sensitive than hard decisions on this K=7 code.
+    Native C++ kernel when available; numpy ACS fallback."""
+    from futuresdr_tpu.native import viterbi_r12_soft as _native
+
+    res = _native(7, 0o133, 0o171, np.asarray(llrs), n_bits)
+    if res is not None:
+        return res
+    llrs = np.asarray(llrs, dtype=np.float64).reshape(n_bits, 2)
+    metric = np.full(_NSTATES, 1e6, dtype=np.float64)
+    metric[0] = 0.0
+    decisions = np.zeros((n_bits, _NSTATES), dtype=np.uint8)
+    # cost of expecting bit e given llr l (positive favors 1): e ? -l : +l
+    sgn0 = 1.0 - 2.0 * _E0  # [NS, 2] in {+1, -1}
+    sgn1 = 1.0 - 2.0 * _E1
+    for t in range(n_bits):
+        l0, l1 = llrs[t]
+        bm0 = sgn0[:, 0] * l0 + sgn0[:, 1] * l1
+        bm1 = sgn1[:, 0] * l0 + sgn1[:, 1] * l1
+        m0 = metric[_PRED0] + bm0
+        m1 = metric[_PRED1] + bm1
+        take1 = m1 < m0
+        metric = np.where(take1, m1, m0)
+        decisions[t] = take1
+        if not (t & 0xFF):
+            metric -= metric.min()
+    s = int(np.argmin(metric))
+    bits = np.empty(n_bits, dtype=np.uint8)
+    for t in range(n_bits - 1, -1, -1):
+        bits[t] = _BIT_OF[s]
+        s = int(_PRED1[s] if decisions[t, s] else _PRED0[s])
+    return bits
+
+
+def depuncture_soft(llrs: np.ndarray, pattern, n_coded: int) -> np.ndarray:
+    """Soft companion of :func:`depuncture`: punctured positions get
+    LLR 0 (no information)."""
+    pat = np.resize(np.asarray(pattern, dtype=bool), n_coded)
+    out = np.zeros(n_coded, dtype=np.float64)
+    out[pat] = np.asarray(llrs, np.float64)[: int(pat.sum())]
+    return out
+
+
 def depuncture(received: np.ndarray, pattern, n_coded: int):
     """Insert erasure slots for punctured positions.
 

@@ -113,6 +113,15 @@ def _declare(m: ctypes.CDLL) -> None:
         i64,
         u8p,
     ]
+    m.viterbi_r12_soft.restype = None
+    m.viterbi_r12_soft.argtypes = [
+        ctypes.c_int,
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_float),
+        i64,
+        u8p,
+    ]
 
 
 _IN_DTYPE = {"cs8": np.int8, "cs16": np.int16, "cf32": np.float32}
@@ -145,6 +154,34 @@ def convert_iq(raw: np.ndarray, fmt: str):
         re[:] = raw[0::2].astype(np.float32) * k
         im[:] = raw[1::2].astype(np.float32) * k
     return re, im
+
+
+def viterbi_r12_soft(
+    k: int,
+    g0: int,
+    g1: int,
+    llrs: np.ndarray,
+    n_bits: int,
+) -> Optional[np.ndarray]:
+    """Native rate-1/2 SOFT-decision Viterbi: ``llrs[2·n_bits]`` float
+    per channel bit, positive = bit 1, zero = erasure. None when the
+    native library is unavailable."""
+    m = lib()
+    if m is None or k not in (5, 7):
+        return None
+    import ctypes as ct
+
+    llrs = np.ascontiguousarray(llrs, dtype=np.float32)
+    out = np.empty(n_bits, dtype=np.uint8)
+    m.viterbi_r12_soft(
+        k,
+        g0,
+        g1,
+        llrs.ctypes.data_as(ct.POINTER(ct.c_float)),
+        n_bits,
+        out.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+    )
+    return out
 
 
 def viterbi_r12(

@@ -242,9 +242,63 @@ void viterbi_decode_impl(uint32_t g0, uint32_t g1, const uint8_t* coded,
     std::free(dec);
 }
 
+template <int K>
+void viterbi_soft_impl(uint32_t g0, uint32_t g1, const float* llrs,
+                       int64_t n_bits, uint8_t* out) {
+    // soft-decision variant: llrs[2t] per channel bit, positive = bit 1
+    // (zero = erasure). Branch cost for expected bit e is e ? -l : +l.
+    static thread_local Trellis<K>* tr = nullptr;
+    static thread_local uint32_t tg0 = 0, tg1 = 0;
+    if (!tr || tg0 != g0 || tg1 != g1) {
+        delete tr;
+        tr = new Trellis<K>(g0, g1);
+        tg0 = g0;
+        tg1 = g1;
+    }
+    constexpr int NS = Trellis<K>::NS;
+    float metric[NS], next[NS];
+    for (int s = 0; s < NS; ++s) metric[s] = 1e6f;
+    metric[0] = 0.0f;
+    uint8_t* dec = static_cast<uint8_t*>(std::malloc(n_bits * NS));
+    for (int64_t t = 0; t < n_bits; ++t) {
+        float l0 = llrs[2 * t], l1 = llrs[2 * t + 1];
+        uint8_t* drow = dec + t * NS;
+        for (int n = 0; n < NS; ++n) {
+            float bm0 = (tr->e0[n][0] ? -l0 : l0) + (tr->e0[n][1] ? -l1 : l1);
+            float bm1 = (tr->e1[n][0] ? -l0 : l0) + (tr->e1[n][1] ? -l1 : l1);
+            float m0 = metric[tr->pred0[n]] + bm0;
+            float m1 = metric[tr->pred1[n]] + bm1;
+            bool take1 = m1 < m0;
+            next[n] = take1 ? m1 : m0;
+            drow[n] = take1;
+        }
+        float mn = next[0];
+        for (int n = 1; n < NS; ++n) mn = next[n] < mn ? next[n] : mn;
+        for (int n = 0; n < NS; ++n) metric[n] = next[n] - mn;
+    }
+    int s = 0;
+    float best = metric[0];
+    for (int n = 1; n < NS; ++n)
+        if (metric[n] < best) { best = metric[n]; s = n; }
+    for (int64_t t = n_bits - 1; t >= 0; --t) {
+        out[t] = tr->bit_of[s];
+        s = dec[t * NS + s] ? tr->pred1[s] : tr->pred0[s];
+    }
+    std::free(dec);
+}
+
 }  // namespace
 
 extern "C" {
+
+void viterbi_r12_soft(int k, uint32_t g0, uint32_t g1, const float* llrs,
+                      int64_t n_bits, uint8_t* out) {
+    if (k == 7) {
+        viterbi_soft_impl<7>(g0, g1, llrs, n_bits, out);
+    } else if (k == 5) {
+        viterbi_soft_impl<5>(g0, g1, llrs, n_bits, out);
+    }
+}
 
 void viterbi_r12(int k, uint32_t g0, uint32_t g1, const uint8_t* coded,
                  const uint8_t* erasures, int64_t n_bits, uint8_t* out) {
