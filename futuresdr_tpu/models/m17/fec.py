@@ -121,6 +121,48 @@ def conv_encode(bits: np.ndarray) -> np.ndarray:
     return out
 
 
+def viterbi_decode_soft(llrs: np.ndarray, n_bits: int) -> np.ndarray:
+    """Soft-decision K=5 decode: ``llrs[2·n_bits]`` per channel bit,
+    positive = bit 1, zero = erasure (native kernel; numpy fallback)."""
+    from futuresdr_tpu.native import viterbi_r12_soft as _native
+
+    res = _native(5, 0b11001, 0b10111, np.asarray(llrs), n_bits)
+    if res is not None:
+        return res
+    _, bit_of, pred0, pred1, e0, e1 = _conv_tables()
+    llrs = np.asarray(llrs, np.float64).reshape(n_bits, 2)
+    sgn0 = 1.0 - 2.0 * e0
+    sgn1 = 1.0 - 2.0 * e1
+    metric = np.full(_NS, 1e6, np.float64)
+    metric[0] = 0.0
+    dec = np.zeros((n_bits, _NS), np.uint8)
+    for t in range(n_bits):
+        l0, l1 = llrs[t]
+        bm0 = sgn0[:, 0] * l0 + sgn0[:, 1] * l1
+        bm1 = sgn1[:, 0] * l0 + sgn1[:, 1] * l1
+        m0 = metric[pred0] + bm0
+        m1 = metric[pred1] + bm1
+        take1 = m1 < m0
+        metric = np.where(take1, m1, m0)
+        dec[t] = take1
+        if not (t & 0xFF):
+            metric -= metric.min()
+    s = int(np.argmin(metric))
+    bits = np.empty(n_bits, np.uint8)
+    for t in range(n_bits - 1, -1, -1):
+        bits[t] = bit_of[s]
+        s = int(pred1[s] if dec[t, s] else pred0[s])
+    return bits
+
+
+def depuncture_soft(llrs: np.ndarray, pattern, n_coded: int) -> np.ndarray:
+    """Soft depuncture: punctured positions get LLR 0."""
+    pat = np.resize(np.asarray(pattern, bool), n_coded)
+    out = np.zeros(n_coded, np.float64)
+    out[pat] = np.asarray(llrs, np.float64)[: int(pat.sum())]
+    return out
+
+
 def viterbi_decode(
     coded: np.ndarray, n_bits: int, erasures: Optional[np.ndarray] = None
 ) -> np.ndarray:

@@ -82,6 +82,32 @@ def symbols_to_bits(syms: np.ndarray) -> np.ndarray:
     return out
 
 
+def symbols_to_llrs(raw: np.ndarray) -> np.ndarray:
+    """Soft companion of :func:`symbols_to_bits`: per-bit max-log LLRs
+    from raw (unsliced) discriminator values. Dibit map +1→00, +3→01,
+    −1→10, −3→11; positive LLR = bit 1."""
+    lv = np.array([1.0, 3.0, -1.0, -3.0])  # index = dibit
+    d2 = (np.asarray(raw, np.float64)[:, None] - lv[None, :]) ** 2
+    b0 = np.minimum(d2[:, 0], d2[:, 1]) - np.minimum(d2[:, 2], d2[:, 3])
+    b1 = np.minimum(d2[:, 0], d2[:, 2]) - np.minimum(d2[:, 1], d2[:, 3])
+    out = np.empty(2 * len(raw))
+    out[0::2] = b0
+    out[1::2] = b1
+    return out
+
+
+def _decode_368_soft(
+    rf_llr: np.ndarray, pattern: np.ndarray, n_bits: int
+) -> np.ndarray:
+    """Soft mirror of :func:`_decode_368`: derandomize by sign flips,
+    deinterleave the LLRs, zero-fill punctures, soft Viterbi."""
+    derand = rf_llr * (1.0 - 2.0 * rand_bits().astype(np.float64))
+    deint = derand[interleaver()]
+    n_coded = 2 * (n_bits + 4)
+    coded = fec.depuncture_soft(deint, pattern, n_coded)
+    return fec.viterbi_decode_soft(coded, n_bits + 4)[:n_bits]
+
+
 def sync_symbols(word: int) -> np.ndarray:
     bits = np.array([(word >> (15 - i)) & 1 for i in range(16)], np.uint8)
     return bits_to_symbols(bits)
@@ -320,20 +346,24 @@ class M17Receiver:
             return []
         sym0 = peak + SPS // 2  # center of first sync symbol
 
-        def read_syms(start: int, n: int) -> Optional[np.ndarray]:
+        def read_raw(start: int, n: int) -> Optional[np.ndarray]:
             idx = start + SPS * np.arange(n)
             if idx[-1] >= len(d):
                 return None
-            raw = d[idx]
+            return d[idx]
+
+        def read_syms(start: int, n: int) -> Optional[np.ndarray]:
+            raw = read_raw(start, n)
+            if raw is None:
+                return None
             lv = np.array([-3, -1, 1, 3], np.float32)
             return lv[np.argmin(np.abs(raw[:, None] - lv[None, :]), axis=1)]
 
-        # LSF frame: 8 sync + 184 data symbols
-        data = read_syms(sym0 + 8 * SPS, 184)
-        if data is None:
+        # LSF frame: 8 sync + 184 data symbols (soft-decision decode)
+        raw = read_raw(sym0 + 8 * SPS, 184)
+        if raw is None:
             return []
-        rf = symbols_to_bits(data)
-        lsf_bits = _decode_368(rf, PUNCTURE_1, 240)
+        lsf_bits = _decode_368_soft(symbols_to_llrs(raw), PUNCTURE_1, 240)
         lsf = np.packbits(lsf_bits).tobytes()
         body, crc = lsf[:28], int.from_bytes(lsf[28:30], "big")
         crc_ok = fec.crc_m17(body) == crc
@@ -351,12 +381,12 @@ class M17Receiver:
             expect = sync_symbols(SYNC_STR)
             if np.sum(sync != expect) > 2:
                 break
-            rf = symbols_to_bits(syms[8:])
-            derand = rf ^ rand_bits()
+            raw_f = read_raw(pos, FRAME_SYMS)
+            rf_llr = symbols_to_llrs(raw_f[8:])
+            derand = rf_llr * (1.0 - 2.0 * rand_bits().astype(np.float64))
             deint = derand[interleaver()]
-            pay_bits_coded = deint[96:]
-            coded, era = fec.depuncture(pay_bits_coded, PUNCTURE_2, 296)
-            dec = fec.viterbi_decode(coded, 148, era)[:144]
+            coded = fec.depuncture_soft(deint[96:], PUNCTURE_2, 296)
+            dec = fec.viterbi_decode_soft(coded, 148)[:144]
             fn = int("".join(map(str, dec[:16])), 2)
             payload = np.packbits(dec[16:]).tobytes()
             out.append(
