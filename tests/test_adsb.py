@@ -85,3 +85,32 @@ def test_corrupted_frame_counted_not_forwarded():
     frames = rx.process(sig)
     assert frames == []
     assert rx.n_crc_fail >= 1
+
+
+def test_crc_bit_flip_repair():
+    """Mode S CRC-syndrome repair (beyond the reference decoder): one
+    arbitrary flipped bit is always repairable; two flips repair when
+    they sit among the low-confidence candidates."""
+    import numpy as np
+
+    from futuresdr_tpu.models.adsb.adsb import (
+        callsign_me,
+        encode_df17,
+        try_repair,
+    )
+
+    clean = encode_df17(0xABCDEF, callsign_me("TEST123"))
+    for flips in ([3], [40], [111], [40, 77]):
+        bad = clean.copy()
+        for i in flips:
+            bad[i] ^= 1
+        conf = np.ones(112)
+        conf[flips] = 0.1
+        fixed, n = try_repair(bad, conf)
+        assert n == len(flips)
+        assert np.array_equal(fixed, clean)
+    # unrepairable (3 flips, none in candidates) fails loudly
+    bad = clean.copy()
+    bad[[5, 50, 95]] ^= 1
+    _, n = try_repair(bad, np.ones(112))
+    assert n == -1
