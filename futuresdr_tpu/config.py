@@ -20,6 +20,8 @@ steps_per_call     1         chunks fused into one device dispatch via lax.scan.
                              the async dispatch queue already overlaps)
 queue_size         8192      host-side bounded queue depth (source/sink staging)
 precision          highest   matmul/conv precision for DSP paths (60 dB SNR target)
+fir_dtype          float32   branch-FIR input dtype; bfloat16 = 1.74x faster
+                             bank channelizer at 70 dB isolation (f32: 93.5)
 ctrlport_enable    False     start the REST control port with the runtime
 ctrlport_bind      127.0.0.1:1337   control port bind address
 log_level          info      tracing level
@@ -46,6 +48,7 @@ _DEFAULTS: Dict[str, Any] = {
     "steps_per_call": 1,
     "queue_size": 8192,
     "precision": "highest",
+    "fir_dtype": "float32",
     "ctrlport_enable": False,
     "ctrlport_bind": "127.0.0.1:1337",
     "log_level": "info",

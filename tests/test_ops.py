@@ -429,3 +429,26 @@ class TestArbResampler:
         full = np_fir_stream(up, proto)
         ref = np.array([full[int(m * den / num * P)] for m in range(n_out)])
         np.testing.assert_allclose(tonp(y), ref, atol=2e-2)
+
+
+def test_branch_fir_bf16_dtype_close():
+    """fir_dtype=bfloat16 trades precision for HBM bandwidth; the
+    result must stay within bf16 tolerance of the f32 path."""
+    from futuresdr_tpu import config
+    from futuresdr_tpu.ops import cplx as _c
+    from futuresdr_tpu.ops.fir import conv1d_valid_branches
+
+    rng = np.random.default_rng(3)
+    xb = _c.from_numpy(
+        (rng.standard_normal((16, 200)) + 1j * rng.standard_normal((16, 200))).astype(np.complex64)
+    )
+    taps = rng.standard_normal((16, 8)).astype(np.float32)
+    ref = tonp(conv1d_valid_branches(xb, taps))
+    config.set("fir_dtype", "bfloat16")
+    try:
+        out = tonp(conv1d_valid_branches(xb, taps))
+    finally:
+        config.set("fir_dtype", "float32")
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+    assert not np.allclose(out, ref)  # actually took the bf16 path
