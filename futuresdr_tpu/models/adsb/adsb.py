@@ -175,7 +175,7 @@ def try_repair(
         cand = np.argsort(confidence)[:n_candidates]
         for ai in range(len(cand)):
             for bi in range(ai + 1, len(cand)):
-                if syn[cand[ai]] ^ syn[cand[bi]] == r:
+                if (syn[cand[ai]] ^ syn[cand[bi]]) == r:
                     out = bits.copy()
                     out[cand[ai]] ^= 1
                     out[cand[bi]] ^= 1

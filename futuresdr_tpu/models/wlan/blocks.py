@@ -64,6 +64,14 @@ class WlanTxSource(Block):
         data = pmt.to_py()
         if isinstance(data, (bytes, bytearray)):
             self.send(bytes(data))
+        elif (
+            isinstance(data, (tuple, list))
+            and len(data) == 2
+            and isinstance(data[0], (bytes, bytearray))
+        ):
+            # (psdu, mcs) pair — the form WlanMac forwards when the
+            # caller picked a per-frame MCS (mac.rs:58-74)
+            self.send(bytes(data[0]), mcs=data[1])
         return Pmt.ok()
 
     def send(self, psdu: bytes, mcs: Optional[str] = None) -> None:

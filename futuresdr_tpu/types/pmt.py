@@ -183,8 +183,11 @@ class Pmt:
         if isinstance(v, (list, tuple)):
             if all(isinstance(x, Pmt) for x in v):
                 return cls.vec_pmt(list(v))
-            arr = np.asarray(v)
-            return cls.from_py(arr)
+            if all(isinstance(x, (int, float, complex, np.number)) for x in v):
+                return cls.from_py(np.asarray(v))
+            # heterogeneous sequence (e.g. (psdu_bytes, mcs_name)) →
+            # VecPmt of inferred elements (the reference uses Pmt::Any)
+            return cls.vec_pmt([cls.from_py(x) for x in v])
         return cls.any_(v)
 
     # ---- accessors -----------------------------------------------------

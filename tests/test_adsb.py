@@ -114,3 +114,26 @@ def test_crc_bit_flip_repair():
     bad[[5, 50, 95]] ^= 1
     _, n = try_repair(bad, np.ones(112))
     assert n == -1
+
+
+def test_crc_two_bit_repair_with_decoy_candidates():
+    """Regression: `a ^ b == r` parses as `a ^ (b == r)` — the two-bit
+    search must compare the XORed syndromes, not fire on the first
+    candidate pair. Decoy low-confidence bits rank ahead of the true
+    flips here."""
+    import numpy as np
+
+    from futuresdr_tpu.models.adsb.adsb import (
+        callsign_me,
+        encode_df17,
+        try_repair,
+    )
+
+    clean = encode_df17(0xABCDEF, callsign_me("TEST123"))
+    bad = clean.copy()
+    bad[[60, 98]] ^= 1
+    conf = np.ones(112)
+    conf[[10, 20, 60, 98, 30]] = [0.01, 0.02, 0.05, 0.06, 0.03]
+    fixed, n = try_repair(bad, conf)
+    assert n == 2
+    assert np.array_equal(fixed, clean)

@@ -236,3 +236,32 @@ def test_native_soft_viterbi_matches_clean():
     bits = rng.integers(0, 2, 400).astype(np.uint8)
     llr = (2.0 * conv_encode_ref(bits).astype(np.float64) - 1.0) * 3
     assert np.array_equal(viterbi_decode_soft(llr, 400), bits)
+
+
+def test_per_frame_mcs_through_mac_chain():
+    """WlanMac's (psdu, mcs) pair form reaches WlanTxSource (mac.rs
+    Pmt::Any parity via heterogeneous VecPmt) and selects the MCS."""
+    import numpy as np
+
+    from futuresdr_tpu import Flowgraph, Runtime
+    from futuresdr_tpu.models.wlan import WlanMac, parse_mac_frame
+    from futuresdr_tpu.models.wlan.blocks import WlanRxSink, WlanTxSource
+    from futuresdr_tpu.types.pmt import Pmt
+
+    fg = Flowgraph()
+    mac = WlanMac()
+    tx = WlanTxSource(mcs="bpsk12")
+    rx = WlanRxSink(process_size=1 << 15)
+    fg.message(mac, "tx_frames", tx, "tx")
+    fg.stream(tx, rx)
+    h = Runtime(chunk_size=1 << 15).start(fg, max_steps=40)
+    h.post(mac, "tx", Pmt.from_py((b"pair form qam16", "qam16_12")))
+    h.post(mac, "tx", Pmt.blob(b"blob form default"))
+    h.wait(120)
+    res = [
+        (f.mcs, parse_mac_frame(f.psdu)["payload"])
+        for f in rx.frames
+        if f.crc_ok
+    ]
+    assert ("qam16_12", b"pair form qam16") in res
+    assert ("bpsk12", b"blob form default") in res
