@@ -107,6 +107,44 @@ def callsign_me(callsign: str, tc: int = 4) -> np.ndarray:
     return me
 
 
+def position_me(
+    lat_cpr: int, lon_cpr: int, altitude_ft: int, odd: bool, tc: int = 11
+) -> np.ndarray:
+    """TC 9-18 airborne-position ME bits (TX/test side; pairs with
+    :func:`futuresdr_tpu.models.adsb.tracker.cpr_encode`)."""
+    me = np.zeros(56, np.uint8)
+    me[0:5] = (tc >> np.arange(4, -1, -1)) & 1
+    n = (altitude_ft + 1000) // 25
+    nbits = (n >> np.arange(10, -1, -1)) & 1
+    me[8:15] = nbits[:7]
+    me[15] = 1  # Q bit: 25 ft increments
+    me[16:20] = nbits[7:]
+    me[21] = 1 if odd else 0
+    me[22:39] = (lat_cpr >> np.arange(16, -1, -1)) & 1
+    me[39:56] = (lon_cpr >> np.arange(16, -1, -1)) & 1
+    return me
+
+
+def velocity_me(
+    vx_kt: int, vy_kt: int, vertical_rate_fpm: int = 0
+) -> np.ndarray:
+    """TC 19 subtype-1 ground-speed velocity ME bits (TX/test side).
+    vx = east+, vy = north+ (knots)."""
+    me = np.zeros(56, np.uint8)
+    me[0:5] = (19 >> np.arange(4, -1, -1)) & 1
+    me[5:8] = (1 >> np.arange(2, -1, -1)) & 1  # subtype 1
+    ew = abs(vx_kt) + 1
+    ns = abs(vy_kt) + 1
+    me[13] = 1 if vx_kt < 0 else 0
+    me[14:24] = (ew >> np.arange(9, -1, -1)) & 1
+    me[24] = 1 if vy_kt < 0 else 0
+    me[25:35] = (ns >> np.arange(9, -1, -1)) & 1
+    vr = abs(vertical_rate_fpm) // 64 + 1
+    me[36] = 1 if vertical_rate_fpm < 0 else 0
+    me[37:46] = (vr >> np.arange(8, -1, -1)) & 1
+    return me
+
+
 def synthesize_frame(
     bits: np.ndarray, amplitude: float = 1.0, pad: int = 100
 ) -> np.ndarray:

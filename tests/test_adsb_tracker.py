@@ -1,0 +1,124 @@
+"""Aircraft tracker (tracker.rs parity): CPR pairing, velocity decode,
+register lifecycle — driven over the air through the receiver."""
+
+import numpy as np
+import pytest
+
+from futuresdr_tpu.models.adsb.adsb import (
+    AdsbReceiver,
+    callsign_me,
+    encode_df17,
+    position_me,
+    synthesize_frame,
+    velocity_me,
+)
+from futuresdr_tpu.models.adsb.tracker import (
+    Tracker,
+    cpr_decode_global,
+    cpr_encode,
+    nl,
+)
+
+
+def test_cpr_roundtrip_handbook_position():
+    lat, lon = 52.2572, 3.91937  # the classic Mode S handbook example
+    even = cpr_encode(lat, lon, odd=False)
+    odd = cpr_encode(lat, lon, odd=True)
+    dec = cpr_decode_global(even, odd, newest_is_odd=True)
+    assert dec is not None
+    assert abs(dec[0] - lat) < 1e-3 and abs(dec[1] - lon) < 1e-3
+
+
+def test_cpr_roundtrip_various_positions():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        lat = float(rng.uniform(-75, 75))
+        lon = float(rng.uniform(-179, 179))
+        dec = cpr_decode_global(
+            cpr_encode(lat, lon, False),
+            cpr_encode(lat, lon, True),
+            newest_is_odd=False,
+        )
+        assert dec is not None
+        assert abs(dec[0] - lat) < 1e-2 and abs(dec[1] - lon) < 1e-2
+
+
+def test_nl_table_anchor_values():
+    assert nl(0.0) == 59
+    assert nl(87.5) == 1
+    assert nl(52.2572) == 36  # handbook zone
+
+
+def test_tracker_over_the_air():
+    """ident + even/odd position + velocity frames through the RF
+    receiver populate one aircraft record with a decoded position."""
+    lat, lon = 48.35, 11.78
+    icao = 0x3C6444
+    frames_bits = [
+        encode_df17(icao, callsign_me("DLH9TA")),
+        encode_df17(
+            icao, position_me(*cpr_encode(lat, lon, False), 37000, False)
+        ),
+        encode_df17(
+            icao, position_me(*cpr_encode(lat, lon, True), 37000, True)
+        ),
+        encode_df17(icao, velocity_me(-120, 300, 640)),
+    ]
+    sig = np.concatenate(
+        [synthesize_frame(b, amplitude=1.0, pad=300) for b in frames_bits]
+    )
+    rx = AdsbReceiver()
+    decoded = rx.process(sig)
+    tracker = Tracker()
+    for f in decoded:
+        tracker.update(f)
+    assert icao in tracker.register
+    rec = tracker.register[icao]
+    assert rec.callsign == "DLH9TA"
+    assert len(rec.positions) >= 1
+    p = rec.positions[-1]
+    assert abs(p["lat"] - lat) < 1e-2 and abs(p["lon"] - lon) < 1e-2
+    assert p["altitude_ft"] == 37000
+    assert len(rec.velocities) == 1
+    v = rec.velocities[0]
+    assert abs(v["ground_speed_kt"] - np.hypot(120, 300)) < 0.1
+    assert v["vertical_rate_fpm"] == 640
+
+
+def test_tracker_prune_and_cpr_window():
+    t = [0.0]
+    tracker = Tracker(cpr_window=5.0, clock=lambda: t[0])
+    lat, lon = 10.0, 20.0
+    f_even = encode_df17(
+        0x111111, position_me(*cpr_encode(lat, lon, False), 10000, False)
+    )
+    f_odd = encode_df17(
+        0x111111, position_me(*cpr_encode(lat, lon, True), 10000, True)
+    )
+
+    class _F:
+        def __init__(self, bits):
+            self.bits = bits
+            self.df = 17
+            self.icao = 0x111111
+            self.crc_passed = True
+            self.callsign = None
+
+    tracker.update(_F(f_even))
+    t[0] = 60.0  # odd frame arrives way outside the pairing window
+    tracker.update(_F(f_odd))
+    assert tracker.register[0x111111].positions == []
+    t[0] = 62.0  # fresh even re-pairs with the recent odd
+    tracker.update(_F(f_even))
+    assert len(tracker.register[0x111111].positions) == 1
+    t[0] = 1000.0
+    assert tracker.prune(max_age=300.0) == 1
+    assert tracker.register == {}
+
+
+def test_cpr_zone_mismatch_rejected():
+    """Frames from wildly different latitudes must return None, not a
+    fabricated position (both can land in the polar NL=1 zone)."""
+    e = cpr_encode(10.0, 20.0, False)
+    o = cpr_encode(80.0, 20.0, True)
+    assert cpr_decode_global(e, o, newest_is_odd=True) is None
