@@ -5,6 +5,9 @@ from futuresdr_tpu.models.lora.phy import (
     LoraReceiver,
     modulate_frame,
 )
+from futuresdr_tpu.models.lora.packet_forwarder import (
+    PacketForwarderClient,
+)
 from futuresdr_tpu.models.lora.meshtastic import (
     PRESETS as MESHTASTIC_PRESETS,
     MeshtasticChannel,
@@ -17,5 +20,6 @@ __all__ = [
     "modulate_frame",
     "MESHTASTIC_PRESETS",
     "MeshtasticChannel",
+    "PacketForwarderClient",
     "MeshtasticChannels",
 ]
