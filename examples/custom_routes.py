@@ -41,9 +41,7 @@ def main() -> None:
     state = {"retunes": 0}
 
     def get_tone(_params, _body):
-        dphi = int(src._params["dphi"])  # fxpt phase increment
-        freq = dphi / float(1 << 32) * src.sample_rate
-        return {"frequency": round(freq, 3), "retunes": state["retunes"]}
+        return {"frequency": round(src.freq, 3), "retunes": state["retunes"]}
 
     def set_tone(_params, body):
         handle.post(src, "freq", float(body))

@@ -398,6 +398,11 @@ class SignalSource(Block):
         self._phase0 = phase_to_fxp(initial_phase)
         self._n = 0
 
+    @property
+    def freq(self) -> float:
+        """Current frequency in Hz (read back from the fxpt NCO step)."""
+        return int(self._params["dphi"]) / float(1 << 32) * self.sample_rate
+
     @message_handler("freq")
     def freq_handler(self, pmt: Pmt) -> Pmt:
         f = float(pmt.to_py())
