@@ -28,6 +28,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--r", type=int, default=512, help="channelized steps")
+    ap.add_argument(
+        "--variant",
+        choices=["1d", "2d", "partial"],
+        default="1d",
+        help="1d time mesh, 2d ch-x-time, or partial-DFT 2d",
+    )
     args = ap.parse_args()
 
     import jax
@@ -46,12 +52,24 @@ def main() -> None:
     from futuresdr_tpu.models.pfb_fm_bank import (
         BankConfig,
         make_sharded_bank_step,
+        make_sharded_bank_step_2d,
+        make_sharded_bank_step_2d_partial,
     )
     from futuresdr_tpu.ops import cplx
     from futuresdr_tpu.parallel import make_mesh
 
     cfg = BankConfig()
-    mesh = make_mesh((args.devices,), ("time",))
+    if args.variant == "1d":
+        mesh = make_mesh((args.devices,), ("time",))
+        builder = lambda: make_sharded_bank_step(cfg, mesh)  # noqa: E731
+    else:
+        mesh = make_mesh((2, args.devices // 2), ("ch", "time"))
+        mk = (
+            make_sharded_bank_step_2d_partial
+            if args.variant == "partial"
+            else make_sharded_bank_step_2d
+        )
+        builder = lambda: mk(cfg, mesh)  # noqa: E731
     n = args.r * cfg.n_ch
     rng = np.random.default_rng(0)
     x = cplx.from_numpy(
@@ -73,7 +91,7 @@ def main() -> None:
         jax.block_until_ready(a)
         return (time.perf_counter() - t0) / iters
 
-    init, step = make_sharded_bank_step(cfg, mesh)
+    init, step = builder()
     t_real = timed(step, init())
 
     # no-comm variant: halos filled locally (monkeypatched)
@@ -95,7 +113,7 @@ def main() -> None:
 
         bank_mod.halo_left = fake_halo
         bank_mod.ring_carry = fake_ring
-        init2, step2 = make_sharded_bank_step(cfg, mesh)
+        init2, step2 = builder()
         t_local = timed(step2, init2())
     finally:
         halo_mod.halo_left = orig_halo
@@ -107,9 +125,18 @@ def main() -> None:
 
     overhead = (t_real - t_local) / t_real * 100.0
     plat = jax.devices()[0].platform
-    print("devices,platform,r,step_real_ms,step_nocomm_ms,exchange_overhead_pct")
+    if args.variant == "partial":
+        print(
+            "# note: partial variant's all_gather is algorithmic, not a "
+            "halo — it stays in the no-comm baseline",
+            file=sys.stderr,
+        )
     print(
-        f"{args.devices},{plat},{args.r},{t_real*1e3:.3f},"
+        "variant,devices,platform,r,step_real_ms,step_nocomm_ms,"
+        "exchange_overhead_pct"
+    )
+    print(
+        f"{args.variant},{args.devices},{plat},{args.r},{t_real*1e3:.3f},"
         f"{t_local*1e3:.3f},{overhead:.2f}"
     )
 
