@@ -61,6 +61,10 @@ class FramedReceiverSink(Block):
         (default: payload blob of CRC-clean frames).
     port_name:
         message output port name (default ``"frames"``).
+    dedup_tolerance:
+        two detections whose absolute starts differ by at most this many
+        samples count as the same frame (re-detections in overlapping
+        windows can jitter by a few samples); 0 = exact-match dedup.
     """
 
     def __init__(
@@ -71,6 +75,7 @@ class FramedReceiverSink(Block):
         dtype=np.complex64,
         emit: Callable[[Any], Optional[Pmt]] = _default_emit,
         port_name: str = "frames",
+        dedup_tolerance: int = 0,
         name: Optional[str] = None,
     ):
         super().__init__(name)
@@ -85,6 +90,7 @@ class FramedReceiverSink(Block):
         self._port_name = port_name
         self._buf = np.zeros(0, np.dtype(dtype))
         self._abs = 0  # absolute index of _buf[0]
+        self.dedup_tolerance = int(dedup_tolerance)
         self._emitted = set()
         self.frames: List[Any] = []
 
@@ -102,7 +108,13 @@ class FramedReceiverSink(Block):
                 key = getattr(f, "start", None)
                 if key is not None:
                     key = self._abs + key
-                    if key in self._emitted:
+                    tol = self.dedup_tolerance
+                    if key in self._emitted or (
+                        tol
+                        and any(
+                            abs(key - k) <= tol for k in self._emitted
+                        )
+                    ):
                         continue
                     self._emitted.add(key)
                 self.frames.append(f)
