@@ -34,6 +34,10 @@ def main() -> None:
     config.set("fft_precision", "high")
     # bf16 branch FIR: +~25% bank throughput, isolation 70.5 dB (target 60)
     config.set("fir_dtype", "bfloat16")
+    # dense bf16 DFT matmul channelizer FFT: 1.63x whole-bank same-run
+    # A/B vs mixed-radix (MXU-dense beats stage-chain memory movement),
+    # isolation 68.4 dB
+    config.set("channelizer_fft", "dft_bf16")
     cfg = BankConfig(n_ch=1024, taps_per_ch=8, audio_decim=8, audio_taps=32)
     r = 512  # channelized steps per call → 512·1024 = 524288 IQ samples
     _, step = make_bank_step(cfg)

@@ -452,3 +452,28 @@ def test_branch_fir_bf16_dtype_close():
     rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert rel < 2e-2, rel
     assert not np.allclose(out, ref)  # actually took the bf16 path
+
+
+def test_channelizer_dft_bf16_backend_close():
+    """channelizer_fft=dft_bf16 (dense MXU DFT) must match the
+    mixed-radix path within bf16 tolerance and keep tone isolation."""
+    from futuresdr_tpu import config
+    from futuresdr_tpu.ops import cplx as _c
+
+    M = 16
+    proto = firdes.kaiser_lowpass(0.5 / M * 0.8, 0.5 / M * 0.4, 1e-4)
+    G = jnp.asarray(pfb_ops.analysis_branch_taps(proto, M), dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(256 * M) + 1j * rng.standard_normal(256 * M)).astype(
+        np.complex64
+    )
+    _, y_ref = pfb_ops.pfb_channelize(x, G, M)
+    config.set("channelizer_fft", "dft_bf16")
+    try:
+        _, y_dft = pfb_ops.pfb_channelize(x, G, M)
+    finally:
+        config.set("channelizer_fft", "mixed_radix")
+    a, b = tonp(y_ref), tonp(y_dft)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 2e-2, rel
+    assert not np.allclose(a, b)  # the bf16 path actually ran
