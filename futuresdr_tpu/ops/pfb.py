@@ -103,6 +103,24 @@ def _branch_fft(vt: ArrayLike, M: int) -> ArrayLike:
     return fft_c(vt, axis=-1)
 
 
+def _branch_ifft_scaled(y: ArrayLike, M: int) -> ArrayLike:
+    """Unnormalized inverse branch FFT (= ifft·M), same backend knob as
+    :func:`_branch_fft` (the synthesis bank's de-spin)."""
+    mode = str(config.get("channelizer_fft", "mixed_radix")).lower()
+    if mode in ("dft_bf16", "dft"):
+        dre, dim = _dft_const_bf16(M)  # forward DFT; inverse = conj
+        a16 = y.re.astype(jnp.bfloat16)
+        b16 = y.im.astype(jnp.bfloat16)
+        # (a+jb)·conj(D) = (a·Dre + b·Dim) + j(b·Dre − a·Dim)
+        return CArray(
+            jnp.matmul(a16, dre, preferred_element_type=jnp.float32)
+            + jnp.matmul(b16, dim, preferred_element_type=jnp.float32),
+            jnp.matmul(b16, dre, preferred_element_type=jnp.float32)
+            - jnp.matmul(a16, dim, preferred_element_type=jnp.float32),
+        )
+    return ifft_c(y, axis=-1) * float(M)
+
+
 def pfb_channelize(
     x: ArrayLike,
     branch_taps: ArrayLike,
@@ -149,7 +167,7 @@ def pfb_synthesize(
     M = n_ch
     L = branch_taps.shape[-1]
     R = y.shape[0]
-    u = ifft_c(y, axis=-1) * float(M)  # [R, M]
+    u = _branch_ifft_scaled(y, M)  # [R, M] (ifft·M, backend per config)
     ub = cplx.apply1(lambda t: t.T, u)  # [M, R]
     if state is None:
         state = cplx.zeros_like_shape(ub, (M, L - 1))
