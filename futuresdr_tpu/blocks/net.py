@@ -284,11 +284,21 @@ class WebsocketSink(Block):
         import asyncio
 
         payload = np.ascontiguousarray(arr.astype(self._dtype)).tobytes()
+        if not hasattr(self, "_pending"):
+            self._pending = {}
         for c in list(self._clients):
+            # true FixedDropping: while a client's previous send is still
+            # in flight, drop this chunk for it — otherwise a slow client
+            # queues coroutines without bound
+            prev = self._pending.get(id(c))
+            if prev is not None and not prev.done():
+                continue
             try:
-                asyncio.run_coroutine_threadsafe(c.send(payload), self._loop)
+                self._pending[id(c)] = asyncio.run_coroutine_threadsafe(
+                    c.send(payload), self._loop
+                )
             except Exception:
-                pass
+                self._pending.pop(id(c), None)
 
 
 class WebsocketPmtSink(Block):

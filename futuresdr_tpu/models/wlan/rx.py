@@ -207,10 +207,11 @@ def _deinterleave(bits: np.ndarray, mcs: C.Mcs) -> np.ndarray:
 
 
 def _decode_signal(eq_sym0: np.ndarray) -> Optional[C.FrameParam]:
-    """frame_equalizer.rs:120-175."""
-    bits = C.demap_hard(eq_sym0, 1)
-    deint = _deinterleave(bits, C.MCS["bpsk12"])
-    dec = viterbi_decode(deint, 24)
+    """frame_equalizer.rs:120-175 (soft-decision: the SIGNAL field sets
+    the frame's fate, so it gets the same LLR treatment as the data)."""
+    llrs = C.demap_soft(eq_sym0, 1)
+    deint = _deinterleave(llrs, C.MCS["bpsk12"])
+    dec = viterbi_decode_soft(deint, 24)
     parity = np.bitwise_xor.reduce(dec[:17])
     if parity != dec[17]:
         return None
