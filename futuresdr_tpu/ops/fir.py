@@ -123,7 +123,30 @@ def _conv_matmul(x: ArrayLike, taps: ArrayLike, stride: int) -> ArrayLike:
         W = jnp.asarray(_toeplitz_w(np.asarray(taps)[::-1], stride, bo))
 
     fr = cplx.apply1(lambda t: _frames(t, S, T, nb), x)  # [..., nb, S+T-1]
-    out = cplx.matmul(fr, W, precision=_precision())  # [..., nb, bo]
+    dt = str(config.get("fir_dtype", "float32")).lower()
+    if dt in ("bf16", "bfloat16"):
+        # same HBM-traffic trade as the branch einsum: bf16 operands,
+        # f32 accumulation
+        def mm16(a, b):
+            return jnp.matmul(
+                a.astype(jnp.bfloat16),
+                b.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+
+        if isinstance(fr, CArray) and isinstance(W, CArray):
+            out = CArray(
+                mm16(fr.re, W.re) - mm16(fr.im, W.im),
+                mm16(fr.re, W.im) + mm16(fr.im, W.re),
+            )
+        elif isinstance(fr, CArray):
+            out = CArray(mm16(fr.re, W), mm16(fr.im, W))
+        elif isinstance(W, CArray):
+            out = CArray(mm16(fr, W.re), mm16(fr, W.im))
+        else:
+            out = mm16(fr, W)
+    else:
+        out = cplx.matmul(fr, W, precision=_precision())  # [..., nb, bo]
     out = cplx.apply1(lambda t: t.reshape(*t.shape[:-2], nb * bo), out)
     return out[..., :M]
 

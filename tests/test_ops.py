@@ -477,3 +477,26 @@ def test_channelizer_dft_bf16_backend_close():
     rel = np.linalg.norm(a - b) / np.linalg.norm(a)
     assert rel < 2e-2, rel
     assert not np.allclose(a, b)  # the bf16 path actually ran
+
+
+def test_toeplitz_fir_bf16_dtype_close():
+    """fir_dtype=bfloat16 also covers the Toeplitz matmul path used by
+    conv1d_valid (long-signal FIRs)."""
+    from futuresdr_tpu import config
+    from futuresdr_tpu.ops import cplx as _c
+    from futuresdr_tpu.ops.fir import conv1d_valid
+
+    rng = np.random.default_rng(9)
+    x = _c.from_numpy(
+        (rng.standard_normal(5000) + 1j * rng.standard_normal(5000)).astype(np.complex64)
+    )
+    taps = rng.standard_normal(64).astype(np.float32)
+    ref = tonp(conv1d_valid(x, taps))
+    config.set("fir_dtype", "bfloat16")
+    try:
+        out = tonp(conv1d_valid(x, taps))
+    finally:
+        config.set("fir_dtype", "float32")
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+    assert not np.allclose(out, ref)
