@@ -90,3 +90,40 @@ def test_random_multirate_chain_matches_direct(seed):
     err = np.max(np.abs(got[:m] - ref[:m]))
     scale = np.max(np.abs(ref[:m])) + 1e-9
     assert err / scale < 1e-4, f"seed {seed}: rel err {err / scale}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_chain_scan_batching_identical(seed):
+    """steps_per_call=K must be bit-identical to single-step execution
+    on random multirate chains (valid counts, latency trim, tags)."""
+    from futuresdr_tpu import config
+
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(40_000, 120_000))
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+
+    def build():
+        fg = Flowgraph()
+        src = VectorSource(x)
+        taps = rng.standard_normal(int(rng.integers(5, 33))).astype(
+            np.float32
+        )
+        f = Fir(taps)
+        a = Apply(lambda v: v * 0.5)
+        snk = VectorSink(dtype=np.complex64)
+        connect(fg, src, f, a, snk)
+        return fg, snk
+
+    state = rng.bit_generator.state
+    fg1, s1 = build()
+    Runtime(chunk_size=8192).run(fg1)
+    rng.bit_generator.state = state  # same taps second time
+    fg2, s2 = build()
+    config.set("steps_per_call", 3)
+    try:
+        Runtime(chunk_size=8192).run(fg2)
+    finally:
+        config.set("steps_per_call", 1)
+    np.testing.assert_array_equal(s1.data(), s2.data())
