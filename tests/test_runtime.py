@@ -469,3 +469,40 @@ def test_one_finished_source_terminates_graph():
     h = Runtime(chunk_size=4096).start(fg)
     h.wait(timeout=30)  # must terminate on its own
     assert len(snk.data()) >= 16_000
+
+
+def test_tags_preserved_under_scan_batching():
+    """Tags ride the K-chunk lax.scan dispatch path identically to
+    single-step (per-chunk trim + absolute rebasing in _deliver_batch)."""
+    import numpy as np
+
+    from futuresdr_tpu import Flowgraph, Runtime, config
+    from futuresdr_tpu.blocks import Apply, VectorSink, VectorSource
+    from futuresdr_tpu.runtime.tags import ItemTag
+
+    data = np.arange(50000, dtype=np.complex64)
+    tags = [
+        ItemTag(5, "a"),
+        ItemTag(9000, "b"),
+        ItemTag(33333, "c"),
+        ItemTag(49999, "d"),
+    ]
+
+    def run(k):
+        fg = Flowgraph()
+        src = VectorSource(data, tags=tags)
+        b = Apply(lambda x: x + 1.0)
+        snk = VectorSink(dtype=np.complex64)
+        fg.stream(src, b)
+        fg.stream(b, snk)
+        config.set("steps_per_call", k)
+        try:
+            Runtime(chunk_size=4096).run(fg)
+        finally:
+            config.set("steps_per_call", 1)
+        return snk.data(), [(t.index, t.tag) for t in snk.tags()]
+
+    d1, t1 = run(1)
+    d4, t4 = run(4)
+    np.testing.assert_array_equal(d1, d4)
+    assert t1 == t4 == [(5, "a"), (9000, "b"), (33333, "c"), (49999, "d")]
