@@ -369,6 +369,12 @@ class Executor:
         host = jax.device_get(flight.sink_arrays) if need_fetch else None
         self._last_arrays = flight.sink_arrays
         aux_host = jax.device_get(flight.aux) if flight.aux else None
+        # complex reassembly once per key, not once per (key, chunk)
+        host_np = (
+            {k_: cplx.to_numpy(v_) for k_, v_ in host.items()}
+            if host is not None
+            else None
+        )
         for k, (sink_valid, sink_tags) in enumerate(flight.chunks):
             for bid in cfg.host_sink_ids:
                 b = fg.blocks[bid]
@@ -379,7 +385,7 @@ class Executor:
                         self.items_delivered[bid] += v
                         b.host_consume_count(v)
                         continue
-                    np_arr = cplx.to_numpy(host[key])[k][..., :v]
+                    np_arr = host_np[key][k][..., :v]
                     tags_ = [
                         t for t in sink_tags.get(key, []) if t.index < v
                     ]
