@@ -241,3 +241,28 @@ def test_framed_receiver_sink_lora():
     Runtime().run(fg)
     payloads = sorted(f.payload for f in snk.frames if f.crc_ok)
     assert payloads == [b"frame one", b"frame two!"]
+
+
+def test_profiler_trace_writes_perfetto():
+    """utils.trace captures a jax profiler trace around a flowgraph run
+    (the reference's samply/LTTng observability workflow)."""
+    import tempfile
+    from pathlib import Path
+
+    import numpy as np
+
+    from futuresdr_tpu import Flowgraph, Runtime
+    from futuresdr_tpu.blocks import Apply, VectorSink, VectorSource
+    from futuresdr_tpu.utils import trace
+
+    d = tempfile.mkdtemp()
+    fg = Flowgraph()
+    src = VectorSource(np.arange(8192, dtype=np.complex64))
+    b = Apply(lambda x: x * 2.0)
+    snk = VectorSink(dtype=np.complex64)
+    fg.stream(src, b)
+    fg.stream(b, snk)
+    with trace(d):
+        Runtime().run(fg)
+    produced = list(Path(d).rglob("*"))
+    assert any(p.is_file() for p in produced), produced
