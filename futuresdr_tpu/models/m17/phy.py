@@ -374,15 +374,19 @@ class M17Receiver:
         # stream frames follow back-to-back
         pos = sym0 + FRAME_SYMS * SPS
         while True:
-            syms = read_syms(pos, FRAME_SYMS)
-            if syms is None:
+            raw_f0 = read_raw(pos, FRAME_SYMS)
+            if raw_f0 is None:
                 break
-            sync = syms[:8]
-            expect = sync_symbols(SYNC_STR)
-            if np.sum(sync != expect) > 2:
+            # soft sync check: normalized correlation of the RAW symbol
+            # values against the expected sync (the old hard slicer
+            # tolerated only 2 symbol errors and was the sensitivity
+            # bottleneck below ~7 dB)
+            expect = sync_symbols(SYNC_STR).astype(np.float64)
+            sync_raw = raw_f0[:8].astype(np.float64)
+            denom = np.linalg.norm(sync_raw) * np.linalg.norm(expect) + 1e-9
+            if float(sync_raw @ expect) / denom < 0.5:
                 break
-            raw_f = read_raw(pos, FRAME_SYMS)
-            rf_llr = symbols_to_llrs(raw_f[8:])
+            rf_llr = symbols_to_llrs(raw_f0[8:])
             derand = rf_llr * (1.0 - 2.0 * rand_bits().astype(np.float64))
             deint = derand[interleaver()]
             coded = fec.depuncture_soft(deint[96:], PUNCTURE_2, 296)
