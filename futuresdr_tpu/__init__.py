@@ -23,7 +23,7 @@ __version__ = "0.1.0"
 from futuresdr_tpu.types.pmt import Pmt
 from futuresdr_tpu.types.ids import BlockId, PortId, FlowgraphId
 from futuresdr_tpu.runtime.block import Block, BlockSpec, PortSpec
-from futuresdr_tpu.runtime.flowgraph import Flowgraph, connect
+from futuresdr_tpu.runtime.flowgraph import Flowgraph, connect, to_dot
 from futuresdr_tpu.runtime.executor import Runtime, FlowgraphHandle
 from futuresdr_tpu.runtime.mocker import Mocker
 from futuresdr_tpu import config
@@ -38,6 +38,7 @@ __all__ = [
     "PortSpec",
     "Flowgraph",
     "connect",
+    "to_dot",
     "Runtime",
     "FlowgraphHandle",
     "Mocker",

@@ -217,6 +217,24 @@ class Flowgraph:
         )
 
 
+def to_dot(fg: Flowgraph) -> str:
+    """GraphViz dot of the flowgraph (what the prophecy FlowgraphCanvas
+    renders interactively; here a plain text export for quick
+    inspection: ``dot -Tsvg`` or any online renderer)."""
+    lines = ["digraph flowgraph {", "  rankdir=LR;", "  node [shape=box];"]
+    for i, b in enumerate(fg.blocks):
+        lines.append(f'  b{i} [label="{b.instance_name}"];')
+    for e in fg.stream_edges:
+        lines.append(f"  b{e.src} -> b{e.dst};")
+    for e in fg.message_edges:
+        lines.append(
+            f'  b{e.src} -> b{e.dst} [style=dashed, '
+            f'label="{e.src_port}→{e.dst_handler}"];'
+        )
+    lines.append("}")
+    return "\n".join(lines)
+
+
 def connect(fg: Flowgraph, *chain: Block) -> None:
     """Wire blocks in a linear chain on default ports.
 

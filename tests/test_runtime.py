@@ -506,3 +506,23 @@ def test_tags_preserved_under_scan_batching():
     d4, t4 = run(4)
     np.testing.assert_array_equal(d1, d4)
     assert t1 == t4 == [(5, "a"), (9000, "b"), (33333, "c"), (49999, "d")]
+
+
+def test_to_dot_renders_stream_and_message_edges():
+    import numpy as np
+
+    from futuresdr_tpu import Flowgraph, to_dot
+    from futuresdr_tpu.blocks import Apply, VectorSink, VectorSource
+    from futuresdr_tpu.models.wlan import WlanMac
+    from futuresdr_tpu.models.wlan.blocks import WlanTxSource
+
+    fg = Flowgraph()
+    mac = WlanMac()
+    tx = WlanTxSource()
+    snk = VectorSink(dtype=np.complex64)
+    fg.message(mac, "tx_frames", tx, "tx")
+    fg.stream(tx, snk)
+    dot = to_dot(fg)
+    assert "digraph" in dot
+    assert "WlanMac" in dot and "WlanTxSource" in dot
+    assert "style=dashed" in dot and "tx_frames" in dot
