@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CLASSES = ["bpsk", "qpsk", "qam16", "fm"]
+CLASSES = ["bpsk", "qpsk", "qam16", "fm", "gfsk", "ook"]
 FRAME = 128
 
 
@@ -31,6 +31,8 @@ def _symbols(kind: str, n: int, rng) -> np.ndarray:
         return (
             lv[rng.integers(0, 4, n)] + 1j * lv[rng.integers(0, 4, n)]
         ).astype(np.complex64)
+    if kind == "ook":
+        return (rng.integers(0, 2, n) * np.sqrt(2.0)).astype(np.complex64)
     raise ValueError(kind)
 
 
@@ -41,6 +43,15 @@ def _gen_frame(kind: str, snr_db: float, rng) -> np.ndarray:
         audio = np.convolve(audio, np.ones(8) / 8, mode="same")
         phase = np.cumsum(audio) * 0.8
         x = np.exp(1j * phase).astype(np.complex64)
+    elif kind == "gfsk":
+        # Gaussian-filtered 2-FSK, h ≈ 0.5 (Bluetooth/keyfob family)
+        bits = 2.0 * rng.integers(0, 2, FRAME // sps + 2) - 1.0
+        dev = np.repeat(bits, sps)[:FRAME].astype(np.float32)
+        g = np.exp(-0.5 * (np.arange(-4, 5) / 1.5) ** 2)
+        dev = np.convolve(dev, g / g.sum(), mode="same")
+        x = np.exp(1j * np.cumsum(0.5 * np.pi * dev / sps)).astype(
+            np.complex64
+        )
     else:
         syms = _symbols(kind, FRAME // sps + 4, rng)
         up = np.zeros(len(syms) * sps, np.complex64)
