@@ -526,3 +526,63 @@ def test_to_dot_renders_stream_and_message_edges():
     assert "digraph" in dot
     assert "WlanMac" in dot and "WlanTxSource" in dot
     assert "style=dashed" in dot and "tx_frames" in dot
+
+
+def test_closed_loop_feedback_via_message_edge():
+    """Feedback loops close through the MESSAGE plane (the reference's
+    model too — stream cycles stay rejected by the topo sort): a
+    level-measuring sink retunes an upstream gain param each chunk and
+    the output level converges to target."""
+    import numpy as np
+
+    from futuresdr_tpu import Flowgraph, Runtime
+    from futuresdr_tpu.blocks import VectorSource
+    from futuresdr_tpu.runtime.block import (
+        Block,
+        PortSpec,
+        message_handler,
+    )
+    from futuresdr_tpu.types.pmt import Pmt
+
+    class GainStage(Block):
+        def __init__(self):
+            super().__init__()
+            self.stream_inputs = [PortSpec("in", np.float32)]
+            self.stream_outputs = [PortSpec("out", np.float32)]
+            self.rate_in = (1,)
+            self.rate_out = (1,)
+            self._params["g"] = np.float32(1.0)
+
+        @message_handler("gain")
+        def _g(self, pmt):
+            self.set_param("g", np.float32(float(pmt.to_py())))
+            return Pmt.ok()
+
+        def apply(self, state, inputs, params):
+            return state, [inputs[0] * params["g"]], {}
+
+    class LevelSink(Block):
+        def __init__(self, target=1.0):
+            super().__init__()
+            self.stream_inputs = [PortSpec("in", np.float32)]
+            self.rate_in = (1,)
+            self.message_outputs = ["gain_out"]
+            self.target = target
+            self.gain = 1.0
+            self.levels = []
+
+        def host_consume(self, arr, tags, port=0):
+            lvl = float(np.sqrt(np.mean(arr**2)) + 1e-12)
+            self.levels.append(lvl)
+            self.gain *= (self.target / lvl) ** 0.5
+            self.post("gain_out", Pmt.from_py(self.gain))
+
+    snk = LevelSink()
+    g = GainStage()
+    fg = Flowgraph()
+    src = VectorSource(np.full(400000, 0.05, np.float32))
+    fg.stream(src, g)
+    fg.stream(g, snk)
+    fg.message(snk, "gain_out", g, "gain")  # the feedback edge
+    Runtime(chunk_size=8192).run(fg)
+    assert abs(snk.levels[-1] - 1.0) < 0.05
