@@ -64,7 +64,19 @@ def main() -> None:
     fg2, tail = build_spectrum(src, args.fft)
     ws = WebsocketSink(args.port, np.float32)
     fg2.stream(tail, ws)
+    # serve the bundled waterfall GUI from the control port (the
+    # prophecy-GUI workflow: one command, open the printed URL)
+    from futuresdr_tpu import config
+    from futuresdr_tpu.runtime.ctrl_port import global_ctrl_port
+
+    config.set("ctrlport_enable", True)
+    cp = global_ctrl_port()
     print(f"spectrum on ws://0.0.0.0:{ws.port} ({args.fft}-pt frames)")
+    if cp is not None:
+        print(
+            f"waterfall GUI: http://127.0.0.1:{cp.port}/index.html "
+            f"(set ws url to ws://127.0.0.1:{ws.port})"
+        )
     Runtime(chunk_size=1 << 16).run(
         fg2, max_steps=int(args.seconds * args.sample_rate / (1 << 16))
     )
