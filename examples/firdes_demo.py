@@ -18,7 +18,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from futuresdr_tpu import Flowgraph, Runtime, connect  # noqa: E402
-from futuresdr_tpu.blocks import Fir, VectorSink, VectorSource, WavSink  # noqa: E402
+from futuresdr_tpu.blocks import Apply, Fir, VectorSink, VectorSource, WavSink  # noqa: E402
 from futuresdr_tpu.dsp import firdes  # noqa: E402
 
 FS = 66_150
@@ -43,10 +43,14 @@ def main() -> None:
     src = VectorSource(sig)
     resamp = Fir.resampling(2, 3, dtype=np.float32)
     lp = Fir(taps, dtype=np.float32)
+    # 0.8 headroom: the filter warmup transient would otherwise clip
+    # the int16 WAV briefly
+    att = Apply(lambda v: v * 0.8, in_dtype=np.float32)
     wav = WavSink(out_path, sample_rate=44_100)
     snk = VectorSink()
     connect(fg, src, resamp, lp, snk)
-    fg.stream(lp, wav)
+    fg.stream(lp, att)
+    fg.stream(att, wav)
     Runtime().run(fg)
 
     y = snk.data()
