@@ -214,6 +214,7 @@ class IQFileSource(Block):
         self.is_blocking = True
         self.stream_outputs = [PortSpec("out", np.complex64)]
         self.rate_out = (1,)
+        self.notifies = True  # the reader thread wakes the executor
         from futuresdr_tpu.native import NativeRing, convert_iq
 
         self._convert = convert_iq
@@ -238,15 +239,23 @@ class IQFileSource(Block):
                     off = 0
                     while off < len(data) and not self._stop.is_set():
                         off += self._ring.write(data[off:])
+                    self.notify_data()
             if not self.repeat:
                 break
         self._eof.set()
+        self.notify_data()
 
     def host_produce(self, n: int, port: int = 0):
         import numpy as _np
 
         item = self._ITEM_BYTES[self.fmt]
         want = n * item
+        if want > self._ring.capacity:
+            raise ValueError(
+                f"IQFileSource chunk needs {want} B but ring_bytes is only "
+                f"{self._ring.capacity} B; construct with ring_bytes >= the "
+                f"compiled chunk size ({n} samples x {item} B)"
+            )
         deadline = time.monotonic() + 5.0
         while (
             self._ring.readable() < want
@@ -254,6 +263,11 @@ class IQFileSource(Block):
             and time.monotonic() < deadline
         ):
             time.sleep(0.0005)
+        if self._ring.readable() < want and not self._eof.is_set():
+            # Deadline expired mid-stream (slow producer, not EOF): return an
+            # empty chunk so the executor retries, rather than a short chunk
+            # whose zero-padding would corrupt stateful device filter history.
+            return _np.zeros(0, _np.complex64)
         avail = self._ring.readable() - self._ring.readable() % item
         raw = self._ring.read(min(want, avail))
         if not raw:
@@ -339,6 +353,7 @@ class ChannelSource(Block):
         self.stream_outputs = [PortSpec("out", dt)]
         self.rate_out = (1,)
         self.is_blocking = True
+        self.notifies = True  # push()/close() wake the executor
         self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize)
         self._buf = np.zeros((0,), dtype=dt)
         self._closed = False

@@ -141,8 +141,10 @@ def parse_velocity_me(bits: np.ndarray) -> Optional[dict]:
     ns = _bits_int(bits, 57, 67)
     if ew == 0 or ns == 0:
         return None
-    vx = (ew - 1) * (-1 if ew_dir else 1)
-    vy = (ns - 1) * (-1 if ns_dir else 1)
+    # subtype 2 is supersonic: velocity fields are in 4-kt units (DO-260B)
+    scale = 4 if subtype == 2 else 1
+    vx = (ew - 1) * scale * (-1 if ew_dir else 1)
+    vy = (ns - 1) * scale * (-1 if ns_dir else 1)
     speed = math.hypot(vx, vy)
     heading = math.degrees(math.atan2(vx, vy)) % 360.0
     vr_sign = int(bits[68])

@@ -57,6 +57,7 @@ class PacketForwarderClient:
         host, _, port = server_addr.rpartition(":")
         self.server: Tuple[str, int] = (host or "127.0.0.1", int(port))
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._timeout = timeout
         self.sock.settimeout(timeout)
         self.on_downlink = on_downlink
         self._token = 0
@@ -164,7 +165,7 @@ class PacketForwarderClient:
                 if len(data) >= 4 and data[3] == PULL_RESP:
                     self._handle_pull_resp(data)
         finally:
-            self.sock.settimeout(1.0)
+            self.sock.settimeout(self._timeout)
 
     def close(self) -> None:
         self.sock.close()

@@ -117,7 +117,7 @@ def make_sharded_bank_step(
     (``halo_left`` raises if it would).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     branch_taps, audio_taps = _design(cfg)
     M, L = cfg.n_ch, int(branch_taps.shape[-1])
@@ -168,7 +168,7 @@ def make_sharded_bank_step(
             P(axis),  # x time-sharded on its sample axis
         ),
         out_specs=((P(), P(), P()), P(None, axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return init_carry, fn
 
@@ -190,7 +190,7 @@ def make_sharded_bank_step_2d(
     lookback halos ride ``ppermute`` over the time axis exactly as in the
     1D variant. Audio returns sharded over (ch, time)."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     branch_taps, audio_taps = _design(cfg)
     M, L = cfg.n_ch, int(branch_taps.shape[-1])
@@ -250,7 +250,7 @@ def make_sharded_bank_step_2d(
             (P(), P(ch_axis), P(ch_axis)),
             P(ch_axis, time_axis),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     return init_carry, fn
 
@@ -274,7 +274,7 @@ def make_sharded_bank_step_2d_partial(
     full FFT for moderate C). Time halos ride ``ppermute`` exactly as in
     the 1D variant."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from futuresdr_tpu.ops.fft import _PREC
     from futuresdr_tpu.ops.fir import conv1d_valid_branches_w
 
@@ -361,7 +361,7 @@ def make_sharded_bank_step_2d_partial(
             (P(), P(ch_axis), P(ch_axis)),
             P(ch_axis, time_axis),
         ),
-        check_rep=False,
+        check_vma=False,
     )
 
     def fn(carry, x):

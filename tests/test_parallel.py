@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from futuresdr_tpu.models.pfb_fm_bank import (
@@ -46,7 +46,7 @@ def test_halo_left_matches_serial_fir():
         return conv1d_valid(ext, jnp.asarray(taps))
 
     y_shard = shard_map(
-        fn, mesh=mesh, in_specs=P("t"), out_specs=P("t"), check_rep=False
+        fn, mesh=mesh, in_specs=P("t"), out_specs=P("t"), check_vma=False
     )(xc)
     np.testing.assert_allclose(
         cplx.to_numpy(y_shard), cplx.to_numpy(y_serial), atol=1e-4
@@ -61,7 +61,7 @@ def test_ring_carry_replicates_last_tail():
         return ring_carry(xs, 4, "t")
 
     out = shard_map(
-        fn, mesh=mesh, in_specs=P("t"), out_specs=P("t"), check_rep=False
+        fn, mesh=mesh, in_specs=P("t"), out_specs=P("t"), check_vma=False
     )(x)
     # every shard's result is the global tail [124..127]
     got = np.asarray(out).reshape(8, 4)
@@ -102,7 +102,7 @@ def test_halo_larger_than_shard_rejected():
             mesh=mesh,
             in_specs=P("t"),
             out_specs=P("t"),
-            check_rep=False,
+            check_vma=False,
         )(jnp.zeros(8 * 16))
 
 
