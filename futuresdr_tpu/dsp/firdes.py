@@ -234,28 +234,37 @@ def remez(
 ) -> np.ndarray:
     """Parks-McClellan optimal equiripple FIR design.
 
-    The reference ports the Janovetz C implementation
-    (``firdes/remez_impl.rs``); SciPy ships the same algorithm
-    (`scipy.signal.remez`), which we use directly rather than re-porting
-    ~800 lines of exchange-algorithm code. ``bands`` are in cycles/sample
-    pairs ``[b0_lo, b0_hi, b1_lo, ...]`` like the reference API.
+    Own Remez-exchange implementation (:mod:`futuresdr_tpu.dsp.remez` —
+    capability parity with the reference's ``firdes/remez.rs`` +
+    ``remez_impl.rs``, no SciPy). ``bands`` are in cycles/sample pairs
+    ``[b0_lo, b0_hi, b1_lo, ...]`` like the reference API.
     """
-    from scipy.signal import remez as _scipy_remez
+    from futuresdr_tpu.dsp.remez import pm_remez
 
-    bands = np.asarray(bands, dtype=np.float64).ravel()
-    if bands.ndim != 1 or len(bands) % 2 != 0:
-        raise ValueError("bands must be flat [lo, hi, lo, hi, ...] pairs")
-    desired = np.asarray(desired, dtype=np.float64).ravel()
-    if weights is None:
-        weights = np.ones(len(bands) // 2)
-    ftype = {"bandpass": "bandpass", "differentiator": "differentiator",
-             "hilbert": "hilbert"}[filter_type]
-    return _scipy_remez(
+    return pm_remez(
         num_taps,
         bands,
         desired,
-        weight=np.asarray(weights, dtype=np.float64),
-        type=ftype,
+        weights,
+        filter_type=filter_type,
         grid_density=grid_density,
-        fs=1.0,
+    )
+
+
+def remez_lowpass(
+    gain: float,
+    fs: float,
+    freq1: float,
+    freq2: float,
+    passband_ripple_db: float,
+    stopband_atten_db: float,
+    nextra_taps: int = 2,
+) -> np.ndarray:
+    """Equiripple lowpass from dB specs (parity: remez.rs ``low_pass``,
+    incl. the polyphase-channelizer prototype recipe in its docs)."""
+    from futuresdr_tpu.dsp.remez import remez_lowpass as _impl
+
+    return _impl(
+        gain, fs, freq1, freq2, passband_ripple_db, stopband_atten_db,
+        nextra_taps,
     )

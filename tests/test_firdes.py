@@ -141,7 +141,7 @@ class TestFirdes:
 
     def test_remez_lowpass(self):
         taps = firdes.remez(65, [0.0, 0.2, 0.25, 0.5], [1.0, 0.0])
-        w, h = sp_signal.freqz(taps, worN=4096, fs=1.0)
+        w, h = _freq_response(taps)
         assert np.all(np.abs(np.abs(h[w < 0.19]) - 1.0) < 0.02)
         assert np.all(np.abs(h[w > 0.26]) < 0.02)
 
@@ -152,3 +152,127 @@ class TestFirdes:
             firdes.highpass(0.25, windows.hamming(64))  # even length
         with pytest.raises(ValueError):
             firdes.root_raised_cosine(3, 3, 0.2)  # span*sps odd
+
+
+# ---------------------------------------------------------------------------
+# Own Parks-McClellan (dsp/remez.py — scipy-free implementation)
+# ---------------------------------------------------------------------------
+
+
+def _freq_response(taps, worN=4096):
+    """NumPy-only freqz: H(f) at worN points on [0, 0.5)."""
+    w = np.arange(worN) / (2 * worN)
+    n = np.arange(len(taps))
+    h = np.exp(-2j * np.pi * w[:, None] * n[None, :]) @ np.asarray(taps)
+    return w, h
+
+
+class TestRemez:
+    """The exchange algorithm itself (futuresdr_tpu.dsp.remez), no scipy
+    anywhere in the implementation path."""
+
+    def test_no_scipy_in_implementation(self):
+        import sys
+        import importlib
+
+        import futuresdr_tpu.dsp.remez as rz
+
+        importlib.reload(rz)
+        import re
+
+        src = open(rz.__file__).read()
+        assert not re.search(r"^\s*(import|from)\s+scipy", src, re.M)
+        # and designing a filter must not import scipy as a side effect
+        pre = set(sys.modules)
+        rz.pm_remez(33, [0.0, 0.2, 0.3, 0.5], [1.0, 0.0])
+        assert not any(
+            m.startswith("scipy") for m in set(sys.modules) - pre
+        )
+
+    def test_equiripple_property(self):
+        """The passband/stopband errors alternate at equal magnitude —
+        the defining property of the optimum."""
+        taps = firdes.remez(55, [0.0, 0.18, 0.24, 0.5], [1.0, 0.0])
+        w, h = _freq_response(taps, 16384)
+        pb = np.abs(np.abs(h[w <= 0.18]) - 1.0)
+        sb = np.abs(h[w >= 0.24])
+        # equal-ripple across bands (weight 1:1) to a few percent
+        assert abs(pb.max() - sb.max()) < 0.1 * sb.max()
+
+    def test_weighted_stopband(self):
+        taps = firdes.remez(65, [0.0, 0.18, 0.24, 0.5], [1.0, 0.0], [1, 10])
+        w, h = _freq_response(taps, 16384)
+        pb = np.abs(np.abs(h[w <= 0.18]) - 1.0)
+        sb = np.abs(h[w >= 0.24])
+        # 10x weight ⇒ stopband ripple ~10x smaller than passband ripple
+        assert sb.max() < 0.2 * pb.max()
+
+    def test_even_length(self):
+        taps = firdes.remez(64, [0.0, 0.2, 0.25, 0.5], [1.0, 0.0])
+        assert len(taps) == 64
+        # type 2 symmetry
+        np.testing.assert_allclose(taps, taps[::-1], atol=1e-12)
+        w, h = _freq_response(taps)
+        assert np.all(np.abs(h[w > 0.27]) < 0.02)
+
+    def test_multiband(self):
+        taps = firdes.remez(
+            101,
+            [0.0, 0.1, 0.15, 0.3, 0.35, 0.5],
+            [0.0, 1.0, 0.0],
+            [1.0, 1.0, 10.0],
+        )
+        w, h = _freq_response(taps, 16384)
+        assert np.all(np.abs(h[w < 0.095]) < 0.03)
+        band = (w > 0.155) & (w < 0.295)
+        assert np.all(np.abs(np.abs(h[band]) - 1.0) < 0.03)
+        assert np.all(np.abs(h[w > 0.355]) < 0.005)
+
+    def test_hilbert(self):
+        taps = firdes.remez(33, [0.05, 0.45], [1.0], filter_type="hilbert")
+        # antisymmetric
+        np.testing.assert_allclose(taps, -taps[::-1], atol=1e-12)
+        w, h = _freq_response(taps)
+        band = (w > 0.08) & (w < 0.42)
+        assert np.all(np.abs(np.abs(h[band]) - 1.0) < 0.02)
+
+    def test_differentiator(self):
+        taps = firdes.remez(
+            31, [0.0, 0.45], [1.0], filter_type="differentiator"
+        )
+        np.testing.assert_allclose(taps, -taps[::-1], atol=1e-12)
+        w, h = _freq_response(taps)
+        band = (w > 0.02) & (w < 0.4)
+        # |H(f)| ≈ f on the design band (slope-1 differentiator)
+        rel = np.abs(np.abs(h[band]) - w[band]) / w[band]
+        assert np.max(rel) < 0.02
+
+    def test_matches_scipy_when_available(self):
+        sp = pytest.importorskip("scipy.signal")
+        for args in [
+            (65, [0.0, 0.2, 0.25, 0.5], [1.0, 0.0], None),
+            (31, [0.0, 0.15, 0.2, 0.5], [1.0, 0.0], [1.0, 3.0]),
+            (255, [0.0, 0.05, 0.07, 0.5], [1.0, 0.0], None),
+        ]:
+            n, bands, des, wt = args
+            mine = firdes.remez(n, bands, des, wt)
+            theirs = sp.remez(n, bands, des, weight=wt, fs=1.0)
+            np.testing.assert_allclose(mine, theirs, atol=5e-5)
+
+    def test_remez_lowpass_spec(self):
+        """remez.rs low_pass parity: meets the dB specs it was asked for."""
+        taps = firdes.remez_lowpass(1.0, 1.0, 0.2, 0.25, 0.2, 60.0)
+        w, h = _freq_response(taps, 16384)
+        sb = 20 * np.log10(np.maximum(np.abs(h[w >= 0.25]), 1e-12))
+        assert sb.max() < -58.0  # ~60 dB stopband
+        pb = np.abs(h[w <= 0.2])
+        ripple_db = 20 * np.log10(pb.max() / pb.min())
+        assert ripple_db < 0.4  # ~0.2 dB passband ripple
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            firdes.remez(65, [0.0, 0.3, 0.2, 0.5], [1.0, 0.0])  # non-asc
+        with pytest.raises(ValueError):
+            firdes.remez(65, [0.0, 0.2, 0.25], [1.0, 0.0])  # odd edges
+        with pytest.raises(ValueError):
+            firdes.remez(65, [0.0, 0.2, 0.25, 0.5], [1.0])  # des mismatch
