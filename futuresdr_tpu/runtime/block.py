@@ -86,10 +86,15 @@ class Block:
         self.rate_out: Tuple[int, ...] = ()
         self.tag_propagation = TagPropagation.PROPAGATE
         self.is_blocking = False  # host-I/O bound (drivers, audio, network)
+        # True when this source calls notify_data() whenever new data
+        # arrives: the executor then sleeps event-driven instead of
+        # falling back to a short poll when the graph goes idle.
+        self.notifies = False
         self._params: Dict[str, np.ndarray] = {}
         self._params_version = 0
         self._finished_requested = False
         self._wake_fn = None  # executor wakeup (set while running)
+        self.last_aux: Dict[str, np.ndarray] = {}
 
     def notify_data(self) -> None:
         """Wake the executor's idle wait — call from any thread after
@@ -166,7 +171,11 @@ class Block:
 
     # ---- aux / lifecycle hooks ------------------------------------------
     def on_aux(self, aux: Dict[str, np.ndarray]) -> None:
-        """Host hook: called after each step with this block's aux output."""
+        """Host hook: called after each step with this block's aux output
+        (before sinks consume that step — downstream sinks may read
+        ``last_aux`` of an upstream block, e.g. a valid count for
+        fixed-capacity variable-rate outputs)."""
+        self.last_aux = aux
 
     def request_finish(self) -> None:
         self._finished_requested = True

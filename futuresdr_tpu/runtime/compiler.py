@@ -111,10 +111,18 @@ def solve_repetitions(fg: Flowgraph) -> List[int]:
 
 
 def topo_order(fg: Flowgraph) -> List[int]:
+    """Topological order over *forward* stream edges.
+
+    Feedback (``close_circuit``) edges carry a z^-D delay and do not
+    constrain ordering — the delayed value comes from state. A cycle made
+    only of forward edges is still an error (an algebraic loop: no delay
+    element to break it)."""
     n = len(fg.blocks)
     indeg = [0] * n
     out_adj: List[List[int]] = [[] for _ in range(n)]
     for e in fg.stream_edges:
+        if e.feedback:
+            continue
         indeg[e.dst] += 1
         out_adj[e.src].append(e.dst)
     ready = [i for i in range(n) if indeg[i] == 0]
@@ -131,8 +139,122 @@ def topo_order(fg: Flowgraph) -> List[int]:
         cyc = [
             fg.blocks[i].instance_name for i in range(n) if i not in placed
         ]
-        raise RateError(f"flowgraph has a stream cycle involving {cyc}")
+        raise RateError(
+            f"flowgraph has a delay-free stream cycle involving {cyc}; "
+            "close the loop with fg.close_circuit(..., delay=D) so the "
+            "feedback carries at least one item of delay"
+        )
     return order
+
+
+@dataclass
+class FeedbackRegion:
+    """A set of blocks enclosed by one or more ``close_circuit`` loops,
+    executed as a ``lax.scan`` section stepping ``granularity`` items at a
+    time (the reference instead circulates owned buffers through the
+    cycle, ``buffer/circuit.rs:32-80``)."""
+
+    members: List[int]  # in forward-topo order
+    fb_edges: List[StreamEdge]
+    granularity: int  # items per scan iteration on region edges
+    n_iters: int  # iterations per chunk ( = region_items / granularity )
+
+
+def find_feedback_regions(
+    fg: Flowgraph,
+    order: List[int],
+    edge_items: Dict[StreamEdge, int],
+) -> List[FeedbackRegion]:
+    """Group blocks on feedback cycles into scan regions."""
+    fb_edges = [e for e in fg.stream_edges if e.feedback]
+    if not fb_edges:
+        return []
+    n = len(fg.blocks)
+    fwd: List[List[int]] = [[] for _ in range(n)]
+    rev: List[List[int]] = [[] for _ in range(n)]
+    for e in fg.stream_edges:
+        if not e.feedback:
+            fwd[e.src].append(e.dst)
+            rev[e.dst].append(e.src)
+
+    def reach(start: int, adj: List[List[int]]) -> set:
+        seen = {start}
+        stack = [start]
+        while stack:
+            b = stack.pop()
+            for x in adj[b]:
+                if x not in seen:
+                    seen.add(x)
+                    stack.append(x)
+        return seen
+
+    # per feedback edge: blocks on a forward path dst →* src
+    raw: List[Tuple[set, List[StreamEdge]]] = []
+    for e in fb_edges:
+        members = reach(e.dst, fwd) & reach(e.src, rev)
+        if e.src not in members or e.dst not in members:
+            raise RateError(
+                "close_circuit edge does not close a cycle: no forward "
+                f"path from {fg.blocks[e.dst].instance_name} back to "
+                f"{fg.blocks[e.src].instance_name}"
+            )
+        raw.append((members, [e]))
+    # merge overlapping regions
+    merged: List[Tuple[set, List[StreamEdge]]] = []
+    for members, es in raw:
+        for m in merged:
+            if m[0] & members:
+                m[0].update(members)
+                m[1].extend(es)
+                break
+        else:
+            merged.append((set(members), list(es)))
+
+    pos = {b: i for i, b in enumerate(order)}
+    regions: List[FeedbackRegion] = []
+    for members, es in merged:
+        mlist = sorted(members, key=lambda b: pos[b])
+        # all edges with both endpoints inside must step uniformly
+        internal = [
+            e
+            for e in fg.stream_edges
+            if e.src in members and e.dst in members
+        ]
+        items = {edge_items[e] for e in internal}
+        if len(items) != 1:
+            raise RateError(
+                "feedback region blocks must run at one common rate "
+                f"(edge chunks {sorted(items)}); rate changes inside a "
+                "close_circuit loop are not supported"
+            )
+        region_items = items.pop()
+        delay = min(e.feedback for e in es)
+        gran = math.gcd(min(delay, region_items), region_items)
+        # external inputs must slice evenly across scan iterations
+        n_iters = region_items // gran
+        for e in fg.stream_edges:
+            if e.dst in members and e.src not in members:
+                if edge_items[e] % n_iters:
+                    raise RateError(
+                        f"edge into feedback region has {edge_items[e]} "
+                        f"items, not divisible by {n_iters} scan steps"
+                    )
+        for b in mlist:
+            blk = fg.blocks[b]
+            if blk.is_host_source or blk.is_host_sink:
+                raise RateError(
+                    f"{blk.instance_name}: host-boundary blocks cannot "
+                    "sit inside a feedback loop"
+                )
+        regions.append(
+            FeedbackRegion(
+                members=mlist,
+                fb_edges=es,
+                granularity=gran,
+                n_iters=n_iters,
+            )
+        )
+    return regions
 
 
 def _latency_out(b: Block) -> Tuple[int, ...]:
@@ -175,6 +297,7 @@ class CompiledFlowgraph:
     host_source_ids: List[int]
     host_sink_ids: List[int]
     pure_ids: List[int]
+    regions: List[FeedbackRegion] = field(default_factory=list)
     step: Any = None  # jitted fn, attached by _trace
     scan_step: Any = None  # jitted K-chunk lax.scan variant (built lazily)
 
@@ -187,14 +310,54 @@ class CompiledFlowgraph:
     def pkey(bid: int, port: int) -> str:
         return f"{bid}.{port}"
 
+    # ---- key helpers (feedback) -----------------------------------------
+    @staticmethod
+    def fbkey(e: StreamEdge) -> str:
+        return f"fb{e.src}.{e.src_port}->{e.dst}.{e.dst_port}"
+
+    def _region_of(self, bid: int) -> Optional[FeedbackRegion]:
+        for r in self.regions:
+            if bid in r.members:
+                return r
+        return None
+
+    def _apply_chunks(self, bid: int) -> Tuple[List[int], List[int]]:
+        """Per-``apply``-call chunk sizes: full-chunk for plain blocks,
+        one scan iteration's worth inside a feedback region."""
+        r = self._region_of(bid)
+        if r is None or r.n_iters == 1:
+            return self.in_chunks[bid], self.out_chunks[bid]
+        return (
+            [c // r.n_iters for c in self.in_chunks[bid]],
+            [c // r.n_iters for c in self.out_chunks[bid]],
+        )
+
+    def _fb_zeros(self, e: StreamEdge):
+        """Initial delayed-items buffer for a feedback edge."""
+        from futuresdr_tpu.ops import cplx
+
+        import jax.numpy as jnp
+
+        b = self.fg.blocks[e.src]
+        dt = np.dtype(b.stream_outputs[e.src_port].dtype)
+        init = self.fg.feedback_init.get(e, 0.0)
+        if dt == np.complex64:
+            buf = cplx.czeros((e.feedback,))
+            if init:
+                buf = cplx.CArray(buf.re + np.float32(init), buf.im)
+            return buf
+        return jnp.full((e.feedback,), init, dtype=dt)
+
     # ---- state/params init ----------------------------------------------
     def init_states(self) -> Dict[str, Any]:
         states = {}
         for bid in self.pure_ids:
             b = self.fg.blocks[bid]
-            states[self.bkey(bid)] = b.make_state(
-                self.in_chunks[bid], self.out_chunks[bid]
-            )
+            ic, oc = self._apply_chunks(bid)
+            states[self.bkey(bid)] = b.make_state(ic, oc)
+        for r in self.regions:
+            for e in r.fb_edges:
+                states[self.fbkey(e)] = self._fb_zeros(e)
         return states
 
     def gather_params(self) -> Dict[str, Dict[str, np.ndarray]]:
@@ -222,6 +385,112 @@ class CompiledFlowgraph:
         self.scan_step = jax.jit(scanned, donate_argnums=(0,))
         return self.scan_step
 
+    # ---- feedback region execution ---------------------------------------
+    def _run_region_members(
+        self, region: FeedbackRegion, fb_bufs, member_states, local_vals, params
+    ):
+        """One scan iteration: run every member block on ``granularity``
+        items, reading feedback inputs from the delay buffers (values D
+        items old) and shifting fresh outputs in."""
+        import jax.numpy as jnp  # noqa: F401  (tree leaves are jnp arrays)
+        from jax import tree_util as jtu
+
+        fg = self.fg
+        G = region.granularity
+        vals = dict(local_vals)
+        new_fb = dict(fb_bufs)
+        new_sts: Dict[str, Any] = {}
+        aux_l: Dict[str, Any] = {}
+        fb_by_src: Dict[Tuple[int, int], List[StreamEdge]] = {}
+        for e in region.fb_edges:
+            fb_by_src.setdefault((e.src, e.src_port), []).append(e)
+        for bid in region.members:
+            b = fg.blocks[bid]
+            inputs = []
+            for e in fg.in_edges(bid):
+                if e.feedback:
+                    buf = fb_bufs[self.fbkey(e)]
+                    inputs.append(jtu.tree_map(lambda a: a[:G], buf))
+                else:
+                    inputs.append(vals[self.pkey(e.src, e.src_port)])
+            st, outs, aux = b.apply(
+                member_states[self.bkey(bid)], inputs, params[self.bkey(bid)]
+            )
+            new_sts[self.bkey(bid)] = st
+            if aux:
+                aux_l[self.bkey(bid)] = aux
+            for p, o in enumerate(outs):
+                vals[self.pkey(bid, p)] = o
+                for e in fb_by_src.get((bid, p), []):
+                    import jax.numpy as _jnp
+
+                    new_fb[self.fbkey(e)] = jtu.tree_map(
+                        lambda old, new: _jnp.concatenate([old[G:], new]),
+                        new_fb[self.fbkey(e)],
+                        o,
+                    )
+        member_outs = {
+            self.pkey(bid, p): vals[self.pkey(bid, p)]
+            for bid in region.members
+            for p in range(len(fg.blocks[bid].stream_outputs))
+        }
+        return new_fb, new_sts, member_outs, aux_l
+
+    def _eval_region(
+        self, region: FeedbackRegion, states, new_states, params, vals, aux_all
+    ) -> None:
+        from jax import lax
+        from jax import tree_util as jtu
+
+        fg = self.fg
+        mset = set(region.members)
+        ext_keys = sorted(
+            {
+                self.pkey(e.src, e.src_port)
+                for bid in region.members
+                for e in fg.in_edges(bid)
+                if not e.feedback and e.src not in mset
+            }
+        )
+        fb0 = {self.fbkey(e): states[self.fbkey(e)] for e in region.fb_edges}
+        sts0 = {
+            self.bkey(bid): states[self.bkey(bid)] for bid in region.members
+        }
+        if region.n_iters == 1:
+            local = {k: vals[k] for k in ext_keys}
+            new_fb, new_sts, outs, aux_l = self._run_region_members(
+                region, fb0, sts0, local, params
+            )
+            vals.update(outs)
+            new_states.update(new_fb)
+            new_states.update(new_sts)
+            aux_all.update(aux_l)
+            return
+        n_it = region.n_iters
+        xs = {
+            k: jtu.tree_map(lambda a: a.reshape(n_it, -1), vals[k])
+            for k in ext_keys
+        }
+
+        def body(carry, x):
+            fb, sts = carry
+            new_fb, new_sts, outs, aux_l = self._run_region_members(
+                region, fb, sts, x, params
+            )
+            return (new_fb, new_sts), (outs, aux_l)
+
+        (fb_f, sts_f), (outs_s, aux_s) = lax.scan(body, (fb0, sts0), xs)
+        vals.update(
+            {
+                k: jtu.tree_map(lambda a: a.reshape(-1), v)
+                for k, v in outs_s.items()
+            }
+        )
+        new_states.update(fb_f)
+        new_states.update(sts_f)
+        # aux inside a scan region: expose the final iteration's values
+        aux_all.update(jtu.tree_map(lambda a: a[-1], aux_s))
+
     # ---- the traced body -------------------------------------------------
     def _eval(self, states, params, src_arrays):
         from futuresdr_tpu.ops import cplx
@@ -230,6 +499,7 @@ class CompiledFlowgraph:
         vals: Dict[str, Any] = dict(src_arrays)
         new_states: Dict[str, Any] = {}
         aux_all: Dict[str, Any] = {}
+        done_regions: set = set()
         for bid in self.order:
             b = fg.blocks[bid]
             if bid in self.host_source_ids:
@@ -238,6 +508,15 @@ class CompiledFlowgraph:
                 continue  # inputs collected below
             if not b.stream_outputs and not b.stream_inputs:
                 continue  # pure message block: no stream work
+            region = self._region_of(bid)
+            if region is not None:
+                ridx = self.regions.index(region)
+                if ridx not in done_regions:
+                    done_regions.add(ridx)
+                    self._eval_region(
+                        region, states, new_states, params, vals, aux_all
+                    )
+                continue
             inputs = [
                 vals[self.pkey(e.src, e.src_port)] for e in fg.in_edges(bid)
             ]
@@ -322,16 +601,21 @@ def compile_flowgraph(
             # re-anchor their sampling grid to the first valid sample and
             # report the resulting absolute output latency)
             in_lats = [
-                out_lat.get((e.src, e.src_port), 0) for e in in_edges
+                out_lat.get((e.src, e.src_port), 0)
+                for e in in_edges
+                if not e.feedback
             ]
             lats = b.absorb_latency(in_lats)
             for p in range(len(b.stream_outputs)):
                 out_lat[(bid, p)] = int(lats[p])
             continue
         blat = _latency_out(b)
-        # worst input latency in work units
+        # worst input latency in work units (feedback edges carry state
+        # from previous chunks — they don't add transient latency)
         units = Fraction(0)
         for e in in_edges:
+            if e.feedback:
+                continue
             lat_e = out_lat.get((e.src, e.src_port), 0)
             units = max(units, Fraction(lat_e, rin[e.dst_port]))
         for p in range(len(b.stream_outputs)):
@@ -352,6 +636,7 @@ def compile_flowgraph(
     sink_latency = {
         bid: [edge_latency[e] for e in fg.in_edges(bid)] for bid in host_sink_ids
     }
+    regions = find_feedback_regions(fg, order, edge_items)
 
     cfg = CompiledFlowgraph(
         fg=fg,
@@ -366,6 +651,7 @@ def compile_flowgraph(
         host_source_ids=host_source_ids,
         host_sink_ids=host_sink_ids,
         pure_ids=pure_ids,
+        regions=regions,
     )
     if jit:
         cfg.step = jax.jit(cfg._eval, donate_argnums=(0,))

@@ -262,7 +262,9 @@ class Executor:
             b = fg.blocks[bid]
             if bid in cfg.host_source_ids or bid in cfg.host_sink_ids:
                 continue
-            in_edges = fg.in_edges(bid)
+            # feedback edges carry prior-chunk state: always "full", never
+            # a source of tags
+            in_edges = [e for e in fg.in_edges(bid) if not e.feedback]
             if not b.stream_outputs:
                 continue
             if in_edges:
@@ -347,13 +349,15 @@ class Executor:
         if isinstance(flight, _InflightBatch):
             self._deliver_batch(flight, lat_left)
             return
-        self._deliver(flight, lat_left)
+        # aux first: sinks consuming this step may read upstream blocks'
+        # last_aux (valid counts of fixed-capacity variable-rate outputs)
         if flight.aux:
             aux_host = jax.device_get(flight.aux)
             for bid in self.cfg.pure_ids:
                 a = aux_host.get(self.cfg.bkey(bid))
                 if a:
                     self.fg.blocks[bid].on_aux(a)
+        self._deliver(flight, lat_left)
 
     def _deliver_batch(
         self, flight: _InflightBatch, lat_left: Dict[str, int]
@@ -376,6 +380,13 @@ class Executor:
             else None
         )
         for k, (sink_valid, sink_tags) in enumerate(flight.chunks):
+            if aux_host:
+                for bid in cfg.pure_ids:
+                    a = aux_host.get(cfg.bkey(bid))
+                    if a:
+                        fg.blocks[bid].on_aux(
+                            jax.tree_util.tree_map(lambda t: t[k], a)
+                        )
             for bid in cfg.host_sink_ids:
                 b = fg.blocks[bid]
                 for i, e in enumerate(fg.in_edges(bid)):
@@ -398,13 +409,6 @@ class Executor:
                         lat_left[key] -= skip
                     self.items_delivered[bid] += np_arr.shape[-1]
                     b.host_consume(np_arr, tags_, port=i)
-            if aux_host:
-                for bid in cfg.pure_ids:
-                    a = aux_host.get(cfg.bkey(bid))
-                    if a:
-                        fg.blocks[bid].on_aux(
-                            jax.tree_util.tree_map(lambda t: t[k], a)
-                        )
 
     # ---- metrics (observability parity: chunks/s, samples/s) -------------
     def stats(self) -> Dict[str, Any]:
@@ -449,6 +453,18 @@ class Executor:
 
         has_host_sources = bool(cfg.host_source_ids)
         has_streams = bool(fg.stream_edges)
+        # Event-driven idle: when every live source notifies on data
+        # arrival the executor can sleep long; otherwise keep the short
+        # poll for legacy poll-style sources (the reference's coalescing
+        # BlockNotifier makes all wakeups event-driven).
+        idle_wait = (
+            0.25
+            if all(
+                getattr(fg.blocks[bid], "notifies", False)
+                for bid in cfg.host_source_ids
+            )
+            else 0.005
+        )
         tickers = [
             b for b in fg.blocks if callable(getattr(b, "host_tick", None))
         ]
@@ -456,6 +472,21 @@ class Executor:
         # Amortizes the per-dispatch host/tunnel overhead; the tradeoff is
         # control granularity — messages/tickers run once per batch.
         K = max(1, int(config.get("steps_per_call", 1)))
+        widest = max(cfg.edge_items.values(), default=0)
+        if K > 1 and widest > 32768:
+            # Measured on-chip: scan batching wins only in the dispatch-bound
+            # small-chunk regime (+35% at 16k) and is ~3x SLOWER at 128k
+            # (the scan serializes what the async dispatch queue overlaps).
+            from futuresdr_tpu.utils.logging import logger
+
+            logger.warning(
+                "steps_per_call=%d disabled: widest edge chunk %d > 32768 is "
+                "the regime where scan batching measured 3x slower; use "
+                "chunks <= 32768 items to enable it",
+                K,
+                widest,
+            )
+            K = 1
         scan_step = cfg.make_scan_step() if K > 1 else None
         step_no = 0
         eos = False
@@ -469,8 +500,9 @@ class Executor:
             if any(b.finish_requested for b in fg.blocks):
                 break
             if not has_streams:
-                # message-only flowgraph: no device program to dispatch
-                self._wake.wait(0.005)
+                # message-only flowgraph: no device program to dispatch;
+                # posts set _wake, so only tickers need the short poll
+                self._wake.wait(0.005 if tickers else 0.25)
                 self._wake.clear()
                 continue
             if self.max_steps is not None and step_no >= self.max_steps:
@@ -524,8 +556,9 @@ class Executor:
                 while inflight:
                     self._deliver_full(inflight.popleft(), lat_left)
                 # event-driven idle: woken instantly by notify_data /
-                # messages / stop; 5 ms fallback for sources that poll
-                self._wake.wait(0.005)
+                # messages / stop; short fallback only when a source
+                # doesn't notify (legacy poll-style)
+                self._wake.wait(idle_wait)
                 self._wake.clear()
                 continue
 

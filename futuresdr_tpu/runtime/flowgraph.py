@@ -31,6 +31,10 @@ class StreamEdge:
     src_port: int
     dst: int
     dst_port: int
+    # >0 marks a feedback (close_circuit) edge: the destination reads the
+    # source's output delayed by this many items (the z^-D that makes a
+    # stream cycle computable). 0 = ordinary forward edge.
+    feedback: int = 0
 
 
 @dataclass(frozen=True)
@@ -69,6 +73,7 @@ class Flowgraph:
         self.blocks: List[Block] = []
         self.stream_edges: List[StreamEdge] = []
         self.message_edges: List[MessageEdge] = []
+        self.feedback_init: Dict[StreamEdge, float] = {}
 
     # ---- construction ---------------------------------------------------
     def add(self, block: Block) -> Block:
@@ -131,6 +136,50 @@ class Flowgraph:
                 f" ({st}) → {db.instance_name}.{db.stream_inputs[dp].name} ({dt})"
             )
         self.stream_edges.append(StreamEdge(s, sp, d, dp))
+
+    def close_circuit(
+        self,
+        src: Union[Block, int, str],
+        dst: Union[Block, int, str],
+        src_port: Union[int, str] = 0,
+        dst_port: Union[int, str] = 0,
+        delay: int = 1,
+        init: float = 0.0,
+    ) -> None:
+        """Close a stream cycle with a ``delay``-item feedback edge
+        (parity: ``flowgraph.rs:433`` ``close_circuit`` / the ``<``
+        operator of ``connect!``).
+
+        The destination port reads the source's output delayed by
+        ``delay`` items (initially ``init``). The compiler carves the
+        enclosed blocks into a ``lax.scan`` section stepping ``delay``
+        items at a time, so per-sample loops (AGC, PLL, clock recovery)
+        stay inside the fused device program. A delay of at least one
+        full chunk degenerates to chunk-level feedback with no scan.
+        """
+        if delay < 1:
+            raise ConnectError("close_circuit delay must be >= 1 item")
+        s = self.block_id(self.add(src) if isinstance(src, Block) else src)
+        d = self.block_id(self.add(dst) if isinstance(dst, Block) else dst)
+        sb, db = self.blocks[s], self.blocks[d]
+        sp = _port_index(sb, sb.stream_outputs, src_port, "output")
+        dp = _port_index(db, db.stream_inputs, dst_port, "input")
+        for e in self.stream_edges:
+            if e.dst == d and e.dst_port == dp:
+                raise ConnectError(
+                    f"input {db.instance_name}.{db.stream_inputs[dp].name} "
+                    "already connected"
+                )
+        st = np.dtype(sb.stream_outputs[sp].dtype)
+        dt = np.dtype(db.stream_inputs[dp].dtype)
+        if st != dt:
+            raise ConnectError(
+                f"dtype mismatch {sb.instance_name}.{sb.stream_outputs[sp].name}"
+                f" ({st}) → {db.instance_name}.{db.stream_inputs[dp].name} ({dt})"
+            )
+        edge = StreamEdge(s, sp, d, dp, feedback=int(delay))
+        self.stream_edges.append(edge)
+        self.feedback_init[edge] = float(init)
 
     def message(
         self,
@@ -225,7 +274,13 @@ def to_dot(fg: Flowgraph) -> str:
     for i, b in enumerate(fg.blocks):
         lines.append(f'  b{i} [label="{b.instance_name}"];')
     for e in fg.stream_edges:
-        lines.append(f"  b{e.src} -> b{e.dst};")
+        if e.feedback:
+            lines.append(
+                f'  b{e.src} -> b{e.dst} '
+                f'[color=red, constraint=false, label="z^-{e.feedback}"];'
+            )
+        else:
+            lines.append(f"  b{e.src} -> b{e.dst};")
     for e in fg.message_edges:
         lines.append(
             f'  b{e.src} -> b{e.dst} [style=dashed, '
