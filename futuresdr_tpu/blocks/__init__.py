@@ -57,6 +57,7 @@ from futuresdr_tpu.blocks.io import (
 )
 from futuresdr_tpu.blocks.dsp import (
     Agc,
+    ClockRecoveryMM,
     Fft,
     Fir,
     Iir,
@@ -121,6 +122,7 @@ __all__ = [
     "VectorSource",
     "WavSink",
     "Agc",
+    "ClockRecoveryMM",
     "Fft",
     "Fir",
     "Iir",

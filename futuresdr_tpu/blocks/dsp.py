@@ -483,3 +483,73 @@ class Agc(Block):
         gain_full = jnp.repeat(gains, f)
         y = x * gain_full
         return g_final, [y], {}
+
+
+class ClockRecoveryMM(Block):
+    """Mueller-Müller symbol timing recovery
+    (parity: examples/zigbee/src/clock_recovery_mm.rs).
+
+    The per-symbol feedback recurrence runs as a ``lax.scan`` inside the
+    fused device step (:mod:`futuresdr_tpu.ops.mm`). Output is
+    fixed-capacity (one slot per input sample) with inactive slots zeroed;
+    the data-dependent symbol count is exposed in aux as ``mm_valid``.
+    State carries a tail of unconsumed samples so chunked processing is
+    exactly equivalent to one continuous run.
+    """
+
+    def __init__(
+        self,
+        omega: float,
+        gain_omega: float,
+        mu: float,
+        gain_mu: float,
+        omega_relative_limit: float,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.omega = float(omega)
+        self.gain_omega = float(gain_omega)
+        self.mu0 = float(mu)
+        self.gain_mu = float(gain_mu)
+        self.omega_limit = float(omega) * float(omega_relative_limit)
+        self.look_ahead = int(
+            math.ceil(self.omega + self.omega_limit + self.gain_mu)
+        )
+        # tail must cover the loop's maximum leftover: look_ahead plus one
+        # maximal advance, with margin
+        self.tail_len = self.look_ahead + int(math.ceil(self.omega)) + 4
+        self.stream_inputs = [PortSpec("in", np.float32)]
+        self.stream_outputs = [PortSpec("out", np.float32)]
+        self.rate_in = (1,)
+        self.rate_out = (1,)
+
+    def make_state(self, in_sizes, out_sizes):
+        from futuresdr_tpu.ops.mm import mm_init
+
+        mm = mm_init(self.omega)
+        # start reading at the first real sample (skip the zero tail)
+        mm = mm._replace(
+            ii=jnp.int32(self.tail_len), mu=jnp.float32(self.mu0)
+        )
+        return (jnp.zeros(self.tail_len, jnp.float32), mm)
+
+    def apply(self, state, inputs, params):
+        from futuresdr_tpu.ops.mm import mm_process
+
+        tail, mm = state
+        x = inputs[0]
+        n = x.shape[-1]
+        buf = jnp.concatenate([tail, x])
+        mm2, out, valid = mm_process(
+            mm,
+            buf,
+            n_out=int(n),
+            look_ahead=self.look_ahead,
+            omega_mid=self.omega,
+            omega_limit=self.omega_limit,
+            gain_omega=self.gain_omega,
+            gain_mu=self.gain_mu,
+        )
+        new_tail = buf[-self.tail_len :]
+        mm3 = mm2._replace(ii=jnp.maximum(mm2.ii - n, 0))
+        return (new_tail, mm3), [out], {"mm_valid": valid.sum()}

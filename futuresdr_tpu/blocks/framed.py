@@ -65,6 +65,12 @@ class FramedReceiverSink(Block):
         two detections whose absolute starts differ by at most this many
         samples count as the same frame (re-detections in overlapping
         windows can jitter by a few samples); 0 = exact-match dedup.
+    valid_from:
+        optional ``(block, aux_key)``: before buffering each chunk, trim
+        it to ``int(block.last_aux[aux_key])`` items — the host half of
+        the fixed-capacity + valid-count pattern used by variable-rate
+        device blocks (e.g. :class:`~futuresdr_tpu.blocks.ClockRecoveryMM`
+        exposes ``mm_valid``).
     """
 
     def __init__(
@@ -76,6 +82,7 @@ class FramedReceiverSink(Block):
         emit: Callable[[Any], Optional[Pmt]] = _default_emit,
         port_name: str = "frames",
         dedup_tolerance: int = 0,
+        valid_from=None,
         name: Optional[str] = None,
     ):
         super().__init__(name)
@@ -91,10 +98,17 @@ class FramedReceiverSink(Block):
         self._buf = np.zeros(0, np.dtype(dtype))
         self._abs = 0  # absolute index of _buf[0]
         self.dedup_tolerance = int(dedup_tolerance)
+        self.valid_from = valid_from
         self._emitted = set()
         self.frames: List[Any] = []
 
     def _run(self, final: bool = False) -> None:
+        # Re-detections can only land inside the current overlap window, so
+        # dedup keys behind _buf[0] can never match again — prune them to keep
+        # memory and the tolerance scan bounded on long-running live graphs.
+        if self._emitted:
+            floor = self._abs - self.dedup_tolerance
+            self._emitted = {k for k in self._emitted if k >= floor}
         while len(self._buf) >= self.process_size or (
             final and len(self._buf) > 0
         ):
@@ -130,6 +144,11 @@ class FramedReceiverSink(Block):
                 break
 
     def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:
+        if self.valid_from is not None:
+            blk, key = self.valid_from
+            n = blk.last_aux.get(key)
+            if n is not None:
+                arr = arr[..., : int(n)]
         self._buf = np.concatenate([self._buf, arr])
         self._run(final=False)
 

@@ -230,22 +230,161 @@ class ZigbeeReceiver:
         )
         wins = d[idx].astype(np.float32)
         scores = np.asarray(_correlate_fn(max_syms)(jnp.asarray(wins)))
-        syms = scores.argmax(axis=-1)
         # walk: preamble zeros, SFD = 0xA7 → symbols (7, 10)
-        i = 0
-        while i < len(syms) and syms[i] == 0:
-            i += 1
-        if i + 4 > len(syms) or syms[i] != 7 or syms[i + 1] != 10:
-            return None
-        i += 2
-        length = int(syms[i] | (syms[i + 1] << 4))
-        i += 2
-        if length < 2 or i + 2 * length > len(syms):
-            return None
-        nib = syms[i : i + 2 * length]
-        psdu = bytes(
-            (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+        return _walk_symbols(scores.argmax(axis=-1), start)
+
+
+# ---------------------------------------------------------------------------
+# In-graph clock-recovery RX (parity: the reference's actual chain —
+# quadrature demod → ClockRecoveryMm → chip correlation, zigbee/src/main.rs)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def chip_templates(phase: int) -> np.ndarray:
+    """[16, 32] chip-rate demod templates (decimation phase 0 or 1).
+
+    The MM loop emits one sample per chip; these are the TX-derived demod
+    waveforms sampled at that rate, mean-removed and normalized."""
+    out = np.zeros((16, CHIPS_PER_SYM), np.float32)
+    for s in range(16):
+        chips = np.concatenate([chip_table()[s]] * 3)
+        x = _oqpsk_modulate_chips(chips)
+        d = np.angle(x[1:] * np.conj(x[:-1]))
+        mid = CHIPS_PER_SYM * SPS
+        t = d[mid + phase : mid + phase + SYM_SAMPLES : SPS]
+        t = t - t.mean()
+        out[s] = t / (np.linalg.norm(t) + 1e-12)
+    return out
+
+
+def _walk_symbols(syms: np.ndarray, start: int) -> Optional[ZigbeeFrame]:
+    """Shared PPDU walk: preamble zeros → SFD (7, 10) → length → PSDU."""
+    i = 0
+    while i < len(syms) and syms[i] == 0:
+        i += 1
+    if i + 4 > len(syms) or syms[i] != 7 or syms[i + 1] != 10:
+        return None
+    i += 2
+    length = int(syms[i] | (syms[i + 1] << 4))
+    i += 2
+    if length < 2 or i + 2 * length > len(syms):
+        return None
+    nib = syms[i : i + 2 * length]
+    psdu = bytes((nib[0::2] | (nib[1::2] << 4)).astype(np.uint8))
+    payload, fcs = psdu[:-2], psdu[-2:]
+    crc_ok = crc16_154(payload) == (fcs[0] | (fcs[1] << 8))
+    return ZigbeeFrame(payload=payload, crc_ok=crc_ok, start=start)
+
+
+@lru_cache(maxsize=None)
+def _chip_correlate_fn(k: int, phase: int):
+    t = jnp.asarray(chip_templates(phase))  # [16, 32]
+
+    def fn(wins):  # [k, 32]
+        wins = wins - jnp.mean(wins, axis=-1, keepdims=True)
+        return jnp.einsum("kn,sn->ks", wins, t)
+
+    return jax.jit(fn)
+
+
+class ZigbeeChipReceiver:
+    """Chip-rate frame decoder fed by the in-graph MM clock recovery.
+
+    ``process`` consumes the ClockRecoveryMM output stream (1 sample per
+    chip) — in a flowgraph: QuadratureDemod → ClockRecoveryMM →
+    FramedReceiverSink(ZigbeeChipReceiver, valid_from=(mm, "mm_valid")).
+    Unlike :class:`ZigbeeReceiver`'s fixed-grid template correlation, this
+    path tracks real sample-rate offsets (the MM loop's job)."""
+
+    def __init__(self):
+        self.frames: List[ZigbeeFrame] = []
+
+    def process(self, chips: np.ndarray) -> List[ZigbeeFrame]:
+        chips = np.asarray(chips, np.float32)
+        out: List[ZigbeeFrame] = []
+        if len(chips) < 8 * CHIPS_PER_SYM:
+            return out
+        # pick the decimation phase the loop locked to
+        c0 = np.correlate(chips, chip_templates(0)[0], "valid")
+        c1 = np.correlate(chips, chip_templates(1)[0], "valid")
+        phase = 0 if (c0.max() if len(c0) else 0) >= (
+            c1.max() if len(c1) else 0
+        ) else 1
+        cor = c0 if phase == 0 else c1
+        thr = 0.5 * np.max(cor) if len(cor) else 0.0
+        if thr <= 0:
+            return out
+        peaks = np.nonzero(
+            (cor > thr)
+            & (cor >= np.roll(cor, 1))
+            & (cor >= np.roll(cor, -1))
+        )[0]
+        peak_set = set(int(p) for p in peaks)
+        start = None
+        for p in peaks:
+            chain, q = 1, int(p)
+            while q + CHIPS_PER_SYM in peak_set:
+                q += CHIPS_PER_SYM
+                chain += 1
+            if chain >= 4:
+                start = int(p)
+                break
+        if start is None:
+            return out
+        max_syms = (len(chips) - start) // CHIPS_PER_SYM
+        if max_syms < 12:
+            return out
+        idx = (
+            start
+            + CHIPS_PER_SYM * np.arange(max_syms)[:, None]
+            + np.arange(CHIPS_PER_SYM)
         )
-        payload, fcs = psdu[:-2], psdu[-2:]
-        crc_ok = crc16_154(payload) == (fcs[0] | (fcs[1] << 8))
-        return ZigbeeFrame(payload=payload, crc_ok=crc_ok, start=start)
+        scores = np.asarray(
+            _chip_correlate_fn(max_syms, phase)(
+                jnp.asarray(chips[idx].astype(np.float32))
+            )
+        )
+        f = _walk_symbols(scores.argmax(axis=-1), start)
+        if f is not None:
+            out.append(f)
+        self.frames.extend(out)
+        return out
+
+
+def make_mm_rx_flowgraph(source_block, process_size: int = 1 << 14):
+    """Wire the reference-parity RX chain as a flowgraph:
+    source → QuadratureDemod → ClockRecoveryMM(omega=2) → framed sink.
+
+    Returns ``(fg, sink)``; decoded frames appear in ``sink.frames`` and
+    on the sink's ``frames`` message port."""
+    from futuresdr_tpu.blocks import (
+        ClockRecoveryMM,
+        FramedReceiverSink,
+        QuadratureDemod,
+    )
+    from futuresdr_tpu.runtime.flowgraph import Flowgraph
+
+    fg = Flowgraph()
+    demod = QuadratureDemod(gain=1.0)
+    mm = ClockRecoveryMM(
+        omega=float(SPS),
+        gain_omega=0.0001,
+        mu=0.5,
+        gain_mu=0.03,
+        omega_relative_limit=0.01,
+    )
+    sink = FramedReceiverSink(
+        ZigbeeChipReceiver(),
+        overlap=64 * CHIPS_PER_SYM,
+        process_size=process_size,
+        dtype=np.float32,
+        valid_from=(mm, "mm_valid"),
+        dedup_tolerance=8,
+    )
+    for b in (source_block, demod, mm, sink):
+        fg.add(b)
+    fg.stream(source_block, demod)
+    fg.stream(demod, mm)
+    fg.stream(mm, sink)
+    return fg, sink

@@ -75,3 +75,57 @@ def test_corruption_flagged():
     frames = ZigbeeReceiver().process(sig)
     if frames:
         assert not frames[0].crc_ok or frames[0].payload != payload
+
+
+# ---------------------------------------------------------------------------
+# In-graph clock recovery path (reference-parity chain:
+# demod → ClockRecoveryMm → chip correlation, zigbee/src/main.rs)
+# ---------------------------------------------------------------------------
+
+
+def _resample_sro(sig, ratio):
+    """Nearest/linear resample simulating a sample-rate offset."""
+    n = int(len(sig) / ratio)
+    pos = np.arange(n) * ratio
+    i0 = np.clip(pos.astype(int), 0, len(sig) - 2)
+    fr = (pos - i0).astype(np.float32)
+    return ((1 - fr) * sig[i0] + fr * sig[i0 + 1]).astype(np.complex64)
+
+
+def test_in_graph_mm_rx_flowgraph():
+    from futuresdr_tpu import Runtime
+    from futuresdr_tpu.blocks import VectorSource
+    from futuresdr_tpu.models.zigbee.zigbee import make_mm_rx_flowgraph
+
+    payload = b"in-graph clock recovery!"
+    sig = _noisy(modulate(make_phy_frame(payload), pad=256), 0.02, seed=3)
+    sig = np.concatenate([sig, np.zeros(4096, np.complex64)])
+    fg, sink = make_mm_rx_flowgraph(
+        VectorSource(sig.astype(np.complex64)), process_size=4096
+    )
+    Runtime(chunk_size=8192).run(fg)
+    ok = [f for f in sink.frames if f.crc_ok]
+    assert len(ok) >= 1
+    assert ok[0].payload == payload
+
+
+def test_mm_rx_tracks_sro():
+    """0.5% sample-rate offset: the MM loop tracks it (the fixed-grid
+    template receiver is specified only for fractional-sample offsets)."""
+    from futuresdr_tpu.models.zigbee.zigbee import ZigbeeChipReceiver
+    from futuresdr_tpu.ops import cplx as _c
+    from futuresdr_tpu.ops.mm import mm_init, mm_process
+
+    payload = b"sro tracked by MM feedback loop" * 2
+    sig = modulate(make_phy_frame(payload), pad=256)
+    sig = _resample_sro(sig, 1.005)
+    d = np.angle(sig[1:] * np.conj(sig[:-1])).astype(np.float32)
+    st = mm_init(2.0)
+    st, out, valid = mm_process(
+        st, d, n_out=len(d), look_ahead=3, omega_mid=2.0,
+        omega_limit=0.02, gain_omega=0.0002, gain_mu=0.05,
+    )
+    chips = np.asarray(out)[np.asarray(valid)]
+    frames = ZigbeeChipReceiver().process(chips)
+    ok = [f for f in frames if f.crc_ok]
+    assert len(ok) == 1 and ok[0].payload == payload
