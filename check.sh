@@ -28,4 +28,7 @@ g.dryrun_multichip(8)
 print("dryrun_multichip(8): ok")
 EOF
 
+echo "== multihost dryrun (2 processes x 4 devices) =="
+python -c "import __graft_entry__ as g; g.dryrun_multihost(2, 4)"
+
 echo "ALL CHECKS PASSED"

@@ -1,0 +1,92 @@
+"""Multi-host proof worker: run with N processes, compare vs serial.
+
+    python -m futuresdr_tpu.parallel.multihost_worker \
+        --coordinator localhost:PORT --num-processes N --process-id I \
+        --local-devices M
+
+Every process builds the same deterministic wideband input, runs two steps
+of the host×chip-sharded bank (time on DCN, channels on ICI), gathers the
+audio, and process 0 asserts numeric equality with the serial pipeline,
+printing ``MULTIHOST_OK <maxerr>`` on success. This is the N≥2-hosts
+measurement rig demanded by BASELINE.json ("measured at 1 chip, 1 host,
+and N≥2 hosts") runnable on CPU-only machines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--r-per-shard", type=int, default=32)
+    args = ap.parse_args()
+
+    from futuresdr_tpu.parallel.multihost import (
+        gather_to_host,
+        global_iq_array,
+        init_multihost,
+        make_host_chip_mesh,
+        make_multihost_bank_step,
+    )
+
+    init_multihost(
+        args.coordinator,
+        args.num_processes,
+        args.process_id,
+        local_device_count=args.local_devices,
+    )
+
+    import jax
+    import numpy as np
+
+    from futuresdr_tpu.models.pfb_fm_bank import BankConfig, make_bank_step
+
+    assert jax.process_count() == args.num_processes
+    mesh = make_host_chip_mesh()
+
+    cfg = BankConfig(n_ch=16, taps_per_ch=4, audio_decim=4, audio_taps=16)
+    n_time_shards = mesh.shape["dcn"]
+    n = n_time_shards * args.r_per_shard * cfg.n_ch
+    rng = np.random.default_rng(0)  # same seed on every host
+    x_np = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype(np.complex64)
+
+    init_carry, step = make_multihost_bank_step(cfg, mesh)
+    x = global_iq_array(mesh, x_np)
+    carry = init_carry()
+    step_j = jax.jit(step)
+    carry, a1 = step_j(carry, x)
+    carry, a2 = step_j(carry, x)
+    a1_full = gather_to_host(a1)
+    a2_full = gather_to_host(a2)
+
+    # serial reference on local devices only
+    from futuresdr_tpu.ops import cplx
+
+    init_s, sstep = make_bank_step(cfg)
+    st = init_s()
+    xc = cplx.from_numpy(x_np)
+    st, s1 = jax.jit(sstep)(st, xc)
+    st, s2 = jax.jit(sstep)(st, xc)
+    e1 = float(np.max(np.abs(np.asarray(s1) - a1_full)))
+    e2 = float(np.max(np.abs(np.asarray(s2) - a2_full)))
+    ok = e1 < 1e-5 and e2 < 1e-5
+    if args.process_id == 0:
+        print(
+            f"MULTIHOST_{'OK' if ok else 'FAIL'} maxerr={max(e1, e2):.3e} "
+            f"procs={jax.process_count()} devices={len(jax.devices())}",
+            flush=True,
+        )
+    jax.distributed.shutdown()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
