@@ -249,6 +249,7 @@ class Flowgraph:
                 dtype=str(
                     np.dtype(self.blocks[e.src].stream_outputs[e.src_port].dtype)
                 ),
+                feedback=e.feedback,
             )
             for e in self.stream_edges
         ]

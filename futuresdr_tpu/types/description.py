@@ -18,6 +18,7 @@ class StreamEdgeDescription:
     dst_port: str
     dtype: str = ""
     items_per_step: int = 0
+    feedback: int = 0  # close_circuit delay in items (0 = forward edge)
 
 
 @dataclass

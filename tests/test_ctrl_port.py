@@ -85,3 +85,43 @@ def test_ctrl_port_serves_gui():
             assert e.code == 404
     finally:
         cp.shutdown()
+
+
+def test_ctrl_port_serves_gui_app():
+    """The prophecy-parity app bundle (app.js/style.css) is served, and
+    describe exposes the feedback flag the FlowgraphCanvas styles."""
+    from urllib.request import urlopen
+
+    cp = ControlPort(bind="127.0.0.1:0")
+    try:
+        with urlopen(f"http://127.0.0.1:{cp.port}/app.js") as r:
+            body = r.read().decode()
+            assert "FlowgraphCanvas" in body
+            assert "ConstellationSink" in body
+            assert "PmtEditor" in body
+        with urlopen(f"http://127.0.0.1:{cp.port}/style.css") as r:
+            assert "fbedge" in r.read().decode()
+    finally:
+        cp.shutdown()
+
+
+def test_describe_feedback_edge_flag():
+    import numpy as np
+
+    from futuresdr_tpu import Flowgraph
+    from futuresdr_tpu.blocks import Apply, Combine, VectorSink, VectorSource
+
+    fg = Flowgraph()
+    src = VectorSource(np.zeros(64, np.float32))
+    add = Combine(lambda p, q: p + q, a_dtype=np.float32)
+    gain = Apply(lambda v: 0.5 * v, in_dtype=np.float32)
+    snk = VectorSink(np.float32)
+    for b in (src, add, gain, snk):
+        fg.add(b)
+    fg.stream(src, add, dst_port=0)
+    fg.stream(add, gain)
+    fg.close_circuit(gain, add, dst_port=1, delay=3)
+    fg.stream(add, snk)
+    d = fg.describe()
+    fbs = [e for e in d.stream_edges if e.feedback]
+    assert len(fbs) == 1 and fbs[0].feedback == 3
