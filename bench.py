@@ -1,16 +1,25 @@
 """Headline benchmark: 1024-channel PFB channelizer + FM demod bank.
 
-Measures wideband IQ samples/s through the full chain (branch-FIR matmul +
-batched matmul-FFT + quadrature demod + audio decimating FIR) on one chip.
+Measures wideband IQ samples/s through the full chain (branch-FIR +
+channelizer FFT + quadrature demod + audio decimating FIR) on one chip.
 BASELINE.json north star: >10 GS/s aggregate on a v5e-16 ⇒ 0.625 GS/s/chip.
 
-Prints one JSON line:
-  {"metric": ..., "value": N, "unit": "GS/s", "vs_baseline": N}
+Protocol (the shared chip's delivered rate swings ~2.4× between sessions,
+so single numbers are noise): every variant is timed as the MEDIAN of 5
+repeats of a ≥0.5 s steady-state loop, all within one process. The ladder
+(f32 einsum → bf16-FIR+dft_bf16 → fused Pallas kernel) prints to stderr so
+regressions are attributable; the headline JSON line reports the best
+variant's median.
+
+Env knobs: BENCH_VERBOSE=1 (compile times), BENCH_LADDER=0 (headline
+variant only, for quick runs).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -19,54 +28,87 @@ import numpy as np
 BASELINE_PER_CHIP_GSPS = 0.625  # 10 GS/s / 16 chips (v5e-16 north star)
 
 
+def _bench_median(step_j, state, x, n_samples: int, label: str, reps: int = 5):
+    t0 = time.perf_counter()
+    state, audio = step_j(state, x)
+    jax.block_until_ready(audio)
+    if os.environ.get("BENCH_VERBOSE"):
+        print(
+            f"# {label}: compile+warm {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    vals = []
+    iters = 8
+    for _ in range(reps):
+        while True:
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, audio = step_j(state, x)
+            jax.block_until_ready(audio)
+            dt = time.perf_counter() - t0
+            if dt > 0.5:
+                break
+            iters *= 2
+        vals.append(n_samples * iters / dt / 1e9)
+    vals.sort()
+    med = vals[len(vals) // 2]
+    print(
+        f"# {label}: median {med:.3f} GS/s  "
+        f"range [{vals[0]:.3f}, {vals[-1]:.3f}] over {reps} reps",
+        file=sys.stderr,
+    )
+    return state, med
+
+
 def main() -> None:
     from futuresdr_tpu import config
     from futuresdr_tpu.models.pfb_fm_bank import (
         BankConfig,
         example_args,
         make_bank_step,
+        make_bank_step_fused,
     )
     from futuresdr_tpu.runtime.executor import _enable_compile_cache
 
     _enable_compile_cache()
-    # measured on-chip: HIGH keeps 93.5 dB channel isolation (target 60)
-    # and runs the bank 1.31× faster than HIGHEST
-    config.set("fft_precision", "high")
-    # bf16 branch FIR: +~25% bank throughput, isolation 70.5 dB (target 60)
-    config.set("fir_dtype", "bfloat16")
-    # dense bf16 DFT matmul channelizer FFT: 1.63x whole-bank same-run
-    # A/B vs mixed-radix (MXU-dense beats stage-chain memory movement),
-    # isolation 68.4 dB
-    config.set("channelizer_fft", "dft_bf16")
     cfg = BankConfig(n_ch=1024, taps_per_ch=8, audio_decim=8, audio_taps=32)
-    r = 512  # channelized steps per call → 512·1024 = 524288 IQ samples
-    _, step = make_bank_step(cfg)
-    state, x = example_args(cfg, r=r)
-    n_samples = x.shape[-1]
+    r = 512  # 512·1024 = 524288 IQ samples per step
+    ladder = os.environ.get("BENCH_LADDER", "1") != "0"
+    results = {}
 
-    import os
-    import sys
+    if ladder:
+        # rung 1: full-f32 einsum pipeline (accuracy reference)
+        config.set("fft_precision", "high")
+        config.set("fir_dtype", "float32")
+        config.set("channelizer_fft", "mixed_radix")
+        _, step = make_bank_step(cfg)
+        state, x = example_args(cfg, r=r)
+        step_j = jax.jit(step, donate_argnums=(0,))
+        _, results["f32_mixed_radix"] = _bench_median(
+            step_j, state, x, x.shape[-1], "f32 einsum + mixed-radix FFT"
+        )
 
-    t0 = time.perf_counter()
-    step_j = jax.jit(step, donate_argnums=(0,))
-    state, audio = step_j(state, x)
-    jax.block_until_ready(audio)  # compile + warmup
-    if os.environ.get("BENCH_VERBOSE"):
-        print(f"# compile {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        # rung 2: bf16 branch FIR + dense bf16 DFT matmul (round-1 best)
+        config.set("fir_dtype", "bfloat16")
+        config.set("channelizer_fft", "dft_bf16")
+        _, step = make_bank_step(cfg)
+        state, x = example_args(cfg, r=r)
+        step_j = jax.jit(step, donate_argnums=(0,))
+        _, results["bf16_dft"] = _bench_median(
+            step_j, state, x, x.shape[-1], "bf16 FIR + dft_bf16"
+        )
 
-    # steady-state: repeat until ≥1 s measured
-    iters = 8
-    while True:
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, audio = step_j(state, x)
-        jax.block_until_ready(audio)
-        dt = time.perf_counter() - t0
-        if dt > 1.0:
-            break
-        iters *= 2
+    # rung 3 (headline): fused Pallas channelizer+demod kernel
+    init_f, step_f = make_bank_step_fused(cfg, tile_rows=128)
+    state_f = init_f()
+    _, x = example_args(cfg, r=r)
+    step_fj = jax.jit(step_f, donate_argnums=(0,))
+    _, results["fused_pallas"] = _bench_median(
+        step_fj, state_f, x, x.shape[-1], "fused pallas channelizer+demod"
+    )
 
-    gsps = n_samples * iters / dt / 1e9
+    best = max(results, key=results.get)
+    gsps = results[best]
     print(
         json.dumps(
             {
@@ -74,6 +116,9 @@ def main() -> None:
                 "value": round(gsps, 4),
                 "unit": "GS/s",
                 "vs_baseline": round(gsps / BASELINE_PER_CHIP_GSPS, 3),
+                "variant": best,
+                "ladder": {k: round(v, 4) for k, v in results.items()},
+                "protocol": "median of 5 x >=0.5s steady-state loops",
             }
         )
     )

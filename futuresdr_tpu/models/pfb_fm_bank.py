@@ -386,3 +386,53 @@ def example_args(cfg: BankConfig = BankConfig(), r: int = 256):
         )
     )
     return init_state(), x
+
+
+def make_bank_step_fused(cfg: BankConfig = BankConfig(), tile_rows: int = 128,
+                         interpret: bool = False):
+    """Single-chip step on the fused Pallas channelizer+demod kernel
+    (:mod:`futuresdr_tpu.ops.pallas_bank`): branch FIR + DFT + quadrature
+    demod never leave VMEM; only the audio decimating FIR remains a
+    separate (4%-of-step) stage.
+
+    Same signature/semantics as :func:`make_bank_step` (bf16 DFT rung:
+    matches ``channelizer_fft=dft_bf16`` + ``fir_dtype=float32``).
+    """
+    from futuresdr_tpu.ops.pallas_bank import _dft_bf16_np, fused_bank_demod
+
+    branch_taps, audio_taps = _design(cfg)
+    M, L = cfg.n_ch, int(branch_taps.shape[-1])
+    Ta = cfg.audio_taps
+    Ha = -(-(Ta - 1) // cfg.audio_decim) * cfg.audio_decim
+    # w_rev[s, p] multiplies ext[r+s, p]  (= taps reversed per branch)
+    w_rev = jnp.asarray(
+        np.ascontiguousarray(np.asarray(branch_taps)[:, ::-1].T).astype(
+            np.float32
+        )
+    )
+    dre_np, dim_np = _dft_bf16_np(M)
+    dre, dim = jnp.asarray(dre_np), jnp.asarray(dim_np)
+
+    def init_state():
+        return (
+            jnp.zeros((L - 1, M), jnp.float32),  # branch history rows (re)
+            jnp.zeros((L - 1, M), jnp.float32),  # (im)
+            jnp.zeros((1, M), jnp.float32),  # prev DFT row (re)
+            jnp.zeros((1, M), jnp.float32),  # (im)
+            jnp.zeros((M, Ha), jnp.float32),  # audio FIR history
+        )
+
+    def step(state, x: CArray):
+        hr, hi, ypr, ypi, ah = state
+        R = x.shape[-1] // M
+        xt_re = x.re.reshape(R, M)
+        xt_im = x.im.reshape(R, M)
+        a, hr, hi, ypr, ypi = fused_bank_demod(
+            xt_re, xt_im, hr, hi, ypr, ypi, w_rev, dre, dim,
+            n_ch=M, L=L, tile_rows=tile_rows, gain=float(cfg.demod_gain),
+            interpret=interpret,
+        )
+        ah, audio = fir_decimate(a.T, audio_taps, cfg.audio_decim, ah)
+        return (hr, hi, ypr, ypi, ah), audio
+
+    return init_state, step

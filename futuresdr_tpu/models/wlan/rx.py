@@ -80,8 +80,36 @@ def _fft64(v: CArray) -> CArray:
     return fftshift_c(fft_c(v), axis=-1)
 
 
-@partial(jax.jit, static_argnums=())
-def frame_front(w: CArray):
+@partial(jax.jit, static_argnames=("kmax",))
+def detect_candidates(a: CArray, cor: jnp.ndarray, kmax: int):
+    """Device-side sync_short candidate extraction.
+
+    Two consecutive above-threshold correlation samples mark a candidate
+    (sync_short.rs:84-140's trigger condition); the MIN_GAP resync walk
+    stays on host but now sees only ``kmax`` (index, coarse-CFO) pairs —
+    a few hundred bytes D2H instead of the full metric arrays (the
+    full-chunk autocorr+cor fetch was ~12 B/sample over a ~35 ms-RTT
+    tunnel: the round-1 receiver's actual rate limit)."""
+    above = cor > THRESHOLD
+    hit = jnp.logical_and(above[1:], above[:-1])
+    # leader filter: a candidate counts only when the preceding MIN_GAP
+    # samples had no hit — the STF's ~100 consecutive double-crossings
+    # collapse to one index each, so kmax bounds *frames*, not samples
+    hf = hit.astype(jnp.int32)
+    n_h = hf.shape[-1]
+    # P[k] = number of hits strictly before k
+    p = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(hf)])
+    p_lag = jnp.concatenate([jnp.zeros(MIN_GAP, jnp.int32), p])[:n_h]
+    window = p[:n_h] - p_lag  # hits in [i-MIN_GAP, i-1]
+    leader = jnp.logical_and(hit, window == 0)
+    (pos,) = jnp.nonzero(leader, size=kmax, fill_value=-1)
+    idx = jnp.where(pos >= 0, pos + 1, -1)
+    a_sel = a[jnp.clip(idx, 0, a.shape[-1] - 1)]
+    f_off = -a_sel.angle() / 16.0
+    return idx, f_off
+
+
+def _frame_front_body(w: CArray):
     """Per-frame device front-end. ``w``: FRAME_WIN CFO-corrected samples
     starting at the detected STF position.
 
@@ -163,15 +191,36 @@ def frame_front(w: CArray):
     return eq, h, snr, first, f_fine
 
 
-# ---------------------------------------------------------------------------
-# host logic
-# ---------------------------------------------------------------------------
+frame_front = jax.jit(_frame_front_body)
 
 
 @lru_cache(maxsize=None)
-def _frame_front_batch(k: int):
-    """jitted vmap of frame_front over a [k, FRAME_WIN] window batch."""
-    return jax.jit(jax.vmap(frame_front))
+def _frame_front_from_starts(kb: int):
+    """Batched front-end gathering its windows ON DEVICE from the resident
+    chunk: per candidate, dynamic-slice FRAME_WIN samples at ``start``,
+    apply the coarse-CFO ramp, run the front-end — no host window
+    assembly/re-upload (round 1 shipped every window H2D a second time)."""
+
+    def fn(x: CArray, starts: jnp.ndarray, f_shorts: jnp.ndarray):
+        n = jnp.arange(FRAME_WIN, dtype=jnp.float32)
+
+        def one(start, f_short):
+            w = cplx.apply1(
+                lambda t: jax.lax.dynamic_slice_in_dim(
+                    t, start, FRAME_WIN, axis=-1
+                ),
+                x,
+            )
+            return _frame_front_body(w * cplx.exp_j(f_short * n))
+
+        return jax.vmap(one)(starts, f_shorts)
+
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# host logic
+# ---------------------------------------------------------------------------
 
 
 @dataclass
@@ -181,23 +230,6 @@ class RxFrame:
     snr: float
     crc_ok: bool
     start: int  # sample index of detected frame start
-
-
-def _detect_starts(cor: np.ndarray, autocorr: np.ndarray) -> List[tuple]:
-    """sync_short state machine (sync_short.rs:84-140) over the metric
-    arrays: two consecutive above-threshold samples open a frame; a fresh
-    double-crossing ≥ MIN_GAP after the current start resyncs.
-    Vectorized: only candidate indices are walked in Python."""
-    above = cor > THRESHOLD
-    cand = np.nonzero(above[1:] & above[:-1])[0] + 1
-    starts: List[tuple] = []
-    last_start = -(10**9)
-    for i in cand:
-        if i - last_start >= MIN_GAP:
-            f_off = -np.angle(autocorr[i]) / 16.0
-            starts.append((int(i), float(f_off)))
-            last_start = i
-    return starts
 
 
 def _deinterleave(bits: np.ndarray, mcs: C.Mcs) -> np.ndarray:
@@ -253,46 +285,54 @@ class WlanReceiver:
 
     def process(self, iq: np.ndarray) -> List[RxFrame]:
         iq = np.asarray(iq, dtype=np.complex64)
+        n_real = len(iq)
         # pad to a 32768 bucket: stable jit shapes (compile once) and
-        # TPU-aligned conv sizes
-        bucket = -(-len(iq) // 32768) * 32768
-        if bucket != len(iq):
-            iq = np.concatenate(
-                [iq, np.zeros(bucket - len(iq), np.complex64)]
-            )
+        # TPU-aligned conv sizes; FRAME_WIN of extra zeros so device-side
+        # window slices near the chunk end never clamp into valid data
+        bucket = -(-n_real // 32768) * 32768
+        iq = np.concatenate(
+            [iq, np.zeros(bucket - n_real + FRAME_WIN, np.complex64)]
+        )
         x = cplx.from_numpy(iq)
-        a_dev, cor_dev = sync_metrics(x)
-        autocorr = cplx.to_numpy(a_dev)
-        cor = np.asarray(cor_dev)
+        xm = x[..., :bucket]
+        a_dev, cor_dev = sync_metrics(xm)
+        # device-side detection: only kmax (index, CFO) pairs cross D2H
+        kmax = max(16, self.max_frames)
+        idx_dev, foff_dev = detect_candidates(a_dev, cor_dev, kmax)
+        idx_np = np.asarray(idx_dev)
+        foff_np = np.asarray(foff_dev)
 
-        # gather every candidate's CFO-corrected window, run frame_front
-        # ONCE batched (per-frame dispatches serialize on device RTT)
-        cands = []
-        wins = []
-        for m, f_short in _detect_starts(cor, autocorr)[: self.max_frames]:
-            # metric index m ← trailing-window sums over x[m .. m+63];
-            # the reference's delayed-stream copy starts at x[m+47]
-            start = m + 47
-            w = iq[start : start + FRAME_WIN]
-            if len(w) < SEARCH_WINDOW + 128 + 16 + 80:
+        # MIN_GAP resync walk (sync_short.rs:84-140) over the leaders
+        cands: List[int] = []
+        f_shorts: List[float] = []
+        last_start = -(10**9)
+        for i, fo in zip(idx_np, foff_np):
+            if i < 0:
+                break
+            if i - last_start < MIN_GAP:
                 continue
-            if len(w) < FRAME_WIN:
-                w = np.concatenate(
-                    [w, np.zeros(FRAME_WIN - len(w), np.complex64)]
-                )
-            n = np.arange(FRAME_WIN, dtype=np.float32)
-            # coarse CFO correction (sync_short.rs:131: e^{j·f_offset·n})
-            wins.append((w * np.exp(1j * f_short * n)).astype(np.complex64))
+            # metric index i ← trailing-window sums over x[i .. i+63];
+            # the reference's delayed-stream copy starts at x[i+47]
+            start = int(i) + 47
+            if start + SEARCH_WINDOW + 128 + 16 + 80 > n_real:
+                continue  # not enough real samples for even SIGNAL
             cands.append(start)
+            f_shorts.append(float(fo))
+            last_start = int(i)
+            if len(cands) >= self.max_frames:
+                break
         out: List[RxFrame] = []
         if not cands:
             return out
         k = len(cands)
         kb = 1 << (k - 1).bit_length()  # pow2 bucket for stable jit shapes
-        wb = np.zeros((kb, FRAME_WIN), np.complex64)
-        wb[:k] = np.stack(wins)
-        eq_b, h_b, snr_b, off_b, ff_b = _frame_front_batch(kb)(
-            cplx.from_numpy(wb)
+        starts_np = np.zeros(kb, np.int32)
+        starts_np[:k] = cands
+        fsh_np = np.zeros(kb, np.float32)
+        fsh_np[:k] = f_shorts
+        # windows gathered + CFO-corrected on device from the resident x
+        eq_b, h_b, snr_b, off_b, ff_b = _frame_front_from_starts(kb)(
+            x, jnp.asarray(starts_np), jnp.asarray(fsh_np)
         )
         # two-phase fetch: SIG symbols first (tiny), then only the data
         # symbol range the decoded SIGNAL fields actually need — the full

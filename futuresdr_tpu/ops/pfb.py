@@ -71,12 +71,19 @@ def _branch_convs(xb: ArrayLike, taps_b: ArrayLike) -> ArrayLike:
 
 @lru_cache(maxsize=None)
 def _dft_const_bf16(n: int):
-    """[n, n] forward-DFT matrix as bf16 (re, im) constants."""
+    """[n, n] forward-DFT matrix as bf16 (re, im) NumPy constants.
+
+    Cached as *NumPy* (ml_dtypes.bfloat16), never as jnp arrays: this is
+    called inside jit traces, where ``jnp.asarray`` would return a tracer
+    — and an lru-cached tracer leaks into every later trace
+    (UnexpectedTracerError on the next re-jit with new shapes)."""
+    import ml_dtypes
+
     k = np.arange(n, dtype=np.float64)
     ang = -2.0 * np.pi * np.outer(k, k) / n
     return (
-        jnp.asarray(np.cos(ang), jnp.bfloat16),
-        jnp.asarray(np.sin(ang), jnp.bfloat16),
+        np.cos(ang).astype(ml_dtypes.bfloat16),
+        np.sin(ang).astype(ml_dtypes.bfloat16),
     )
 
 

@@ -1,0 +1,103 @@
+"""Fused Pallas channelizer+demod kernel vs the unfused pipeline.
+
+Runs in Pallas interpret mode on the CPU mesh; the on-chip A/B lives in
+bench.py's ladder. The unfused reference is pinned to the same numeric
+rung (``channelizer_fft=dft_bf16``, f32 branch FIR) so differences are
+genuine kernel bugs, not precision-knob mismatches.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(autouse=True)
+def _dft_rung():
+    from futuresdr_tpu import config
+
+    old = config.get("channelizer_fft", "mixed_radix")
+    config.set("channelizer_fft", "dft_bf16")
+    config.set("fir_dtype", "float32")
+    yield
+    config.set("channelizer_fft", old)
+
+
+def _mk(cfg, R, seed=0):
+    from futuresdr_tpu.ops import cplx
+
+    rng = np.random.default_rng(seed)
+    n = R * cfg.n_ch
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    return cplx.from_numpy(x)
+
+
+def test_fused_matches_unfused_two_steps():
+    from futuresdr_tpu.models.pfb_fm_bank import (
+        BankConfig,
+        make_bank_step,
+        make_bank_step_fused,
+    )
+
+    cfg = BankConfig(n_ch=128, taps_per_ch=8, audio_decim=8, audio_taps=32)
+    R = 256
+    x1, x2 = _mk(cfg, R, 0), _mk(cfg, R, 1)
+
+    i1, s1 = make_bank_step(cfg)
+    st1 = i1()
+    st1, a1 = jax.jit(s1)(st1, x1)
+    st1, b1 = jax.jit(s1)(st1, x2)
+
+    i2, s2 = make_bank_step_fused(cfg, tile_rows=128, interpret=True)
+    st2 = i2()
+    st2, a2 = s2(st2, x1)
+    st2, b2 = s2(st2, x2)
+
+    # step 1: skip the warm-up audio columns touched by the very first
+    # demod sample (atan2(±0, −0) signed-zero convention differs — see
+    # ops/pallas_bank._atan2_poly)
+    warm = -(-cfg.audio_taps // cfg.audio_decim)
+    np.testing.assert_allclose(
+        np.asarray(a1)[:, warm:], np.asarray(a2)[:, warm:], atol=1e-5
+    )
+    # step 2: exact across the chunk boundary (state continuity)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
+
+
+def test_fused_multi_tile_state_carry():
+    """tile_rows < R exercises the VMEM scratch carry between tiles."""
+    from futuresdr_tpu.models.pfb_fm_bank import (
+        BankConfig,
+        make_bank_step,
+        make_bank_step_fused,
+    )
+
+    cfg = BankConfig(n_ch=128, taps_per_ch=8, audio_decim=8, audio_taps=32)
+    R = 512  # 4 tiles of 128
+    x = _mk(cfg, R, 2)
+
+    i1, s1 = make_bank_step(cfg)
+    st1 = i1()
+    st1, a1 = jax.jit(s1)(st1, x)
+    st1, b1 = jax.jit(s1)(st1, x)
+
+    i2, s2 = make_bank_step_fused(cfg, tile_rows=128, interpret=True)
+    st2 = i2()
+    st2, a2 = s2(st2, x)
+    st2, b2 = s2(st2, x)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
+
+
+def test_atan2_poly_accuracy():
+    import jax.numpy as jnp
+
+    from futuresdr_tpu.ops.pallas_bank import _atan2_poly
+
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(100_000).astype(np.float32) * 10
+    x = rng.standard_normal(100_000).astype(np.float32) * 10
+    got = np.asarray(_atan2_poly(jnp.asarray(y), jnp.asarray(x)))
+    ref = np.arctan2(y, x)
+    assert np.max(np.abs(got - ref)) < 1e-6
