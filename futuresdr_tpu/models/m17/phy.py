@@ -214,7 +214,7 @@ def stream_frame_symbols(
     LICH: 1/6 of the LSF (40 bits) + 3-bit counter (+5 pad) → 4 Golay
     words (96 bits). Payload: FN(16) + 128 payload bits → conv+P2 → 272.
     """
-    idx = frame_number % 6
+    idx = (frame_number & 0x7FFF) % 6  # EOS flag is not part of the count
     chunk = np.unpackbits(np.frombuffer(lsf[idx * 5 : idx * 5 + 5], np.uint8))
     lich48 = np.concatenate(
         [chunk, np.array([(idx >> 2) & 1, (idx >> 1) & 1, idx & 1], np.uint8), np.zeros(5, np.uint8)]
@@ -284,16 +284,30 @@ def modulate_transmission(
 
 
 @lru_cache(maxsize=None)
+def _channel_taps() -> np.ndarray:
+    """Pre-discriminator channel filter (Carson bandwidth ≈ 2·(3·SYM_HZ +
+    symbol rate) ≈ 9.6 kHz at 48 kS/s). The FM discriminator is nonlinear:
+    without this, wideband noise drives it below the FM threshold ~5 dB
+    earlier — the filter was the receiver's real sensitivity cliff, not
+    the sync correlator."""
+    from futuresdr_tpu.dsp import firdes
+
+    return firdes.kaiser_lowpass(0.1, 0.05, 1e-2).astype(np.float32)
+
+
+@lru_cache(maxsize=None)
 def _demod_fn(n: int):
     import jax.numpy as jnp
 
     h = rrc_taps()
     taps = jnp.asarray(h[::-1])  # matched filter (symmetric anyway)
+    chan = jnp.asarray(_channel_taps())
 
     def fn(xc):
         from futuresdr_tpu.ops.fir import conv1d_valid
 
-        d = (xc[1:] * xc[:-1].conj()).angle() * (FS / (2.0 * np.pi * SYM_HZ))
+        xf = conv1d_valid(xc, chan)  # narrowband channel selection
+        d = (xf[1:] * xf[:-1].conj()).angle() * (FS / (2.0 * np.pi * SYM_HZ))
         return conv1d_valid(d, taps)
 
     return jax.jit(fn)
@@ -324,6 +338,25 @@ class M17Receiver:
         # regions; clip to the symbol range so noise can't dominate
         d = np.clip(d, -4.5, 4.5)
 
+        # --- preamble-assisted acquisition -------------------------------
+        # The TX leads with 192 alternating ±3 symbols; correlating over 64
+        # of them integrates 8x longer than the 8-symbol LSF sync word
+        # (~9 dB more processing gain), so acquisition holds to ~0 dB and
+        # the sync-word search only has to resolve position inside a small
+        # gated window (the round-1 global 8-symbol search was the
+        # sensitivity floor below ~7 dB).
+        pre_syms = 64
+        pre_t = np.repeat(
+            np.tile(np.array([3.0, -3.0], np.float32), pre_syms // 2), SPS
+        )
+        cor_p = np.correlate(d, pre_t, mode="valid")
+        en_p = np.convolve(d * d, np.ones(len(pre_t), np.float32), "valid")
+        score_p = np.abs(cor_p) / (
+            np.sqrt(en_p * float(np.sum(pre_t * pre_t))) + 1e-9
+        )
+        p_peak = int(np.argmax(score_p))
+        have_preamble = score_p[p_peak] > 0.5
+
         # normalized LSF sync correlation (energy-gated so noise bursts
         # with high power but no structure score low)
         tmpl = np.repeat(sync_symbols(SYNC_LSF).astype(np.float32), SPS)
@@ -341,9 +374,23 @@ class M17Receiver:
         )
         active = power > 0.25 * float(np.max(power))
         score = np.where(active[: len(score)], score, 0.0)
-        peak = int(np.argmax(score))
-        if score[peak] < 0.5:
-            return []
+        if have_preamble:
+            # the preamble peak can land anywhere inside the 192-symbol
+            # preamble, so the sync word lies at most a full preamble
+            # (+margin) later; a gated search tolerates a far lower
+            # threshold at equal false-alarm rate
+            lo = p_peak + (pre_syms // 2) * SPS
+            hi = min(len(score), p_peak + (192 + 24) * SPS)
+            win = score[lo:hi]
+            if len(win) == 0:
+                return []
+            peak = lo + int(np.argmax(win))
+            if score[peak] < 0.25:
+                return []
+        else:
+            peak = int(np.argmax(score))
+            if score[peak] < 0.5:
+                return []
         sym0 = peak + SPS // 2  # center of first sync symbol
 
         def read_raw(start: int, n: int) -> Optional[np.ndarray]:
@@ -359,16 +406,62 @@ class M17Receiver:
             lv = np.array([-3, -1, 1, 3], np.float32)
             return lv[np.argmin(np.abs(raw[:, None] - lv[None, :]), axis=1)]
 
+        def sync_gain(sync_raw: np.ndarray, expect: np.ndarray) -> float:
+            """LS amplitude estimate from the sync symbols — soft LLRs
+            assume ±1/±3 levels, so a deviation/AGC scale error flattens
+            the outer-symbol confidence exactly where it matters."""
+            g = float(sync_raw @ expect) / float(expect @ expect)
+            return g if 0.2 < g < 5.0 else 1.0
+
         # LSF frame: 8 sync + 184 data symbols (soft-decision decode)
         raw = read_raw(sym0 + 8 * SPS, 184)
-        if raw is None:
+        sync_lsf_raw = read_raw(sym0, 8)
+        if raw is None or sync_lsf_raw is None:
             return []
-        lsf_bits = _decode_368_soft(symbols_to_llrs(raw), PUNCTURE_1, 240)
+        g = sync_gain(
+            sync_lsf_raw.astype(np.float64),
+            sync_symbols(SYNC_LSF).astype(np.float64),
+        )
+        lsf_bits = _decode_368_soft(symbols_to_llrs(raw / g), PUNCTURE_1, 240)
         lsf = np.packbits(lsf_bits).tobytes()
         body, crc = lsf[:28], int.from_bytes(lsf[28:30], "big")
         crc_ok = fec.crc_m17(body) == crc
         dst = decode_callsign(int.from_bytes(body[0:6], "big"))
         src = decode_callsign(int.from_bytes(body[6:12], "big"))
+
+        # LICH accumulator: every stream frame repeats 1/6 of the LSF
+        # under Golay(24,12); reassembling the chunks recovers the LSF
+        # well below the direct LSF-frame decode threshold (the
+        # reference's lich path, encoder.rs:232-249)
+        lich_frags: dict = {}
+
+        def lich_collect(llr96: np.ndarray) -> None:
+            bits = (llr96 > 0).astype(np.uint8)  # positive LLR = bit 1
+            data48 = []
+            for k in range(4):
+                seg = bits[24 * k : 24 * k + 24]
+                rel = np.abs(llr96[24 * k : 24 * k + 24])
+                w = 0
+                for b in seg:
+                    w = (w << 1) | int(b)
+                dec = fec.golay_decode(w)
+                if dec is None:
+                    # Chase pass: flip the least-reliable bits (the hard
+                    # decoder corrects ≤3 errors; a 4th error usually sits
+                    # on the weakest LLR)
+                    for j in np.argsort(rel)[:3]:
+                        dec = fec.golay_decode(w ^ (1 << (23 - int(j))))
+                        if dec is not None:
+                            break
+                if dec is None:
+                    return
+                data48.extend((dec >> (11 - i)) & 1 for i in range(12))
+            by = np.packbits(np.asarray(data48, np.uint8))
+            idx = int(by[5]) >> 5
+            # a Golay miscorrection can forge a fragment: never let it
+            # displace one already decoded, and reject impossible indices
+            if idx < 6 and idx not in lich_frags:
+                lich_frags[idx] = bytes(by[:5])
 
         out: List[M17Frame] = []
         # stream frames follow back-to-back
@@ -386,9 +479,11 @@ class M17Receiver:
             denom = np.linalg.norm(sync_raw) * np.linalg.norm(expect) + 1e-9
             if float(sync_raw @ expect) / denom < 0.5:
                 break
-            rf_llr = symbols_to_llrs(raw_f0[8:])
+            g = sync_gain(sync_raw, expect)
+            rf_llr = symbols_to_llrs(raw_f0[8:] / g)
             derand = rf_llr * (1.0 - 2.0 * rand_bits().astype(np.float64))
             deint = derand[interleaver()]
+            lich_collect(deint[:96])
             coded = fec.depuncture_soft(deint[96:], PUNCTURE_2, 296)
             dec = fec.viterbi_decode_soft(coded, 148)[:144]
             fn = int("".join(map(str, dec[:16])), 2)
@@ -405,5 +500,16 @@ class M17Receiver:
             pos += FRAME_SYMS * SPS
             if fn & 0x8000:
                 break
+
+        if not crc_ok and all(i in lich_frags for i in range(6)):
+            lsf2 = b"".join(lich_frags[i] for i in range(6))
+            body2, crc2 = lsf2[:28], int.from_bytes(lsf2[28:30], "big")
+            if fec.crc_m17(body2) == crc2:
+                dst2 = decode_callsign(int.from_bytes(body2[0:6], "big"))
+                src2 = decode_callsign(int.from_bytes(body2[6:12], "big"))
+                for f in out:
+                    f.dst = dst2
+                    f.src = src2
+                    f.lsf_crc_ok = True
         self.frames.extend(out)
         return out

@@ -76,3 +76,57 @@ def test_loopback_noisy():
     assert len(frames) == 1
     assert frames[0].lsf_crc_ok
     assert frames[0].payload[:16] == (b"noisy m17 payload" + bytes(16))[:16]
+
+
+def test_lich_lsf_recovery():
+    """The LSF frame is destroyed, yet the call signs recover from the
+    Golay-coded LICH chunks spread across 6 stream frames
+    (parity: encoder.rs:232-249's lich path)."""
+    import numpy as np
+
+    from futuresdr_tpu.models.m17.phy import (
+        FRAME_SYMS,
+        SPS,
+        M17Receiver,
+        make_lsf,
+        modulate_transmission,
+    )
+
+    lsf = make_lsf("AB1CD", "EF2GH")
+    sig = modulate_transmission(lsf, [bytes([i] * 16) for i in range(6)])
+    # obliterate the LSF frame's payload region (after its 8 sync syms),
+    # leaving the preamble and stream frames intact
+    lsf_start = 2000 + 192 * SPS
+    a = lsf_start + 10 * SPS
+    b = lsf_start + (FRAME_SYMS - 4) * SPS
+    sig[a:b] = 0.001 * sig[a:b]
+    frames = M17Receiver().process(sig)
+    assert len(frames) == 6
+    assert all(f.lsf_crc_ok for f in frames)
+    assert frames[0].dst == "AB1CD" and frames[0].src == "EF2GH"
+    assert [f.payload for f in frames] == [bytes([i] * 16) for i in range(6)]
+
+
+def test_preamble_assisted_low_snr_sync():
+    """Sync acquisition (not decode) holds far below the old 7 dB floor:
+    the 64-symbol preamble correlation finds the frame at 3 dB."""
+    import numpy as np
+
+    from futuresdr_tpu.models.m17.phy import (
+        M17Receiver,
+        make_lsf,
+        modulate_transmission,
+    )
+
+    lsf = make_lsf("N0CALL", "M17QT")
+    sig = modulate_transmission(lsf, [bytes(16)] * 6)
+    p_sig = np.mean(np.abs(sig[2000:-2000]) ** 2)
+    rng = np.random.default_rng(7)
+    sigma = np.sqrt(p_sig / 10 ** (3 / 10) / 2)
+    noisy = sig + (
+        sigma * (rng.standard_normal(len(sig)) + 1j * rng.standard_normal(len(sig)))
+    ).astype(np.complex64)
+    frames = M17Receiver().process(noisy)
+    # frames are *found* (decode at 3 dB is below the code's waterfall,
+    # so CRCs may fail — acquisition is what this test pins)
+    assert len(frames) >= 4
