@@ -23,6 +23,12 @@ try:  # pragma: no cover - environment dependent
 except Exception:  # noqa: BLE001
     _sd = None
 
+# CAVEAT: the ``sounddevice`` hardware path is written to the library's
+# documented stream API but has NOT been exercised on real audio hardware
+# (this build environment has no sound device and no ``sounddevice``
+# package — every run and test here uses the WAV fallback). Treat the
+# ``_sd`` branches as best-effort until driven on a host with audio.
+
 
 def supported_sample_rates():
     """Parity: AudioSink::supported_sample_rates (audio/audio_sink.rs)."""

@@ -246,16 +246,14 @@ def conv1d_valid(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLike:
     if N < T:
         raise ValueError(f"chunk of {N} samples shorter than {T} taps")
 
+    # Backends: "matmul" (banded-Toeplitz MXU, default) or "conv" (XLA
+    # conv lowering). A Pallas VPU sliding-window FIR was tried and
+    # removed: measured 1.8-4.7x slower than the Toeplitz matmul on v5e
+    # (roll-per-tap VPU work vs one MXU matmul) — a hand-written kernel
+    # can't beat XLA's own MXU mapping for a memory-bound generic FIR.
+    # Pallas earns its keep where fusion crosses stage boundaries instead
+    # (ops/pallas_bank.py: branch FIR + DFT + demod in one VMEM pass).
     backend = config.get("fir_backend", "matmul")
-    if (
-        backend == "pallas"
-        and stride == 1
-        and not isinstance(taps, CArray)
-        and not _is_tracer(taps)
-    ):
-        from futuresdr_tpu.ops.pallas_fir import pallas_fir_valid
-
-        return pallas_fir_valid(x, taps)
     if backend != "conv" and not _is_tracer(taps):
         return _conv_matmul(x, taps, stride)
 
