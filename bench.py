@@ -72,7 +72,13 @@ def main() -> None:
 
     _enable_compile_cache()
     cfg = BankConfig(n_ch=1024, taps_per_ch=8, audio_decim=8, audio_taps=32)
-    r = 512  # 512·1024 = 524288 IQ samples per step
+    # Chunk size: per-dispatch overhead through this TPU's tunnel measured
+    # 200-600 us REGARDLESS of work (a [64,1024]@[1024,1024] matmul costs
+    # the same wall time as [4096,1024]@...), so sub-1M-sample chunks
+    # measure dispatch latency, not the machine. 2M samples/step (2 ms of
+    # stream at 1 GS/s — ordinary SDR buffering) amortizes it; measured
+    # scaling r=512/1024/2048/4096 -> 1.2/2.5/4.3/4.9 GS/s medians.
+    r = int(os.environ.get("BENCH_R", 2048))
     ladder = os.environ.get("BENCH_LADDER", "1") != "0"
     results = {}
 
@@ -118,7 +124,8 @@ def main() -> None:
                 "vs_baseline": round(gsps / BASELINE_PER_CHIP_GSPS, 3),
                 "variant": best,
                 "ladder": {k: round(v, 4) for k, v in results.items()},
-                "protocol": "median of 5 x >=0.5s steady-state loops",
+                "protocol": "median of 5 x >=0.5s steady-state loops; "
+                f"chunk r={r} ({r * 1024 / 1e6:.1f}M samples/step)",
             }
         )
     )

@@ -241,5 +241,15 @@ def demap_soft(sym: np.ndarray, n_bpsc: int) -> np.ndarray:
     return np.concatenate([li, lq], axis=1).reshape(-1)
 
 
-def scrambler_stream(seed: int, n: int) -> np.ndarray:
+from functools import lru_cache as _lru
+
+
+@_lru(maxsize=256)
+def _scrambler_cached(seed: int, n: int) -> np.ndarray:
     return _scrambler_stream(seed, n)
+
+
+def scrambler_stream(seed: int, n: int) -> np.ndarray:
+    # 127 possible seeds x few frame lengths: cache the pure-python LFSR
+    # walk (it was ~25% of the per-frame host decode time)
+    return _scrambler_cached(int(seed), int(n))

@@ -109,12 +109,18 @@ def detect_candidates(a: CArray, cor: jnp.ndarray, kmax: int):
     return idx, f_off
 
 
-def _frame_front_body(w: CArray):
-    """Per-frame device front-end. ``w``: FRAME_WIN CFO-corrected samples
-    starting at the detected STF position.
+def _span(n_syms: int) -> int:
+    """Samples needed past the LTF start for ``n_syms`` symbols."""
+    return 128 + 16 + 80 * n_syms
 
-    Returns (eq_syms [MAX_SYMS+1, 48] equalized SIGNAL+data symbols,
-    h [64], snr, offset, f_fine)."""
+
+def _frame_front_body(w: CArray, n_syms: int = MAX_SYMS + 1):
+    """Per-frame device front-end over the first ``n_syms`` symbols
+    (s=0 is SIGNAL). ``w``: CFO-corrected samples from the detected STF
+    position, at least ``SEARCH_WINDOW + _span(n_syms)`` long.
+
+    Returns (eq_syms [n_syms, 48] equalized symbols, h [64], snr,
+    offset, f_fine)."""
     # --- LTF cross-correlation over the search window (sync_long.rs:18-50)
     taps = CArray(
         jnp.asarray(np.real(C.LONG_CORR[::-1]).astype(np.float32)),
@@ -137,21 +143,22 @@ def _frame_front_body(w: CArray):
     f_fine = (cf * cs.conj()).angle() / 64.0
 
     # --- fine-CFO-corrected, aligned symbol extraction ------------------
+    span = _span(n_syms)
     aligned = cplx.apply1(
-        lambda t: jax.lax.dynamic_slice_in_dim(t, first, _SYM_SPAN, axis=-1),
+        lambda t: jax.lax.dynamic_slice_in_dim(t, first, span, axis=-1),
         w,
     )
-    ramp = cplx.exp_j(jnp.arange(_SYM_SPAN, dtype=jnp.float32) * f_fine)
+    ramp = cplx.exp_j(jnp.arange(span, dtype=jnp.float32) * f_fine)
     v = aligned * ramp
 
     ltf = _fft64(v[..., :128].reshape(2, 64))  # [2, 64]
     # symbol s occupies [128+16+80s, +64); SIGNAL is s=0
     idx = (
-        128 + 16 + 80 * jnp.arange(MAX_SYMS + 1)[:, None] + jnp.arange(64)
+        128 + 16 + 80 * jnp.arange(n_syms)[:, None] + jnp.arange(64)
     )
     syms_t = cplx.apply1(lambda t: jnp.take(t, idx.reshape(-1), axis=-1), v)
-    syms_t = syms_t.reshape(MAX_SYMS + 1, 64)
-    syms = _fft64(syms_t)  # [S+1, 64]
+    syms_t = syms_t.reshape(n_syms, 64)
+    syms = _fft64(syms_t)  # [n_syms, 64]
 
     # --- channel estimate (frame_equalizer.rs Equalizer::sync1/sync2) ---
     lmask = jnp.asarray(np.real(C.LONG_FREQ_SHIFTED).astype(np.float32))
@@ -170,7 +177,7 @@ def _frame_front_body(w: CArray):
     # phase a second time — the double correction cost ~7 dB of EVM at
     # moderate SNR (found by A/B against a true-h equalizer)
     pol = jnp.asarray(
-        C.POLARITY[np.arange(MAX_SYMS + 1) % 127].astype(np.float32)
+        C.POLARITY[np.arange(n_syms) % 127].astype(np.float32)
     )
     p11 = syms[:, 11] / h[11]
     p25 = syms[:, 25] / h[25]
@@ -191,27 +198,32 @@ def _frame_front_body(w: CArray):
     return eq, h, snr, first, f_fine
 
 
-frame_front = jax.jit(_frame_front_body)
+frame_front = jax.jit(_frame_front_body, static_argnums=(1,))
 
 
 @lru_cache(maxsize=None)
-def _frame_front_from_starts(kb: int):
+def _frame_front_from_starts(kb: int, n_syms: int = MAX_SYMS + 1):
     """Batched front-end gathering its windows ON DEVICE from the resident
-    chunk: per candidate, dynamic-slice FRAME_WIN samples at ``start``,
-    apply the coarse-CFO ramp, run the front-end — no host window
-    assembly/re-upload (round 1 shipped every window H2D a second time)."""
+    chunk: per candidate, dynamic-slice the window at ``start``, apply the
+    coarse-CFO ramp, run the front-end — no host window assembly/re-upload
+    (round 1 shipped every window H2D a second time).
+
+    ``n_syms`` bounds the per-frame symbol work: the receiver first runs a
+    SIGNAL-only pass (n_syms=1, ~600-sample windows), decodes the frame
+    lengths on host, then re-runs bucketed to the longest frame — a 500 B
+    frame costs ~25 symbols of FFT/track/equalize instead of MAX_SYMS+1
+    = 539 (the round-1 fixed-shape front-end's dominant waste)."""
+    win = SEARCH_WINDOW + _span(n_syms)
 
     def fn(x: CArray, starts: jnp.ndarray, f_shorts: jnp.ndarray):
-        n = jnp.arange(FRAME_WIN, dtype=jnp.float32)
+        n = jnp.arange(win, dtype=jnp.float32)
 
         def one(start, f_short):
             w = cplx.apply1(
-                lambda t: jax.lax.dynamic_slice_in_dim(
-                    t, start, FRAME_WIN, axis=-1
-                ),
+                lambda t: jax.lax.dynamic_slice_in_dim(t, start, win, axis=-1),
                 x,
             )
-            return _frame_front_body(w * cplx.exp_j(f_short * n))
+            return _frame_front_body(w * cplx.exp_j(f_short * n), n_syms)
 
         return jax.vmap(one)(starts, f_shorts)
 
@@ -330,15 +342,13 @@ class WlanReceiver:
         starts_np[:k] = cands
         fsh_np = np.zeros(kb, np.float32)
         fsh_np[:k] = f_shorts
-        # windows gathered + CFO-corrected on device from the resident x
-        eq_b, h_b, snr_b, off_b, ff_b = _frame_front_from_starts(kb)(
-            x, jnp.asarray(starts_np), jnp.asarray(fsh_np)
+        starts_dev = jnp.asarray(starts_np)
+        fsh_dev = jnp.asarray(fsh_np)
+        # phase A: SIGNAL-only pass over ~600-sample windows (device)
+        eq_a, h_b, snr_b, off_b, ff_b = _frame_front_from_starts(kb, 1)(
+            x, starts_dev, fsh_dev
         )
-        # two-phase fetch: SIG symbols first (tiny), then only the data
-        # symbol range the decoded SIGNAL fields actually need — the full
-        # [kb, MAX_SYMS+1, 48] matrix is ~13 MB over a ~35 ms-RTT tunnel,
-        # and real frames are usually far shorter than MAX_SYMS
-        eq_sig = cplx.to_numpy(eq_b[:, 0])  # [kb, 48]
+        eq_sig = cplx.to_numpy(eq_a[:, 0])  # [kb, 48]
         snr_all = np.asarray(snr_b)
         params = [_decode_signal(eq_sig[i]) for i in range(k)]
         need = [
@@ -349,15 +359,38 @@ class WlanReceiver:
         if not need:
             return out
         nmax = max(need)
-        # pow2 bucket keeps the device-slice shape set small (cached)
+        # phase B: re-run bucketed to the longest real frame (pow2 keeps
+        # the compiled shape set small); symbol work scales with actual
+        # frame length instead of MAX_SYMS
         nf = min(MAX_SYMS, 1 << (nmax - 1).bit_length() if nmax > 1 else 1)
+        eq_b, _, _, _, _ = _frame_front_from_starts(kb, nf + 1)(
+            x, starts_dev, fsh_dev
+        )
         eq_data = cplx.to_numpy(eq_b[:, 1 : 1 + nf])  # [kb, nf, 48]
-        for i, start in enumerate(cands):
-            frame = self._decode_frame(
-                params[i], eq_data[i], float(snr_all[i]), start
-            )
-            if frame is not None:
-                out.append(frame)
+        # per-frame Viterbi/descramble across a thread pool — the native
+        # decoder releases the GIL, so dense captures scale with cores
+        from concurrent.futures import ThreadPoolExecutor
+
+        if k > 1:
+            with ThreadPoolExecutor(max_workers=min(8, k)) as pool:
+                results = list(
+                    pool.map(
+                        lambda i: self._decode_frame(
+                            params[i],
+                            eq_data[i],
+                            float(snr_all[i]),
+                            cands[i],
+                        ),
+                        range(k),
+                    )
+                )
+        else:
+            results = [
+                self._decode_frame(
+                    params[0], eq_data[0], float(snr_all[0]), cands[0]
+                )
+            ]
+        out.extend(f for f in results if f is not None)
         self.frames.extend(out)
         return out
 

@@ -136,10 +136,18 @@ def viterbi_decode_soft(llrs: np.ndarray, n_bits: int) -> np.ndarray:
     return bits
 
 
+from functools import lru_cache as _lru
+
+
+@_lru(maxsize=64)
+def _pattern_cached(pattern: tuple, n_coded: int) -> np.ndarray:
+    return np.resize(np.asarray(pattern, dtype=bool), n_coded)
+
+
 def depuncture_soft(llrs: np.ndarray, pattern, n_coded: int) -> np.ndarray:
     """Soft companion of :func:`depuncture`: punctured positions get
     LLR 0 (no information)."""
-    pat = np.resize(np.asarray(pattern, dtype=bool), n_coded)
+    pat = _pattern_cached(tuple(np.asarray(pattern, bool).tolist()), n_coded)
     out = np.zeros(n_coded, dtype=np.float64)
     out[pat] = np.asarray(llrs, np.float64)[: int(pat.sum())]
     return out
@@ -150,7 +158,7 @@ def depuncture(received: np.ndarray, pattern, n_coded: int):
 
     ``received``: stream of surviving channel bits; returns
     ``(coded[n_coded], erasures[n_coded])`` aligned to the mother code."""
-    pat = np.resize(np.asarray(pattern, dtype=bool), n_coded)
+    pat = _pattern_cached(tuple(np.asarray(pattern, bool).tolist()), n_coded)
     coded = np.zeros(n_coded, dtype=np.uint8)
     coded[pat] = received[: int(pat.sum())]
     return coded, ~pat
