@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import lru_cache, partial
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -200,6 +200,66 @@ def _frame_front_body(w: CArray, n_syms: int = MAX_SYMS + 1):
 
 frame_front = jax.jit(_frame_front_body, static_argnums=(1,))
 
+LLR_INT8_SCALE = 32.0  # int8 LLR quantization step (Viterbi is scale-free)
+
+
+@jax.jit
+def _convert_sc16(raw: jnp.ndarray) -> CArray:
+    """Interleaved int16 I/Q → CArray floats, on device (sc16 ingest)."""
+    f = raw.astype(jnp.float32) * (1.0 / 32768.0)
+    return CArray(f[0::2], f[1::2])
+
+
+@lru_cache(maxsize=None)
+def _demap_llrs_int8(n_bpsc: int):
+    """Device max-log demapper → int8 LLRs (same math as
+    ``consts.demap_soft``). Moving quantized *bits* instead of complex64
+    *symbols* across the D2H boundary cuts the dominant fetch 4-8x — the
+    measured dev-tunnel moves ~10-20 MB/s, so the [kb, nf, 48] c64 symbol
+    matrix (12+ MB on dense captures) was the receiver's rate limit."""
+    if n_bpsc == 1:
+
+        def fn1(eq: CArray):
+            llr = 2.0 * eq.re
+            q = jnp.clip(
+                jnp.round(llr * LLR_INT8_SCALE), -127, 127
+            ).astype(jnp.int8)
+            return q[..., None]  # [..., 48, 1]
+
+        return jax.jit(fn1)
+
+    half = n_bpsc // 2
+    lev = (C._gray_levels(half) / C.MOD_NORM[n_bpsc]).astype(np.float32)
+    shifts = half - 1 - np.arange(half)
+    bits_of_lev = (
+        (np.arange(len(lev))[:, None] >> shifts) & 1
+    ).astype(bool)  # [n_lev, half]
+
+    def fn(eq: CArray):
+        def axis_llrs(v):  # [..., 48] → [..., 48, half]
+            d2 = (v[..., None] - lev) ** 2  # [..., 48, n_lev]
+            outs = []
+            for i in range(half):
+                m1 = jnp.min(
+                    jnp.where(bits_of_lev[:, i], d2, np.float32(np.inf)),
+                    axis=-1,
+                )
+                m0 = jnp.min(
+                    jnp.where(~bits_of_lev[:, i], d2, np.float32(np.inf)),
+                    axis=-1,
+                )
+                outs.append(m0 - m1)
+            return jnp.stack(outs, axis=-1)
+
+        llr = jnp.concatenate(
+            [axis_llrs(eq.re), axis_llrs(eq.im)], axis=-1
+        )  # [..., 48, n_bpsc]
+        return jnp.clip(
+            jnp.round(llr * LLR_INT8_SCALE), -127, 127
+        ).astype(jnp.int8)
+
+    return jax.jit(fn)
+
 
 @lru_cache(maxsize=None)
 def _frame_front_from_starts(kb: int, n_syms: int = MAX_SYMS + 1):
@@ -296,16 +356,28 @@ class WlanReceiver:
         self.frames: List[RxFrame] = []
 
     def process(self, iq: np.ndarray) -> List[RxFrame]:
-        iq = np.asarray(iq, dtype=np.complex64)
-        n_real = len(iq)
+        """Feed IQ; returns decoded frames.
+
+        ``iq`` may be complex64 OR interleaved-int16 I/Q (sc16 radio
+        format, length 2N): the int16 path uploads raw samples and
+        converts on device — 4x fewer H2D bytes, which matters on
+        PCIe/tunnel-limited hosts."""
+        iq = np.asarray(iq)
+        is_sc16 = iq.dtype == np.int16
+        n_real = len(iq) // 2 if is_sc16 else len(iq)
         # pad to a 32768 bucket: stable jit shapes (compile once) and
         # TPU-aligned conv sizes; FRAME_WIN of extra zeros so device-side
         # window slices near the chunk end never clamp into valid data
         bucket = -(-n_real // 32768) * 32768
-        iq = np.concatenate(
-            [iq, np.zeros(bucket - n_real + FRAME_WIN, np.complex64)]
-        )
-        x = cplx.from_numpy(iq)
+        pad = bucket - n_real + FRAME_WIN
+        if is_sc16:
+            raw = np.concatenate([iq, np.zeros(2 * pad, np.int16)])
+            x = _convert_sc16(jnp.asarray(raw))
+        else:
+            iq = np.concatenate(
+                [iq.astype(np.complex64), np.zeros(pad, np.complex64)]
+            )
+            x = cplx.from_numpy(iq)
         xm = x[..., :bucket]
         a_dev, cor_dev = sync_metrics(xm)
         # device-side detection: only kmax (index, CFO) pairs cross D2H
@@ -359,37 +431,42 @@ class WlanReceiver:
         if not need:
             return out
         nmax = max(need)
-        # phase B: re-run bucketed to the longest real frame (pow2 keeps
-        # the compiled shape set small); symbol work scales with actual
+        # phase B: re-run bucketed to the longest real frame (multiples of
+        # 16 bound the compiled shape set); symbol work scales with actual
         # frame length instead of MAX_SYMS
-        nf = min(MAX_SYMS, 1 << (nmax - 1).bit_length() if nmax > 1 else 1)
+        nf = min(MAX_SYMS, -(-nmax // 16) * 16)
         eq_b, _, _, _, _ = _frame_front_from_starts(kb, nf + 1)(
             x, starts_dev, fsh_dev
         )
-        eq_data = cplx.to_numpy(eq_b[:, 1 : 1 + nf])  # [kb, nf, 48]
+        eq_data_dev = eq_b[:, 1 : 1 + nf]  # stays ON DEVICE
+        # demap to int8 LLRs on device per constellation group, fetch only
+        # the k live slots — bits cross the boundary, not symbols
+        groups: Dict[int, List[int]] = {}
+        for i, p in enumerate(params):
+            if p is not None and p.n_symbols <= MAX_SYMS:
+                groups.setdefault(p.mcs.n_bpsc, []).append(i)
+        llr_by_frame: Dict[int, np.ndarray] = {}
+        for n_bpsc, idxs in groups.items():
+            llr_dev = _demap_llrs_int8(n_bpsc)(eq_data_dev)
+            llr_host = np.asarray(llr_dev[: max(idxs) + 1])
+            for i in idxs:
+                llr_by_frame[i] = llr_host[i]
         # per-frame Viterbi/descramble across a thread pool — the native
         # decoder releases the GIL, so dense captures scale with cores
         from concurrent.futures import ThreadPoolExecutor
 
+        def decode(i: int):
+            if i not in llr_by_frame:
+                return None
+            return self._decode_frame(
+                params[i], llr_by_frame[i], float(snr_all[i]), cands[i]
+            )
+
         if k > 1:
             with ThreadPoolExecutor(max_workers=min(8, k)) as pool:
-                results = list(
-                    pool.map(
-                        lambda i: self._decode_frame(
-                            params[i],
-                            eq_data[i],
-                            float(snr_all[i]),
-                            cands[i],
-                        ),
-                        range(k),
-                    )
-                )
+                results = list(pool.map(decode, range(k)))
         else:
-            results = [
-                self._decode_frame(
-                    params[0], eq_data[0], float(snr_all[0]), cands[0]
-                )
-            ]
+            results = [decode(0)]
         out.extend(f for f in results if f is not None)
         self.frames.extend(out)
         return out
@@ -397,7 +474,7 @@ class WlanReceiver:
     def _decode_frame(
         self,
         param: Optional[C.FrameParam],
-        eq_data: np.ndarray,
+        llrs_i8: np.ndarray,  # [nf, 48, n_bpsc] int8 (device-demapped)
         snr: float,
         start: int,
     ) -> Optional[RxFrame]:
@@ -408,13 +485,15 @@ class WlanReceiver:
             return None
         mcs = param.mcs
         n_coded = 2 * param.n_data_bits
+        llrs = (
+            llrs_i8[:n_sym].reshape(-1).astype(np.float64) / LLR_INT8_SCALE
+        )
         if self.soft:
-            llrs = C.demap_soft(eq_data[:n_sym].reshape(-1), mcs.n_bpsc)
             deint = _deinterleave(llrs, mcs)
             coded_llrs = depuncture_soft(deint, mcs.puncture, n_coded)
             decoded = viterbi_decode_soft(coded_llrs, param.n_data_bits)
         else:
-            bits = C.demap_hard(eq_data[:n_sym].reshape(-1), mcs.n_bpsc)
+            bits = (llrs > 0).astype(np.uint8)  # LLR sign = hard decision
             deint = _deinterleave(bits, mcs)
             coded, erasures = depuncture(deint, mcs.puncture, n_coded)
             decoded = viterbi_decode(coded, param.n_data_bits, erasures)

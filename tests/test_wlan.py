@@ -265,3 +265,30 @@ def test_per_frame_mcs_through_mac_chain():
     ]
     assert ("qam16_12", b"pair form qam16") in res
     assert ("bpsk12", b"blob form default") in res
+
+
+def test_rx_sc16_ingest():
+    """Interleaved int16 I/Q input (device-side conversion) decodes the
+    same frames as the complex64 path."""
+    import numpy as np
+
+    from futuresdr_tpu.models.wlan import (
+        WlanReceiver,
+        encode_frame,
+        make_mac_frame,
+    )
+
+    psdu = make_mac_frame(b"sc16 ingest frame payload!", seq=1)
+    sig = np.concatenate(
+        [
+            np.zeros(500, np.complex64),
+            encode_frame(psdu, "qpsk12", scrambler_seed=7),
+            np.zeros(3000, np.complex64),
+        ]
+    ).astype(np.complex64)
+    sc16 = np.empty(2 * len(sig), np.int16)
+    sc16[0::2] = np.clip(sig.real * 20000, -32768, 32767).astype(np.int16)
+    sc16[1::2] = np.clip(sig.imag * 20000, -32768, 32767).astype(np.int16)
+    frames = WlanReceiver().process(sc16)
+    assert len(frames) == 1 and frames[0].crc_ok
+    assert frames[0].psdu == psdu
