@@ -345,6 +345,34 @@ def _descramble(decoded: np.ndarray, psdu_size: int) -> bytes:
     return bytes(data[2 : psdu_size + 2])
 
 
+def prepare_device_iq(iq: np.ndarray):
+    """Upload host IQ once, padded to receiver shape.
+
+    ``iq`` is complex64 samples OR interleaved-int16 I/Q (sc16, length
+    2N).  Returns ``(x, n_real, bucket)``: a device-resident CArray of
+    length ``bucket + FRAME_WIN`` (bucket = next 32768 multiple — stable
+    jit shapes so the receiver compiles once; FRAME_WIN guard zeros so
+    device-side window slices near the chunk end never clamp into valid
+    data), the true sample count, and the bucket.  Pass the CArray to
+    ``WlanReceiver.process`` to decode without re-crossing H2D — on
+    tunnel-limited dev hosts the upload, not the machine, otherwise
+    bounds the rate."""
+    iq = np.asarray(iq)
+    is_sc16 = iq.dtype == np.int16
+    n_real = len(iq) // 2 if is_sc16 else len(iq)
+    bucket = -(-n_real // 32768) * 32768
+    pad = bucket - n_real + FRAME_WIN
+    if is_sc16:
+        raw = np.concatenate([iq, np.zeros(2 * pad, np.int16)])
+        x = _convert_sc16(jnp.asarray(raw))
+    else:
+        arr = np.concatenate(
+            [iq.astype(np.complex64), np.zeros(pad, np.complex64)]
+        )
+        x = cplx.from_numpy(arr)
+    return x, n_real, bucket
+
+
 class WlanReceiver:
     """Chunk-oriented receiver: feed IQ, collect decoded frames."""
 
@@ -362,22 +390,22 @@ class WlanReceiver:
         format, length 2N): the int16 path uploads raw samples and
         converts on device — 4x fewer H2D bytes, which matters on
         PCIe/tunnel-limited hosts."""
-        iq = np.asarray(iq)
-        is_sc16 = iq.dtype == np.int16
-        n_real = len(iq) // 2 if is_sc16 else len(iq)
-        # pad to a 32768 bucket: stable jit shapes (compile once) and
-        # TPU-aligned conv sizes; FRAME_WIN of extra zeros so device-side
-        # window slices near the chunk end never clamp into valid data
-        bucket = -(-n_real // 32768) * 32768
-        pad = bucket - n_real + FRAME_WIN
-        if is_sc16:
-            raw = np.concatenate([iq, np.zeros(2 * pad, np.int16)])
-            x = _convert_sc16(jnp.asarray(raw))
+        if isinstance(iq, CArray):
+            # device-resident ingest (streaming pipelines keep IQ on
+            # device; dev tunnels move ~10-20 MB/s, so re-uploading would
+            # bound the decode rate by the transport, not the machine).
+            # Buffer must be prepare_device_iq-shaped: a 32768-multiple
+            # of valid samples plus FRAME_WIN guard zeros.
+            bucket = int(iq.shape[-1]) - FRAME_WIN
+            if bucket <= 0 or bucket % 32768:
+                raise ValueError(
+                    "device IQ must come from prepare_device_iq() "
+                    f"(got length {int(iq.shape[-1])})"
+                )
+            n_real = bucket
+            x = iq
         else:
-            iq = np.concatenate(
-                [iq.astype(np.complex64), np.zeros(pad, np.complex64)]
-            )
-            x = cplx.from_numpy(iq)
+            x, n_real, bucket = prepare_device_iq(iq)
         xm = x[..., :bucket]
         a_dev, cor_dev = sync_metrics(xm)
         # device-side detection: only kmax (index, CFO) pairs cross D2H

@@ -292,3 +292,38 @@ def test_rx_sc16_ingest():
     frames = WlanReceiver().process(sc16)
     assert len(frames) == 1 and frames[0].crc_ok
     assert frames[0].psdu == psdu
+
+
+def test_rx_device_resident_ingest():
+    """prepare_device_iq + CArray process decodes the same frames as the
+    host-numpy path without re-crossing H2D, and rejects odd shapes."""
+    import numpy as np
+    import pytest
+
+    from futuresdr_tpu.models.wlan import (
+        WlanReceiver,
+        encode_frame,
+        make_mac_frame,
+        prepare_device_iq,
+    )
+    from futuresdr_tpu.ops.cplx import CArray
+
+    psdu = make_mac_frame(b"resident ingest frame payload", seq=3)
+    sig = np.concatenate(
+        [
+            np.zeros(700, np.complex64),
+            encode_frame(psdu, "qpsk12", scrambler_seed=11),
+            np.zeros(2500, np.complex64),
+        ]
+    ).astype(np.complex64)
+    dev, n_real, bucket = prepare_device_iq(sig)
+    assert n_real == len(sig) and bucket % 32768 == 0
+    frames = WlanReceiver().process(dev)
+    host = WlanReceiver().process(sig)
+    assert len(frames) == 1 and frames[0].crc_ok
+    assert frames[0].psdu == psdu
+    assert host[0].psdu == frames[0].psdu
+
+    bad = CArray(dev.re[:1000], dev.im[:1000])
+    with pytest.raises(ValueError):
+        WlanReceiver().process(bad)
