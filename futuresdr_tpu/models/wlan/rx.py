@@ -210,24 +210,11 @@ def _convert_sc16(raw: jnp.ndarray) -> CArray:
     return CArray(f[0::2], f[1::2])
 
 
-@lru_cache(maxsize=None)
-def _demap_llrs_int8(n_bpsc: int):
-    """Device max-log demapper → int8 LLRs (same math as
-    ``consts.demap_soft``). Moving quantized *bits* instead of complex64
-    *symbols* across the D2H boundary cuts the dominant fetch 4-8x — the
-    measured dev-tunnel moves ~10-20 MB/s, so the [kb, nf, 48] c64 symbol
-    matrix (12+ MB on dense captures) was the receiver's rate limit."""
+def _demap_llrs_f32(eq: CArray, n_bpsc: int) -> jnp.ndarray:
+    """Device max-log demapper (same math as ``consts.demap_soft``):
+    CArray symbols [..., 48] → f32 LLRs [..., 48, n_bpsc]."""
     if n_bpsc == 1:
-
-        def fn1(eq: CArray):
-            llr = 2.0 * eq.re
-            q = jnp.clip(
-                jnp.round(llr * LLR_INT8_SCALE), -127, 127
-            ).astype(jnp.int8)
-            return q[..., None]  # [..., 48, 1]
-
-        return jax.jit(fn1)
-
+        return (2.0 * eq.re)[..., None]
     half = n_bpsc // 2
     lev = (C._gray_levels(half) / C.MOD_NORM[n_bpsc]).astype(np.float32)
     shifts = half - 1 - np.arange(half)
@@ -235,28 +222,166 @@ def _demap_llrs_int8(n_bpsc: int):
         (np.arange(len(lev))[:, None] >> shifts) & 1
     ).astype(bool)  # [n_lev, half]
 
-    def fn(eq: CArray):
-        def axis_llrs(v):  # [..., 48] → [..., 48, half]
-            d2 = (v[..., None] - lev) ** 2  # [..., 48, n_lev]
-            outs = []
-            for i in range(half):
-                m1 = jnp.min(
-                    jnp.where(bits_of_lev[:, i], d2, np.float32(np.inf)),
-                    axis=-1,
-                )
-                m0 = jnp.min(
-                    jnp.where(~bits_of_lev[:, i], d2, np.float32(np.inf)),
-                    axis=-1,
-                )
-                outs.append(m0 - m1)
-            return jnp.stack(outs, axis=-1)
+    def axis_llrs(v):  # [..., 48] → [..., 48, half]
+        d2 = (v[..., None] - lev) ** 2  # [..., 48, n_lev]
+        outs = []
+        for i in range(half):
+            m1 = jnp.min(
+                jnp.where(bits_of_lev[:, i], d2, np.float32(np.inf)),
+                axis=-1,
+            )
+            m0 = jnp.min(
+                jnp.where(~bits_of_lev[:, i], d2, np.float32(np.inf)),
+                axis=-1,
+            )
+            outs.append(m0 - m1)
+        return jnp.stack(outs, axis=-1)
 
-        llr = jnp.concatenate(
-            [axis_llrs(eq.re), axis_llrs(eq.im)], axis=-1
-        )  # [..., 48, n_bpsc]
+    return jnp.concatenate([axis_llrs(eq.re), axis_llrs(eq.im)], axis=-1)
+
+
+@lru_cache(maxsize=None)
+def _demap_llrs_int8(n_bpsc: int):
+    """Device max-log demapper → int8 LLRs. Moving quantized *bits*
+    instead of complex64 *symbols* across the D2H boundary cuts the
+    dominant fetch 4-8x — the measured dev-tunnel moves ~10-20 MB/s, so
+    the [kb, nf, 48] c64 symbol matrix (12+ MB on dense captures) was
+    the receiver's rate limit. (Used by the hard-decision path; the soft
+    path decodes fully on device, see ``_device_decode_tail``.)"""
+
+    def fn(eq: CArray):
+        llr = _demap_llrs_f32(eq, n_bpsc)
         return jnp.clip(
             jnp.round(llr * LLR_INT8_SCALE), -127, 127
         ).astype(jnp.int8)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _phase1_program(kmax: int, max_frames: int):
+    """Fused detection + SIGNAL pass: ONE device program, ONE small
+    fetch per chunk.
+
+    sync_short metrics → leader-filtered candidates → the MIN_GAP
+    resync walk (sync_short.rs:84-140, as a scan over the ≤kmax
+    leaders) → batched SIGNAL-symbol front-end → batched 24-bit SIGNAL
+    Viterbi → RATE/LENGTH/parity extraction, all on device. The host
+    receives two tiny packed arrays (int32[5, kmax]: start, valid,
+    rate, length, parity; f32[2, kmax]: coarse CFO, SNR) — on
+    tunnel-limited hosts each D2H sync costs 100+ ms some sessions, so
+    collapsing detect/walk/SIGNAL fetches into one sync dominates all
+    other phase-1 costs at any chunk size."""
+    from futuresdr_tpu.ops.viterbi import make_batch_viterbi_soft
+
+    sig_perm = C.interleaver_permutation(48, 1)
+    viterbi = make_batch_viterbi_soft()
+    sig_front = _frame_front_from_starts(kmax, 1)
+
+    def fn(x: CArray, n_real: jnp.ndarray):
+        bucket = x.shape[-1] - FRAME_WIN
+        a, cor = sync_metrics(x[..., :bucket])
+        idx, f_off = detect_candidates(a, cor, kmax)
+
+        # MIN_GAP resync walk: accept leaders ≥ MIN_GAP apart, window
+        # must fit before the valid-sample end, stop at max_frames
+        fit_end = n_real - (SEARCH_WINDOW + 128 + 16 + 80)
+
+        def walk(carry, inp):
+            last, count = carry
+            i, _fo = inp
+            start = i + 47
+            ok = (
+                (i >= 0)
+                & (i - last >= MIN_GAP)
+                & (start <= fit_end)
+                & (count < max_frames)
+            )
+            last = jnp.where(ok, i, last)
+            count = count + ok.astype(jnp.int32)
+            return (last, count), ok
+
+        init = (jnp.int32(-(10**9)), jnp.int32(0))
+        _, valid = jax.lax.scan(walk, init, (idx, f_off))
+        starts = jnp.where(valid, idx + 47, 0).astype(jnp.int32)
+
+        eq_a, _h, snr, _off, _ff = sig_front(x, starts, f_off)
+        eq_sig = eq_a[:, 0]  # [kmax, 48]
+        llr = (2.0 * eq_sig.re)[:, sig_perm]  # bpsk demap + deinterleave
+        dec = viterbi(llr.reshape(kmax, 24, 2)).astype(jnp.int32)
+        parity_ok = (
+            jnp.sum(dec[:, :17], axis=-1) % 2 == dec[:, 17]
+        ).astype(jnp.int32)
+        r = jnp.sum(dec[:, :4] * (1 << jnp.arange(4)), axis=-1)
+        length = jnp.sum(dec[:, 5:17] * (1 << jnp.arange(12)), axis=-1)
+        ints = jnp.stack(
+            [starts, valid.astype(jnp.int32), r, length, parity_ok]
+        )
+        floats = jnp.stack([f_off, snr])
+        return ints, floats
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _device_decode_tail(mcs_name: str, nf: int):
+    """The whole decode tail ON DEVICE: demap → deinterleave →
+    depuncture → batched soft Viterbi → descramble → byte packing.
+
+    Parity: decoder.rs + viterbi_decoder.rs + interleaving of lib.rs,
+    re-architected so a dense capture's frames decode as one batched
+    device program and only final PSDU *bytes* cross D2H (~9x fewer
+    bytes than the int8 LLR fetch, and no per-frame host ACS loops —
+    the two dominant dense-capture costs on tunnel-limited hosts).
+
+    Per-frame true lengths arrive as a vector; positions beyond a
+    frame's coded length get LLR 0 (erasure), which freezes the path
+    metrics so traceback through the padded tail stays on the frame's
+    best path.
+
+    Returns jitted ``fn(eq_data[kb, nf, 48] CArray, n_data_bits[kb])
+    → bytes[kb, T//8] uint8`` with T = n_dbps·nf.
+    """
+    mcs = C.MCS[mcs_name]
+    t_bits = mcs.n_dbps * nf
+    perm = C.interleaver_permutation(mcs.n_cbps, mcs.n_bpsc)
+    pat = np.resize(np.asarray(mcs.puncture, bool), 2 * t_bits)
+    src = np.zeros(2 * t_bits, np.int32)
+    src[pat] = np.arange(int(pat.sum()), dtype=np.int32)
+    pat_f = pat.astype(np.float32)
+    # scrambler stream is 127-periodic; row per 7-bit seed
+    fb_table = np.stack(
+        [C.scrambler_stream(s, 127) for s in range(128)]
+    ).astype(np.uint8)
+    seed_w = np.array([64, 32, 16, 8, 4, 2, 1], np.int32)
+    byte_w = (1 << np.arange(8)).astype(np.int32)  # packbits little
+    from futuresdr_tpu.ops.viterbi import make_batch_viterbi_soft
+
+    viterbi = make_batch_viterbi_soft()
+
+    def fn(eq_data: CArray, n_data_bits: jnp.ndarray) -> jnp.ndarray:
+        kb = eq_data.shape[0]
+        llr = _demap_llrs_f32(eq_data, mcs.n_bpsc)  # [kb, nf, 48, n_bpsc]
+        sym = llr.reshape(kb, nf, mcs.n_cbps)[:, :, perm]
+        stream = sym.reshape(kb, nf * mcs.n_cbps)
+        coded = stream[:, src] * pat_f  # zeros at punctured slots
+        j = jnp.arange(2 * t_bits, dtype=jnp.int32)
+        coded = jnp.where(j < 2 * n_data_bits[:, None], coded, 0.0)
+        bits = viterbi(coded.reshape(kb, t_bits, 2))  # [kb, T] uint8
+        seed = jnp.sum(
+            bits[:, :7].astype(jnp.int32) * seed_w, axis=-1
+        )  # [kb]
+        fb_rows = jnp.asarray(fb_table)[seed]  # [kb, 127]
+        tt = jnp.arange(t_bits - 7, dtype=jnp.int32) % 127
+        fb = fb_rows[:, tt]
+        descr = jnp.concatenate(
+            [jnp.zeros((kb, 7), jnp.uint8), bits[:, 7:] ^ fb], axis=1
+        )
+        by = jnp.sum(
+            descr.reshape(kb, t_bits // 8, 8).astype(jnp.int32) * byte_w,
+            axis=-1,
+        ).astype(jnp.uint8)
+        return by
 
     return jax.jit(fn)
 
@@ -308,23 +433,6 @@ def _deinterleave(bits: np.ndarray, mcs: C.Mcs) -> np.ndarray:
     perm = C.interleaver_permutation(mcs.n_cbps, mcs.n_bpsc)
     blocks = bits.reshape(-1, mcs.n_cbps)
     return blocks[:, perm].reshape(-1)
-
-
-def _decode_signal(eq_sym0: np.ndarray) -> Optional[C.FrameParam]:
-    """frame_equalizer.rs:120-175 (soft-decision: the SIGNAL field sets
-    the frame's fate, so it gets the same LLR treatment as the data)."""
-    llrs = C.demap_soft(eq_sym0, 1)
-    deint = _deinterleave(llrs, C.MCS["bpsk12"])
-    dec = viterbi_decode_soft(deint, 24)
-    parity = np.bitwise_xor.reduce(dec[:17])
-    if parity != dec[17]:
-        return None
-    r = int(np.sum(dec[:4] * (1 << np.arange(4))))
-    length = int(np.sum(dec[5:17] * (1 << np.arange(12))))
-    mcs = C.RATE_TO_MCS.get(r)
-    if mcs is None or length == 0:
-        return None
-    return C.FrameParam(mcs, length)
 
 
 def _descramble(decoded: np.ndarray, psdu_size: int) -> bytes:
@@ -406,51 +514,43 @@ class WlanReceiver:
             x = iq
         else:
             x, n_real, bucket = prepare_device_iq(iq)
-        xm = x[..., :bucket]
-        a_dev, cor_dev = sync_metrics(xm)
-        # device-side detection: only kmax (index, CFO) pairs cross D2H
+        # phase A: fused device program — detect + MIN_GAP walk + SIGNAL
+        # decode; one small D2H sync for the whole chunk
         kmax = max(16, self.max_frames)
-        idx_dev, foff_dev = detect_candidates(a_dev, cor_dev, kmax)
-        idx_np = np.asarray(idx_dev)
-        foff_np = np.asarray(foff_dev)
-
-        # MIN_GAP resync walk (sync_short.rs:84-140) over the leaders
-        cands: List[int] = []
-        f_shorts: List[float] = []
-        last_start = -(10**9)
-        for i, fo in zip(idx_np, foff_np):
-            if i < 0:
-                break
-            if i - last_start < MIN_GAP:
-                continue
-            # metric index i ← trailing-window sums over x[i .. i+63];
-            # the reference's delayed-stream copy starts at x[i+47]
-            start = int(i) + 47
-            if start + SEARCH_WINDOW + 128 + 16 + 80 > n_real:
-                continue  # not enough real samples for even SIGNAL
-            cands.append(start)
-            f_shorts.append(float(fo))
-            last_start = int(i)
-            if len(cands) >= self.max_frames:
-                break
+        ints_d, floats_d = _phase1_program(kmax, self.max_frames)(
+            x, jnp.int32(n_real)
+        )
+        ints, floats = jax.device_get((ints_d, floats_d))
         out: List[RxFrame] = []
+        cands: List[int] = []
+        params: List[Optional[C.FrameParam]] = []
+        snr_list: List[float] = []
+        for j in range(kmax):
+            if not ints[1, j]:
+                continue
+            cands.append(int(ints[0, j]))
+            snr_list.append(float(floats[1, j]))
+            mcs = C.RATE_TO_MCS.get(int(ints[2, j]))
+            length = int(ints[3, j])
+            if not ints[4, j] or mcs is None or length == 0:
+                params.append(None)
+            else:
+                params.append(C.FrameParam(mcs, length))
         if not cands:
             return out
         k = len(cands)
         kb = 1 << (k - 1).bit_length()  # pow2 bucket for stable jit shapes
+        f_shorts = [
+            float(floats[0, j]) for j in range(kmax) if ints[1, j]
+        ]
         starts_np = np.zeros(kb, np.int32)
         starts_np[:k] = cands
         fsh_np = np.zeros(kb, np.float32)
         fsh_np[:k] = f_shorts
         starts_dev = jnp.asarray(starts_np)
         fsh_dev = jnp.asarray(fsh_np)
-        # phase A: SIGNAL-only pass over ~600-sample windows (device)
-        eq_a, h_b, snr_b, off_b, ff_b = _frame_front_from_starts(kb, 1)(
-            x, starts_dev, fsh_dev
-        )
-        eq_sig = cplx.to_numpy(eq_a[:, 0])  # [kb, 48]
-        snr_all = np.asarray(snr_b)
-        params = [_decode_signal(eq_sig[i]) for i in range(k)]
+        snr_all = np.zeros(kb, np.float32)
+        snr_all[:k] = snr_list
         need = [
             p.n_symbols
             for p in params
@@ -467,34 +567,63 @@ class WlanReceiver:
             x, starts_dev, fsh_dev
         )
         eq_data_dev = eq_b[:, 1 : 1 + nf]  # stays ON DEVICE
-        # demap to int8 LLRs on device per constellation group, fetch only
-        # the k live slots — bits cross the boundary, not symbols
-        groups: Dict[int, List[int]] = {}
-        for i, p in enumerate(params):
-            if p is not None and p.n_symbols <= MAX_SYMS:
-                groups.setdefault(p.mcs.n_bpsc, []).append(i)
-        llr_by_frame: Dict[int, np.ndarray] = {}
-        for n_bpsc, idxs in groups.items():
-            llr_dev = _demap_llrs_int8(n_bpsc)(eq_data_dev)
-            llr_host = np.asarray(llr_dev[: max(idxs) + 1])
-            for i in idxs:
-                llr_by_frame[i] = llr_host[i]
-        # per-frame Viterbi/descramble across a thread pool — the native
-        # decoder releases the GIL, so dense captures scale with cores
-        from concurrent.futures import ThreadPoolExecutor
+        if self.soft:
+            # the decode tail runs batched ON DEVICE per MCS group; only
+            # final PSDU bytes cross D2H, and the host does just CRC
+            import zlib
 
-        def decode(i: int):
-            if i not in llr_by_frame:
-                return None
-            return self._decode_frame(
-                params[i], llr_by_frame[i], float(snr_all[i]), cands[i]
-            )
-
-        if k > 1:
-            with ThreadPoolExecutor(max_workers=min(8, k)) as pool:
-                results = list(pool.map(decode, range(k)))
+            results: List[Optional[RxFrame]] = [None] * k
+            mgroups: Dict[str, List[int]] = {}
+            for i, p in enumerate(params):
+                if p is not None and p.n_symbols <= MAX_SYMS:
+                    mgroups.setdefault(p.mcs.name, []).append(i)
+            for name, idxs in mgroups.items():
+                tail = _device_decode_tail(name, nf)
+                nbits = np.zeros(kb, np.int32)
+                for i in idxs:
+                    nbits[i] = params[i].n_data_bits
+                by_dev = tail(eq_data_dev, jnp.asarray(nbits))
+                by = np.asarray(by_dev[: max(idxs) + 1])
+                for i in idxs:
+                    p = params[i]
+                    psdu = bytes(by[i, 2 : p.psdu_size + 2])
+                    crc_ok = (
+                        zlib.crc32(psdu) & 0xFFFFFFFF
+                    ) == CRC32_RESIDUE
+                    results[i] = RxFrame(
+                        mcs=p.mcs.name,
+                        psdu=psdu,
+                        snr=float(snr_all[i]),
+                        crc_ok=crc_ok,
+                        start=cands[i],
+                    )
         else:
-            results = [decode(0)]
+            # hard path: int8 LLRs cross D2H, per-frame Viterbi across a
+            # thread pool (the native decoder releases the GIL)
+            groups: Dict[int, List[int]] = {}
+            for i, p in enumerate(params):
+                if p is not None and p.n_symbols <= MAX_SYMS:
+                    groups.setdefault(p.mcs.n_bpsc, []).append(i)
+            llr_by_frame: Dict[int, np.ndarray] = {}
+            for n_bpsc, idxs in groups.items():
+                llr_dev = _demap_llrs_int8(n_bpsc)(eq_data_dev)
+                llr_host = np.asarray(llr_dev[: max(idxs) + 1])
+                for i in idxs:
+                    llr_by_frame[i] = llr_host[i]
+            from concurrent.futures import ThreadPoolExecutor
+
+            def decode(i: int):
+                if i not in llr_by_frame:
+                    return None
+                return self._decode_frame(
+                    params[i], llr_by_frame[i], float(snr_all[i]), cands[i]
+                )
+
+            if k > 1:
+                with ThreadPoolExecutor(max_workers=min(8, k)) as pool:
+                    results = list(pool.map(decode, range(k)))
+            else:
+                results = [decode(0)]
         out.extend(f for f in results if f is not None)
         self.frames.extend(out)
         return out
