@@ -233,6 +233,36 @@ def polar_encode_exact(message: bytes, mode: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# 8x11 glyph bitmap for the 37 base37 characters (util.rs BASE37_BITMAP
+# — spectrogram font, spec constant; row r of glyph c is
+# BASE37_BITMAP[c + 37*r])
+BASE37_BITMAP = np.array([
+    0, 60, 8, 60, 60, 2, 126, 28, 126, 60, 60, 60, 124, 60, 120, 126, 126,
+    60, 66, 56, 14, 66, 64, 130, 66, 60, 124, 60, 124, 60, 254, 66, 66,
+    130, 66, 130, 126, 0, 66, 24, 66, 66, 6, 64, 32, 2, 66, 66, 66, 66, 66,
+    68, 64, 64, 66, 66, 16, 4, 68, 64, 198, 66, 66, 66, 66, 66, 66, 16, 66,
+    66, 130, 66, 130, 2, 0, 66, 40, 66, 66, 10, 64, 64, 2, 66, 66, 66, 66,
+    66, 66, 64, 64, 66, 66, 16, 4, 72, 64, 170, 66, 66, 66, 66, 66, 64, 16,
+    66, 66, 130, 36, 68, 2, 0, 70, 8, 2, 2, 18, 64, 64, 4, 66, 66, 66, 66,
+    64, 66, 64, 64, 64, 66, 16, 4, 80, 64, 146, 98, 66, 66, 66, 66, 64, 16,
+    66, 66, 130, 36, 68, 4, 0, 74, 8, 4, 28, 34, 124, 124, 4, 60, 66, 66,
+    124, 64, 66, 120, 120, 64, 126, 16, 4, 96, 64, 146, 82, 66, 66, 66, 66,
+    60, 16, 66, 66, 130, 24, 40, 8, 0, 82, 8, 8, 2, 66, 2, 66, 8, 66, 62,
+    126, 66, 64, 66, 64, 64, 78, 66, 16, 4, 96, 64, 130, 74, 66, 124, 66,
+    124, 2, 16, 66, 36, 146, 24, 16, 16, 0, 98, 8, 16, 2, 126, 2, 66, 8,
+    66, 2, 66, 66, 64, 66, 64, 64, 66, 66, 16, 4, 80, 64, 130, 70, 66, 64,
+    66, 80, 2, 16, 66, 36, 146, 36, 16, 32, 0, 66, 8, 32, 66, 2, 2, 66, 16,
+    66, 2, 66, 66, 66, 66, 64, 64, 66, 66, 16, 68, 72, 64, 130, 66, 66, 64,
+    66, 72, 66, 16, 66, 36, 170, 36, 16, 64, 0, 66, 8, 64, 66, 2, 66, 66,
+    16, 66, 4, 66, 66, 66, 68, 64, 64, 66, 66, 16, 68, 68, 64, 130, 66, 66,
+    64, 74, 68, 66, 16, 66, 24, 198, 66, 16, 64, 0, 60, 62, 126, 60, 2, 60,
+    60, 16, 60, 56, 66, 124, 60, 120, 126, 64, 60, 66, 56, 56, 66, 126,
+    130, 66, 60, 64, 60, 66, 60, 16, 60, 24, 130, 66, 16, 126, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2,
+    0, 0, 0, 0, 0, 0, 0, 0, 0
+], dtype=np.uint8)
+
+
 def _base37_map(c: int) -> int:
     if 0x30 <= c <= 0x39:
         return c - 0x30 + 1
@@ -334,6 +364,26 @@ class ExactEncoder:
             self.prev[i] = self.freq[self._bin(i + PAY_CAR_OFF)]
         return self._transform()
 
+    def _fancy_symbol(self, fancy_line: int) -> np.ndarray:
+        """Call-sign glyph row as on/off carriers (encoder.rs:372-398):
+        the 'fancy header' paints the call sign into the spectrogram
+        after the payload, 3 bins per pixel, BPSK noise-keyed."""
+        fancy_off = -(8 * 9 * 3) // 2
+        active = 1
+        for j in range(9):
+            row = int(BASE37_BITMAP[self.call[j] + 37 * fancy_line])
+            active += bin(row).count("1")
+        factor = np.sqrt(SYMBOL_LENGTH / active)
+        self.freq[:] = 0
+        for j in range(9):
+            row = int(BASE37_BITMAP[self.call[j] + 37 * fancy_line])
+            for i in range(8):
+                if row & (1 << (7 - i)):
+                    self.freq[self._bin((8 * j + i) * 3 + fancy_off)] = (
+                        factor * _nrz(self.noise_seq.next())
+                    )
+        return self._transform()
+
     def _payload_symbol(self, symbol_number: int) -> np.ndarray:
         self.freq[:] = 0
         base = MOD_BITS * PAY_CAR_CNT * symbol_number
@@ -351,8 +401,9 @@ class ExactEncoder:
         call_sign: bytes = b"ANONYMOUS",
         carrier_frequency: int = 1600,
         noise_symbols: int = 1,
+        fancy_header: bool = False,
     ) -> np.ndarray:
-        """→ f32 audio at 48 kHz (encoder.rs:128-267; no fancy header)."""
+        """→ f32 audio at 48 kHz (encoder.rs:128-267)."""
         n = len(payload)
         if n == 0:
             return np.zeros(0, np.float32)
@@ -361,6 +412,9 @@ class ExactEncoder:
             raise ValueError(f"payload too long ({n} > {MAX_BITS // 8})")
         self.carrier_offset = (carrier_frequency * SYMBOL_LENGTH) // RATE
         self.meta_data = (_base37(call_sign) << 8) | mode
+        self.call = [0] * 9
+        for i, c in enumerate(call_sign[:9]):
+            self.call[i] = _base37_map(c)
         self.freq = np.zeros(SYMBOL_LENGTH, np.complex128)
         self.prev = np.zeros(PAY_CAR_CNT, np.complex128)
         self.noise_seq = Mls(NOISE_POLY)
@@ -394,6 +448,11 @@ class ExactEncoder:
         emit(self._preamble(), True)
         for s in range(SYMBOL_COUNT):
             emit(self._payload_symbol(s), True)
+        if fancy_header:
+            # 11 glyph rows, top line emitted first (encoder.rs:224-226
+            # decrements fancy_line from 11 before each symbol)
+            for line in range(10, -1, -1):
+                emit(self._fancy_symbol(line), False)
         # silence symbol flushes the last guard crossfade
         emit(np.zeros(SYMBOL_LENGTH, np.complex128), False)
         out.append(np.zeros(EXTENDED_LENGTH))
@@ -405,9 +464,10 @@ def encode_exact(
     call_sign: bytes = b"ANONYMOUS",
     carrier_frequency: int = 1600,
     noise_symbols: int = 1,
+    fancy_header: bool = False,
 ) -> np.ndarray:
     return ExactEncoder().encode(
-        payload, call_sign, carrier_frequency, noise_symbols
+        payload, call_sign, carrier_frequency, noise_symbols, fancy_header
     )
 
 

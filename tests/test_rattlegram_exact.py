@@ -140,3 +140,26 @@ class TestLoopback:
     def test_wrong_carrier_rejected(self):
         audio = encode_exact(b"tuned elsewhere", b"W1AW", 2400)
         assert ExactDecoder(1200).process(audio) == []
+
+
+def test_fancy_header_appends_glyph_symbols_and_still_decodes():
+    """fancy_header=True paints 11 call-sign glyph rows after the payload
+    (encoder.rs:372-398); the decoration extends the waveform by 11
+    extended symbols and must not disturb payload decode."""
+    from futuresdr_tpu.models.rattlegram.exact import (
+        EXTENDED_LENGTH,
+        ExactDecoder,
+        encode_exact,
+    )
+
+    payload = b"fancy header check"
+    plain = encode_exact(payload, b"W1AW", 1600)
+    fancy = encode_exact(payload, b"W1AW", 1600, fancy_header=True)
+    assert len(fancy) - len(plain) == 11 * EXTENDED_LENGTH
+    # glyph symbols carry energy (the call sign is painted, not silence)
+    tail = fancy[len(plain) - EXTENDED_LENGTH : len(fancy) - EXTENDED_LENGTH]
+    assert np.max(np.abs(tail)) > 0.01
+    frames = ExactDecoder(1600).process(fancy)
+    assert frames and frames[0].crc_ok
+    assert frames[0].payload[: len(payload)] == payload
+    assert frames[0].call_sign.strip() == "W1AW"
