@@ -258,25 +258,31 @@ def _demap_llrs_int8(n_bpsc: int):
     return jax.jit(fn)
 
 
+VITERBI_RADIX = 4  # trellis steps collapsed per scan iteration (ops/viterbi)
+
+
+def _perm_matrix(perm: np.ndarray) -> np.ndarray:
+    """One-hot matrix P with (x @ P)[..., j] = x[..., perm[j]] — static
+    permutations as an MXU matmul instead of a gather (gathers carry a
+    large flat per-program cost on this backend; matmuls are free at
+    these sizes)."""
+    n = len(perm)
+    P = np.zeros((n, n), np.float32)
+    P[np.asarray(perm), np.arange(n)] = 1.0
+    return P
+
+
 @lru_cache(maxsize=None)
-def _phase1_program(kmax: int, max_frames: int):
-    """Fused detection + SIGNAL pass: ONE device program, ONE small
-    fetch per chunk.
+def _detect_program(kmax: int, max_frames: int):
+    """Detection half of the receiver front: sync_short metrics →
+    leader-filtered candidates → the MIN_GAP resync walk
+    (sync_short.rs:84-140, as a scan over the ≤kmax leaders).
 
-    sync_short metrics → leader-filtered candidates → the MIN_GAP
-    resync walk (sync_short.rs:84-140, as a scan over the ≤kmax
-    leaders) → batched SIGNAL-symbol front-end → batched 24-bit SIGNAL
-    Viterbi → RATE/LENGTH/parity extraction, all on device. The host
-    receives two tiny packed arrays (int32[5, kmax]: start, valid,
-    rate, length, parity; f32[2, kmax]: coarse CFO, SNR) — on
-    tunnel-limited hosts each D2H sync costs 100+ ms some sessions, so
-    collapsing detect/walk/SIGNAL fetches into one sync dominates all
-    other phase-1 costs at any chunk size."""
-    from futuresdr_tpu.ops.viterbi import make_batch_viterbi_soft
-
-    sig_perm = C.interleaver_permutation(48, 1)
-    viterbi = make_batch_viterbi_soft()
-    sig_front = _frame_front_from_starts(kmax, 1)
+    Split from the SIGNAL pass on purpose: fusing the walk scan with the
+    gather-heavy per-frame front-end provoked XLA into a 13×-slower
+    program (425 ms vs 33 ms for the same math on a 3.8 M-sample
+    capture) — the scan body absorbed surrounding work. Two programs +
+    one combined fetch keep every stage in its fast form."""
 
     def fn(x: CArray, n_real: jnp.ndarray):
         bucket = x.shape[-1] - FRAME_WIN
@@ -304,21 +310,30 @@ def _phase1_program(kmax: int, max_frames: int):
         init = (jnp.int32(-(10**9)), jnp.int32(0))
         _, valid = jax.lax.scan(walk, init, (idx, f_off))
         starts = jnp.where(valid, idx + 47, 0).astype(jnp.int32)
+        return starts, valid, f_off
 
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _signal_program(kmax: int):
+    """SIGNAL pass: batched one-symbol front-end + BPSK demap +
+    deinterleave (one-hot matmul) + 24-bit batched Viterbi. Returns the
+    raw decoded SIGNAL bits — RATE/LENGTH/parity unpacking is five lines
+    of host numpy on a [kmax, 24] byte array (sync_short.rs's successor
+    decisions are inherently sequential host logic anyway)."""
+    from futuresdr_tpu.ops.viterbi import make_batch_viterbi_soft
+
+    Pp = jnp.asarray(_perm_matrix(C.interleaver_permutation(48, 1)))
+    viterbi = make_batch_viterbi_soft(radix=VITERBI_RADIX)
+    sig_front = _frame_front_from_starts(kmax, 1)
+
+    def fn(x: CArray, starts: jnp.ndarray, f_off: jnp.ndarray):
         eq_a, _h, snr, _off, _ff = sig_front(x, starts, f_off)
         eq_sig = eq_a[:, 0]  # [kmax, 48]
-        llr = (2.0 * eq_sig.re)[:, sig_perm]  # bpsk demap + deinterleave
-        dec = viterbi(llr.reshape(kmax, 24, 2)).astype(jnp.int32)
-        parity_ok = (
-            jnp.sum(dec[:, :17], axis=-1) % 2 == dec[:, 17]
-        ).astype(jnp.int32)
-        r = jnp.sum(dec[:, :4] * (1 << jnp.arange(4)), axis=-1)
-        length = jnp.sum(dec[:, 5:17] * (1 << jnp.arange(12)), axis=-1)
-        ints = jnp.stack(
-            [starts, valid.astype(jnp.int32), r, length, parity_ok]
-        )
-        floats = jnp.stack([f_off, snr])
-        return ints, floats
+        llr = (2.0 * eq_sig.re) @ Pp  # bpsk demap + deinterleave
+        dec = viterbi(llr.reshape(kmax, 24, 2))
+        return dec, snr
 
     return jax.jit(fn)
 
@@ -344,36 +359,57 @@ def _device_decode_tail(mcs_name: str, nf: int):
     """
     mcs = C.MCS[mcs_name]
     t_bits = mcs.n_dbps * nf
-    perm = C.interleaver_permutation(mcs.n_cbps, mcs.n_bpsc)
-    pat = np.resize(np.asarray(mcs.puncture, bool), 2 * t_bits)
-    src = np.zeros(2 * t_bits, np.int32)
-    src[pat] = np.arange(int(pat.sum()), dtype=np.int32)
-    pat_f = pat.astype(np.float32)
+    # deinterleave as a one-hot MXU matmul (gathers carry a large flat
+    # per-program cost on this backend — see _perm_matrix)
+    Pp = _perm_matrix(
+        C.interleaver_permutation(mcs.n_cbps, mcs.n_bpsc)
+    )
+    # depuncture as a block-periodic matmul: within one puncture period
+    # of P output slots fed by npp survivors, coded_block = stream_block
+    # @ M with M[src0[r], r] = pat0[r]; periods (2/4/6) always divide
+    # 2·t_bits because every n_dbps is a multiple of 12
+    pat0 = np.asarray(mcs.puncture, bool)
+    P_len = len(pat0)
+    npp = int(pat0.sum())
+    src0 = np.zeros(P_len, np.int32)
+    src0[pat0] = np.arange(npp, dtype=np.int32)
+    M = np.zeros((npp, P_len), np.float32)
+    for r in range(P_len):
+        if pat0[r]:
+            M[src0[r], r] = 1.0
+    assert (2 * t_bits) % P_len == 0
+    n_blocks = (2 * t_bits) // P_len
+    assert n_blocks * npp == nf * mcs.n_cbps
     # scrambler stream is 127-periodic; row per 7-bit seed
     fb_table = np.stack(
         [C.scrambler_stream(s, 127) for s in range(128)]
-    ).astype(np.uint8)
+    ).astype(np.float32)
     seed_w = np.array([64, 32, 16, 8, 4, 2, 1], np.int32)
     byte_w = (1 << np.arange(8)).astype(np.int32)  # packbits little
+    n_rep = -(-(t_bits - 7) // 127)
     from futuresdr_tpu.ops.viterbi import make_batch_viterbi_soft
 
-    viterbi = make_batch_viterbi_soft()
+    viterbi = make_batch_viterbi_soft(radix=VITERBI_RADIX)
 
     def fn(eq_data: CArray, n_data_bits: jnp.ndarray) -> jnp.ndarray:
         kb = eq_data.shape[0]
         llr = _demap_llrs_f32(eq_data, mcs.n_bpsc)  # [kb, nf, 48, n_bpsc]
-        sym = llr.reshape(kb, nf, mcs.n_cbps)[:, :, perm]
-        stream = sym.reshape(kb, nf * mcs.n_cbps)
-        coded = stream[:, src] * pat_f  # zeros at punctured slots
+        sym = llr.reshape(kb, nf, mcs.n_cbps) @ jnp.asarray(Pp)
+        stream = sym.reshape(kb, n_blocks, npp)
+        coded = (stream @ jnp.asarray(M)).reshape(kb, 2 * t_bits)
         j = jnp.arange(2 * t_bits, dtype=jnp.int32)
         coded = jnp.where(j < 2 * n_data_bits[:, None], coded, 0.0)
         bits = viterbi(coded.reshape(kb, t_bits, 2))  # [kb, T] uint8
-        seed = jnp.sum(
-            bits[:, :7].astype(jnp.int32) * seed_w, axis=-1
-        )  # [kb]
-        fb_rows = jnp.asarray(fb_table)[seed]  # [kb, 127]
-        tt = jnp.arange(t_bits - 7, dtype=jnp.int32) % 127
-        fb = fb_rows[:, tt]
+        seed_oh = (
+            jnp.sum(bits[:, :7].astype(jnp.int32) * seed_w, axis=-1)[
+                :, None
+            ]
+            == jnp.arange(128, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)  # [kb, 128] one-hot
+        fb_rows = seed_oh @ jnp.asarray(fb_table)  # [kb, 127]
+        fb = jnp.tile(fb_rows, (1, n_rep))[:, : t_bits - 7].astype(
+            jnp.uint8
+        )
         descr = jnp.concatenate(
             [jnp.zeros((kb, 7), jnp.uint8), bits[:, 7:] ^ fb], axis=1
         )
@@ -514,25 +550,34 @@ class WlanReceiver:
             x = iq
         else:
             x, n_real, bucket = prepare_device_iq(iq)
-        # phase A: fused device program — detect + MIN_GAP walk + SIGNAL
-        # decode; one small D2H sync for the whole chunk
+        # phase A: two device programs (detect, then SIGNAL — fusing them
+        # provoked a 13x-slower XLA schedule, see _detect_program), ONE
+        # combined small D2H sync for the whole chunk
         kmax = max(16, self.max_frames)
-        ints_d, floats_d = _phase1_program(kmax, self.max_frames)(
+        starts_d, valid_d, foff_d = _detect_program(kmax, self.max_frames)(
             x, jnp.int32(n_real)
         )
-        ints, floats = jax.device_get((ints_d, floats_d))
+        dec_d, snr_d = _signal_program(kmax)(x, starts_d, foff_d)
+        starts_a, valid_a, foff_a, dec_a, snr_a = jax.device_get(
+            (starts_d, valid_d, foff_d, dec_d, snr_d)
+        )
+        # SIGNAL field unpack (signal.rs RATE/LENGTH/parity) — host numpy
+        dec = dec_a.astype(np.int32)
+        rate_f = dec[:, :4] @ (1 << np.arange(4))
+        parity = (dec[:, :17].sum(axis=1) % 2) == dec[:, 17]
+        length_f = dec[:, 5:17] @ (1 << np.arange(12))
         out: List[RxFrame] = []
         cands: List[int] = []
         params: List[Optional[C.FrameParam]] = []
         snr_list: List[float] = []
         for j in range(kmax):
-            if not ints[1, j]:
+            if not valid_a[j]:
                 continue
-            cands.append(int(ints[0, j]))
-            snr_list.append(float(floats[1, j]))
-            mcs = C.RATE_TO_MCS.get(int(ints[2, j]))
-            length = int(ints[3, j])
-            if not ints[4, j] or mcs is None or length == 0:
+            cands.append(int(starts_a[j]))
+            snr_list.append(float(snr_a[j]))
+            mcs = C.RATE_TO_MCS.get(int(rate_f[j]))
+            length = int(length_f[j])
+            if not parity[j] or mcs is None or length == 0:
                 params.append(None)
             else:
                 params.append(C.FrameParam(mcs, length))
@@ -541,7 +586,7 @@ class WlanReceiver:
         k = len(cands)
         kb = 1 << (k - 1).bit_length()  # pow2 bucket for stable jit shapes
         f_shorts = [
-            float(floats[0, j]) for j in range(kmax) if ints[1, j]
+            float(foff_a[j]) for j in range(kmax) if valid_a[j]
         ]
         starts_np = np.zeros(kb, np.int32)
         starts_np[:k] = cands
