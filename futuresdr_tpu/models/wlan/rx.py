@@ -38,7 +38,7 @@ from futuresdr_tpu.models.wlan.viterbi import (
 from futuresdr_tpu.ops import cplx
 from futuresdr_tpu.ops.cplx import CArray
 from futuresdr_tpu.ops.fft import fft_c, fftshift_c
-from futuresdr_tpu.ops.fir import conv1d_valid
+from futuresdr_tpu.ops.fir import conv1d_valid, moving_sum
 
 THRESHOLD = 0.56  # sync_short.rs:5
 MIN_GAP = 480  # sync_short.rs:3
@@ -66,9 +66,8 @@ def sync_metrics(x: CArray):
     normalized magnitude."""
     n = x.shape[-1]
     d = x[16:] * x[: n - 16].conj()  # lag-16 autocorrelation
-    ones48 = jnp.ones(48, jnp.float32)
-    a = conv1d_valid(d, ones48)  # moving sum over 48
-    p = conv1d_valid(x.abs2(), jnp.ones(64, jnp.float32))  # power sum 64
+    a = moving_sum(d, 48)  # moving sum over 48 (O(N) rowwise cumsum)
+    p = moving_sum(x.abs2(), 64)  # power sum 64
     m = min(a.shape[-1], p.shape[-1])
     cor = a.abs()[..., :m] / (p[..., :m] * (48.0 / 64.0) + 1e-12)
     return a, cor

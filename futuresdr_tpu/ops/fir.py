@@ -229,6 +229,59 @@ def conv1d_valid_shared(x: ArrayLike, taps_b: ArrayLike) -> ArrayLike:
     return cplx.einsum("pt,...tn->...pn", W, view, precision=_precision())
 
 
+_MS_ROW = 4096  # moving_sum row length (lane-multiple)
+
+
+def moving_sum(x: ArrayLike, w: int) -> ArrayLike:
+    """Valid-mode sliding-window sum along the last axis, O(N) via rowwise
+    cumsum: ``out[..., k] = Σ_{t<w} x[..., k+t]``, length ``N-w+1``.
+
+    A moving sum is a conv with all-ones taps, but the Toeplitz-matmul FIR
+    does O(N·T) work — measured 240–315 ms for a 48/64-wide sum over 3.8 M
+    samples on v5e, versus ~0 (sub-RTT) for this form, with max error ~1e-6
+    (the reason the WLAN sync front was the receiver's dominant cost).
+    Cumsum runs per 4096-sample row, not globally, so f32 error is bounded
+    by row-local prefix magnitudes rather than the whole stream's."""
+    if w < 1:
+        raise ValueError("window must be >= 1")
+    x = cplx.asarray(x)
+    if w - 1 > _MS_ROW:
+        # fall back (windows beyond one row of overlap); not hit by
+        # any current user (sync sums are 48/64, MovingAvg is small)
+        return conv1d_valid(x, jnp.ones(w, jnp.float32))
+
+    def ms(u: jax.Array) -> jax.Array:
+        n = u.shape[-1]
+        if n < w:
+            raise ValueError(f"chunk of {n} samples shorter than window {w}")
+        nb = -(-n // _MS_ROW)
+        pad = nb * _MS_ROW + w - 1 - n
+        up = jnp.concatenate(
+            [u, jnp.zeros(u.shape[:-1] + (pad,), u.dtype)], axis=-1
+        )
+        main = up[..., : nb * _MS_ROW].reshape(*u.shape[:-1], nb, _MS_ROW)
+        # row i's overlap = first w-1 of row i+1; the last row's overlap
+        # is zeros — exact, since up[nb*_MS_ROW:] is padding by
+        # construction and outputs past n-w are sliced away
+        ov = jnp.concatenate(
+            [
+                main[..., 1:, : w - 1],
+                jnp.zeros(u.shape[:-1] + (1, w - 1), u.dtype),
+            ],
+            axis=-2,
+        )
+        rows = jnp.concatenate([main, ov], axis=-1)  # [nb, ROW+w-1]
+        c = jnp.cumsum(rows, axis=-1)
+        z = jnp.zeros(c.shape[:-1] + (1,), u.dtype)
+        cc = jnp.concatenate([z, c], axis=-1)
+        out = (cc[..., w : _MS_ROW + w] - cc[..., :_MS_ROW]).reshape(
+            *u.shape[:-1], nb * _MS_ROW
+        )
+        return out[..., : n - w + 1]
+
+    return cplx.apply1(ms, x)
+
+
 def conv1d_valid(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLike:
     """Valid-mode FIR along the last axis; leading axes are batch.
 

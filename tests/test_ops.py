@@ -500,3 +500,27 @@ def test_toeplitz_fir_bf16_dtype_close():
     rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert rel < 2e-2, rel
     assert not np.allclose(out, ref)
+
+
+@pytest.mark.parametrize("w", [1, 3, 48, 64])
+@pytest.mark.parametrize("n", [100, 4096, 5000, 9000])
+def test_moving_sum_matches_conv(w, n):
+    if n < w:
+        pytest.skip("window longer than chunk")
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(n).astype(np.float32)
+    out = np.asarray(fir_ops.moving_sum(x, w))
+    ref = np.convolve(x, np.ones(w, np.float64), mode="valid")
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_moving_sum_complex():
+    rng = np.random.default_rng(8)
+    z = (rng.standard_normal(6000) + 1j * rng.standard_normal(6000)).astype(
+        np.complex64
+    )
+    out = fir_ops.moving_sum(cplx.from_numpy(z), 48)
+    ref = np.convolve(z, np.ones(48), mode="valid")
+    np.testing.assert_allclose(np.asarray(out.re), ref.real, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.im), ref.imag, atol=1e-3)
