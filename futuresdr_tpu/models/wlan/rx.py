@@ -79,6 +79,9 @@ def _fft64(v: CArray) -> CArray:
     return fftshift_c(fft_c(v), axis=-1)
 
 
+_DETECT_BLK = 256  # must stay < MIN_GAP (one leader per block, see below)
+
+
 @partial(jax.jit, static_argnames=("kmax",))
 def detect_candidates(a: CArray, cor: jnp.ndarray, kmax: int):
     """Device-side sync_short candidate extraction.
@@ -88,7 +91,14 @@ def detect_candidates(a: CArray, cor: jnp.ndarray, kmax: int):
     stays on host but now sees only ``kmax`` (index, coarse-CFO) pairs —
     a few hundred bytes D2H instead of the full metric arrays (the
     full-chunk autocorr+cor fetch was ~12 B/sample over a ~35 ms-RTT
-    tunnel: the round-1 receiver's actual rate limit)."""
+    tunnel: the round-1 receiver's actual rate limit).
+
+    Compaction is gather/scatter-free: leaders are >= MIN_GAP apart by
+    construction, so 256-sample blocks hold at most one each — a masked
+    per-block reduction pulls (position, a) per block, and one
+    ``lax.sort`` packs the occupied blocks to the front.  The previous
+    ``jnp.nonzero`` form cost ~35 ms of flat scatter time per 3.8 M
+    samples on v5e; this form measures at dispatch cost."""
     above = cor > THRESHOLD
     hit = jnp.logical_and(above[1:], above[:-1])
     # leader filter: a candidate counts only when the preceding MIN_GAP
@@ -101,10 +111,24 @@ def detect_candidates(a: CArray, cor: jnp.ndarray, kmax: int):
     p_lag = jnp.concatenate([jnp.zeros(MIN_GAP, jnp.int32), p])[:n_h]
     window = p[:n_h] - p_lag  # hits in [i-MIN_GAP, i-1]
     leader = jnp.logical_and(hit, window == 0)
-    (pos,) = jnp.nonzero(leader, size=kmax, fill_value=-1)
-    idx = jnp.where(pos >= 0, pos + 1, -1)
-    a_sel = a[jnp.clip(idx, 0, a.shape[-1] - 1)]
-    f_off = -a_sel.angle() / 16.0
+    nb = n_h // _DETECT_BLK
+    m = nb * _DETECT_BLK
+    lead2 = leader[:m].reshape(nb, _DETECT_BLK)
+    iota = jnp.arange(m, dtype=jnp.int32).reshape(nb, _DETECT_BLK)
+    has = jnp.any(lead2, axis=1)
+    pos_b = jnp.sum(jnp.where(lead2, iota, 0), axis=1)  # [nb]
+    # the CFO estimate reads a[pos+1] (the candidate index itself)
+    a1 = CArray(a.re[1 : m + 1], a.im[1 : m + 1])
+    are = jnp.sum(
+        jnp.where(lead2, a1.re.reshape(nb, _DETECT_BLK), 0.0), axis=1
+    )
+    aim = jnp.sum(
+        jnp.where(lead2, a1.im.reshape(nb, _DETECT_BLK), 0.0), axis=1
+    )
+    key = jnp.where(has, pos_b, jnp.int32(2**30))
+    key_s, are_s, aim_s = jax.lax.sort((key, are, aim), num_keys=1)
+    idx = jnp.where(key_s[:kmax] < 2**30, key_s[:kmax] + 1, -1)
+    f_off = -jnp.arctan2(aim_s[:kmax], are_s[:kmax]) / 16.0
     return idx, f_off
 
 
