@@ -37,10 +37,10 @@ def _envelope_fn(n: int):
     import jax.numpy as jnp
 
     def fn(xc):
-        from futuresdr_tpu.ops.fir import conv1d_valid
+        from futuresdr_tpu.ops.fir import moving_sum
 
         mag = xc.abs()
-        sm = conv1d_valid(mag, jnp.full((16,), 1.0 / 16.0, jnp.float32))
+        sm = moving_sum(mag, 16) * (1.0 / 16.0)
         thr = 0.5 * jnp.max(sm)
         return (sm > thr).astype(jnp.uint8)
 

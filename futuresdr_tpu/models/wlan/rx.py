@@ -145,9 +145,12 @@ def _frame_front_body(w: CArray, n_syms: int = MAX_SYMS + 1):
     Returns (eq_syms [n_syms, 48] equalized symbols, h [64], snr,
     offset, f_fine)."""
     # --- LTF cross-correlation over the search window (sync_long.rs:18-50)
+    # np (host) taps on purpose: jnp constants built inside the traced
+    # body are Tracers in this JAX version and would demote conv1d_valid
+    # to the XLA conv lowering (measured 276 ms vs ~0 at long lengths)
     taps = CArray(
-        jnp.asarray(np.real(C.LONG_CORR[::-1]).astype(np.float32)),
-        jnp.asarray(np.imag(C.LONG_CORR[::-1]).astype(np.float32)),
+        np.real(C.LONG_CORR[::-1]).astype(np.float32),
+        np.imag(C.LONG_CORR[::-1]).astype(np.float32),
     )
     # conv1d_valid computes Σ w[i+k]·taps_rev[k] with taps reversed → pass
     # reversed so the product is Σ w[i+k]·LONG_CORR[k]

@@ -102,8 +102,14 @@ def _frames(x: jax.Array, S: int, T: int, nb: int) -> jax.Array:
     return jnp.concatenate(parts, axis=-1)[..., : S + T - 1]
 
 
+# trace-time path counters (tests assert the matmul path engages — the
+# conv lowering costs ~265 ms per 48-tap x 3.8 M-sample conv on v5e)
+path_stats = {"matmul": 0, "conv": 0}
+
+
 def _conv_matmul(x: ArrayLike, taps: ArrayLike, stride: int) -> ArrayLike:
     """Matmul implementation of :func:`conv1d_valid` (same contract)."""
+    path_stats["matmul"] += 1
     T = taps.shape[0]
     Ne = x.shape[-1]
     M = (Ne - T) // stride + 1
@@ -247,8 +253,11 @@ def moving_sum(x: ArrayLike, w: int) -> ArrayLike:
     x = cplx.asarray(x)
     if w - 1 > _MS_ROW:
         # fall back (windows beyond one row of overlap); not hit by
-        # any current user (sync sums are 48/64, MovingAvg is small)
-        return conv1d_valid(x, jnp.ones(w, jnp.float32))
+        # any current user (sync sums are 48/64, MovingAvg is small).
+        # np taps, NOT jnp: in-trace jnp constants trace as Tracers in
+        # this JAX version and would demote conv1d_valid to the
+        # pathological XLA conv lowering (see conv1d_valid docstring)
+        return conv1d_valid(x, np.ones(w, np.float32))
 
     def ms(u: jax.Array) -> jax.Array:
         n = u.shape[-1]
@@ -289,8 +298,20 @@ def conv1d_valid(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLike:
 
     Real/complex (CArray) x × real/complex taps all supported; output is a
     CArray iff either input is complex. Output length ``(N-T)//stride + 1``.
+
+    PERFORMANCE: pass taps as **host numpy** (or a jnp array built outside
+    any jit trace). Concrete taps take the banded-Toeplitz MXU path;
+    traced taps force the XLA conv lowering, which on TPU costs ~276 ms
+    for 48 taps over 3.8 M samples where the matmul path is ~free — and
+    ``jnp.ones(...)`` etc. *inside* a jit trace is a Tracer in this JAX
+    version. For all-ones windows use :func:`moving_sum` (O(N)).
     """
     x = cplx.asarray(x)
+    # Path decision on the ORIGINAL taps: cplx.asarray would jnp-ify host
+    # numpy, and inside a jit trace that yields a Tracer — which silently
+    # demoted every in-jit call (i.e. all production use) to the conv
+    # path until measured on-chip (265 ms vs ~0 per 48-tap x 3.8 M conv).
+    taps_c = _concrete_taps(taps)
     taps = cplx.asarray(taps)
     if len(taps.shape) != 1:
         raise ValueError("taps must be 1-D")
@@ -307,8 +328,9 @@ def conv1d_valid(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLike:
     # Pallas earns its keep where fusion crosses stage boundaries instead
     # (ops/pallas_bank.py: branch FIR + DFT + demod in one VMEM pass).
     backend = config.get("fir_backend", "matmul")
-    if backend != "conv" and not _is_tracer(taps):
-        return _conv_matmul(x, taps, stride)
+    if backend != "conv" and taps_c is not None:
+        return _conv_matmul(x, taps_c, stride)
+    path_stats["conv"] += 1
 
     lead = x.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
@@ -360,6 +382,27 @@ def _is_concrete(t) -> bool:
     )
 
 
+def _concrete_taps(taps):
+    """Original taps as host values if they are compile-time constants
+    (numpy, a non-Tracer jax array, or a CArray of either), else None.
+    Host taps let the Toeplitz tap matrix build at trace time."""
+    if isinstance(taps, CArray):
+        if _is_concrete(taps.re) and _is_concrete(taps.im):
+            return CArray(np.asarray(taps.re), np.asarray(taps.im))
+        return None
+    if isinstance(taps, (list, tuple)):
+        taps = np.asarray(taps)
+    if _is_concrete(taps):
+        arr = np.asarray(taps)
+        if np.iscomplexobj(arr):
+            return CArray(
+                np.real(arr).astype(np.float32),
+                np.imag(arr).astype(np.float32),
+            )
+        return arr
+    return None
+
+
 def _taps_spectrum(taps: ArrayLike, nfft: int) -> Optional[CArray]:
     """Host-precomputed DFT of the (static) taps, cached per (taps, nfft).
 
@@ -399,6 +442,7 @@ def conv1d_valid_fft(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLik
     from futuresdr_tpu.ops.fft import fft_c, ifft_c
 
     x = cplx.asarray(x)
+    taps_orig = taps  # spectrum cache needs pre-coercion concreteness
     taps = cplx.asarray(taps)
     was_real = not (isinstance(x, CArray) or isinstance(taps, CArray))
     T = taps.shape[0]
@@ -413,7 +457,7 @@ def conv1d_valid_fft(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLik
         ),
         x,
     )
-    H = _taps_spectrum(taps, nfft)
+    H = _taps_spectrum(taps_orig, nfft)
     if H is None:
         tp = taps
         if not isinstance(tp, CArray):
@@ -454,7 +498,11 @@ def fir_filter(x: ArrayLike, taps: ArrayLike, state: Optional[ArrayLike] = None)
     stay rate-exact). Returns ``(new_state, y)``, ``y.shape == x.shape``.
     """
     x = cplx.asarray(x)
-    taps = cplx.asarray(taps)
+    # do NOT cplx.asarray the taps here: inside a jit trace that would
+    # wrap host-constant taps in a Tracer and demote conv1d_valid to the
+    # slow XLA conv path (see conv1d_valid docstring)
+    if not hasattr(taps, "shape"):
+        taps = np.asarray(taps)
     T = taps.shape[0]
     if state is None:
         state = cplx.zeros_like_shape(x, x.shape[:-1] + (T - 1,))
@@ -482,7 +530,8 @@ def fir_decimate(
     leading transient, the sampled phases bit-match the reference's
     valid-stream composition."""
     x = cplx.asarray(x)
-    taps = cplx.asarray(taps)
+    if not hasattr(taps, "shape"):  # keep host taps host (see fir_filter)
+        taps = np.asarray(taps)
     T = taps.shape[0]
     # history must keep windows aligned to multiples of decim
     H = -(-(T - 1) // decim) * decim if T > 1 else 0
@@ -538,7 +587,8 @@ def fir_resample_poly(
     output, which is then stride-sliced by ``decim``.
     """
     x = cplx.asarray(x)
-    taps = cplx.asarray(taps)
+    if not hasattr(taps, "shape"):  # keep host taps host (see fir_filter)
+        taps = np.asarray(taps)
     if interp == 1 and decim == 1:
         return fir_filter(x, taps, state)
     if interp == 1:

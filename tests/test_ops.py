@@ -524,3 +524,43 @@ def test_moving_sum_complex():
     ref = np.convolve(z, np.ones(48), mode="valid")
     np.testing.assert_allclose(np.asarray(out.re), ref.real, atol=1e-3)
     np.testing.assert_allclose(np.asarray(out.im), ref.imag, atol=1e-3)
+
+
+def test_conv1d_valid_concrete_taps_take_matmul_path_under_jit():
+    """Host-constant taps must hit the Toeplitz-matmul path even when
+    conv1d_valid is called inside a jit trace (in-trace coercion used to
+    wrap them in Tracers and silently demote to the ~100x-slower XLA conv
+    lowering on TPU)."""
+    taps = np.asarray([0.25, 0.5, 0.25], np.float32)
+    x = np.arange(64, dtype=np.float32)
+
+    @jax.jit
+    def f_np(v):
+        return fir_ops.conv1d_valid(v, taps)
+
+    @jax.jit
+    def f_carray(v):
+        t = cplx.CArray(taps, np.zeros_like(taps))
+        y = fir_ops.conv1d_valid(v, t)
+        return y.re
+
+    @jax.jit
+    def f_traced(v):
+        return fir_ops.conv1d_valid(v, jnp.ones(3, jnp.float32) / 3.0)
+
+    before = dict(fir_ops.path_stats)
+    y = np.asarray(f_np(x))
+    assert fir_ops.path_stats["matmul"] == before["matmul"] + 1
+    assert fir_ops.path_stats["conv"] == before["conv"]
+    np.testing.assert_allclose(
+        y, np.convolve(x, taps[::-1], mode="valid"), rtol=1e-5
+    )
+
+    before = dict(fir_ops.path_stats)
+    np.asarray(f_carray(x))
+    assert fir_ops.path_stats["matmul"] == before["matmul"] + 1
+
+    # in-trace taps are genuinely traced: conv fallback is correct there
+    before = dict(fir_ops.path_stats)
+    np.asarray(f_traced(x))
+    assert fir_ops.path_stats["conv"] == before["conv"] + 1
