@@ -43,14 +43,23 @@ def bench_block(make_block, chunk: int, complex_in: bool = True):
         return b.apply(state, (x,), {})
 
     step_j = jax.jit(step)
-    out = step_j(state, x)
-    jax.block_until_ready(out)
+
+    def sync(out) -> None:
+        # data-dependent fetch: block_until_ready through the dev tunnel
+        # can return without waiting — only device_get is trustworthy
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf[..., -1:])
+
+    st, ys, _aux = step_j(state, x)
+    sync(ys)
     iters = 16
     while True:
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = step_j(state, x)
-        jax.block_until_ready(out)
+            # thread the state so dispatches chain (identical independent
+            # dispatches could otherwise overlap or dedupe server-side)
+            st, ys, _aux = step_j(st, x)
+        sync(ys)
         dt = time.perf_counter() - t0
         if dt > 0.5:
             return chunk * iters / dt
