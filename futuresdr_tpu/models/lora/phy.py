@@ -399,6 +399,54 @@ def _dechirp_jit(xc, dc, k, n):
     return np.asarray(bins), np.asarray(peak), np.asarray(mean)
 
 
+@lru_cache(maxsize=None)
+def _window_fn(nw: int, wsym: int, sf: int, sf_app: int):
+    """Batched per-candidate window dechirp: ``(xc, starts[nw]) →
+    (bins, peak, mean, llrs)`` for ``wsym`` symbols per window.
+
+    The WLAN-receiver pattern (models/wlan/rx.py): candidates across the
+    whole capture dechirp as ONE device program, with the soft bit LLR
+    max-reduction done on device so only ``[nw, wsym, sf_app]`` floats
+    (not full spectra) cross D2H.  The per-frame dispatch+fetch loop cost
+    ~6 RTT × n_frames through the dev tunnel (measured 0.03 MS/s on a
+    20-frame capture)."""
+    n = 1 << sf
+    d = np.conj(base_upchirp(sf))
+    dcw = cplx.from_numpy(np.tile(d, wsym))  # [wsym·n] constant
+    tab = _soft_bit_table(sf, sf_app)  # [n, sf_app] bool
+    tab_t = jnp.asarray(tab.T)  # [sf_app, n]
+
+    def fn(xc: CArray, starts):
+        guard = cplx.CArray(
+            jnp.concatenate([xc.re, jnp.zeros(wsym * n, jnp.float32)]),
+            jnp.concatenate([xc.im, jnp.zeros(wsym * n, jnp.float32)]),
+        )
+
+        def one(s):
+            w = cplx.apply1(
+                lambda t: jax.lax.dynamic_slice_in_dim(t, s, wsym * n), guard
+            )
+            v = (w * dcw).reshape(wsym, n)
+            p = fft_c(v).abs2()  # [wsym, n]
+            bins = jnp.argmax(p, axis=-1)
+            peak = jnp.max(p, axis=-1)
+            mean = jnp.mean(p, axis=-1)
+            a = jnp.sqrt(p)  # noncoherent FSK amplitudes
+            m1 = jnp.max(
+                jnp.where(tab_t[None, :, :], a[:, None, :], -jnp.inf),
+                axis=-1,
+            )
+            m0 = jnp.max(
+                jnp.where(~tab_t[None, :, :], a[:, None, :], -jnp.inf),
+                axis=-1,
+            )
+            return bins, peak, mean, m1 - m0  # llrs [wsym, sf_app]
+
+        return jax.vmap(one)(starts)
+
+    return jax.jit(fn)
+
+
 class LoraReceiver:
     """Frame sync + demod + decode over an IQ buffer (fs = BW)."""
 
@@ -567,14 +615,170 @@ class LoraReceiver:
 
     def process(self, iq: np.ndarray) -> List[LoraFrame]:
         x = np.asarray(iq, dtype=np.complex64)
-        out: List[LoraFrame] = []
-        seen = set()
-        for start in self._find_frames(x):
-            if start in seen:
-                continue
-            seen.add(start)
-            f = self._demod_frame(x, start)
-            if f is not None:
-                out.append(f)
+        if not self.soft:
+            # hard-decision A/B path: per-frame sequential demod
+            out: List[LoraFrame] = []
+            seen = set()
+            for start in self._find_frames(x):
+                if start in seen:
+                    continue
+                seen.add(start)
+                f = self._demod_frame(x, start)
+                if f is not None:
+                    out.append(f)
+            self.frames.extend(out)
+            return out
+        out = self._process_batched(x)
         self.frames.extend(out)
+        return out
+
+    # -- batched soft path: every frame in the capture decodes from four
+    # device programs total (find / preamble-tail / header / payload) ----
+    def _process_batched(self, x: np.ndarray) -> List[LoraFrame]:
+        cfg = self.cfg
+        n, sf = cfg.n, cfg.sf
+        starts0: List[int] = []
+        seen = set()
+        for s in self._find_frames(x):
+            if s not in seen:
+                seen.add(s)
+                starts0.append(s)
+        if not starts0:
+            return []
+        bucket = -(-len(x) // (64 * n)) * (64 * n)  # stable jit shapes
+        if bucket != len(x):
+            x = np.concatenate([x, np.zeros(bucket - len(x), np.complex64)])
+        xc = cplx.from_numpy(x)
+        sf_app_hdr = sf - 2
+        sf_p = sf - 2 if cfg.ldro else sf
+
+        def pad_pow2(vals):
+            kb = 1 << (len(vals) - 1).bit_length()
+            a = np.zeros(kb, np.int32)
+            a[: len(vals)] = vals
+            return a, kb
+
+        # stage A: remaining preamble + sync words on the aligned grid
+        wa = cfg.preamble_len + 4
+        sa, kba = pad_pow2(starts0)
+        binsA, peakA, meanA, _ = jax.device_get(
+            _window_fn(kba, wa, sf, sf_app_hdr)(xc, jnp.asarray(sa))
+        )
+        cands: List[tuple] = []  # (t_align, data_start)
+        s1 = ((cfg.sync_word >> 4) & 0xF) << 3
+        s2 = (cfg.sync_word & 0xF) << 3
+        for i, t0 in enumerate(starts0):
+            strong = peakA[i] > 4.0 * np.maximum(meanA[i], 1e-12)
+            z = 0
+            while z < wa and strong[z] and binsA[i, z] == 0:
+                z += 1
+            if z < 2:
+                continue
+            if z + 1 < wa and (
+                abs(int(binsA[i, z]) - s1) > 1
+                or abs(int(binsA[i, z + 1]) - s2) > 1
+            ):
+                continue
+            # sync(2) + 2.25 downchirps → header/data grid
+            cands.append((t0, t0 + (z + 2) * n + 2 * n + n // 4))
+        if not cands:
+            return []
+
+        # stage B1: the 8 header symbols
+        sh, kbh = pad_pow2([c[1] for c in cands])
+        binsH, peakH, meanH, llrH = jax.device_get(
+            _window_fn(kbh, 8, sf, sf_app_hdr)(xc, jnp.asarray(sh))
+        )
+        hdr: List[Optional[tuple]] = []
+        for i in range(len(cands)):
+            validh = peakH[i] > 4.0 * np.maximum(meanH[i], 1e-12)
+            if not validh.all():
+                hdr.append(None)
+                continue
+            llr_cw = np.empty((sf_app_hdr, 8))
+            for j in range(8):
+                for b in range(sf_app_hdr):
+                    llr_cw[b, j] = llrH[i, j, (b + j) % sf_app_hdr]
+            nibs = hamming_soft_decode(llr_cw, 4)
+            length = int((nibs[0] << 4) | nibs[1])
+            cr = int(nibs[2] >> 1) & 0x7
+            has_crc = bool(nibs[2] & 1)
+            chk = (nibs[0] ^ nibs[1] ^ nibs[2]) & 0xF
+            if chk != nibs[3] or not (1 <= cr <= 4) or length == 0:
+                hdr.append(None)
+                continue
+            hdr.append((length, cr, has_crc, nibs[5:sf_app_hdr]))
+
+        # stage B2: payload symbol windows, grouped by bucketed length
+        plan = []  # (cand_idx, length, cr, has_crc, hdr_nib, wp)
+        for i, h in enumerate(hdr):
+            if h is None:
+                continue
+            length, cr, has_crc, nib0 = h
+            n_body = length + (2 if has_crc else 0)
+            remaining = 2 * n_body - len(nib0)
+            n_blocks = max(0, -(-remaining // sf_p))
+            wp = n_blocks * (4 + cr)
+            plan.append((i, length, cr, has_crc, nib0, wp))
+        out: List[LoraFrame] = []
+        groups: dict = {}
+        for item in plan:
+            wpb = max(8, -(-item[5] // 8) * 8) if item[5] else 0
+            groups.setdefault(wpb, []).append(item)
+        for wpb, items in groups.items():
+            if wpb:
+                sp, kbp = pad_pow2([cands[it[0]][1] + 8 * n for it in items])
+                binsP, peakP, meanP, llrP = jax.device_get(
+                    _window_fn(kbp, wpb, sf, sf_p)(xc, jnp.asarray(sp))
+                )
+            for gi, (i, length, cr, has_crc, nib0, wp) in enumerate(items):
+                cw_len = 4 + cr
+                nib: List[int] = list(nib0)
+                if wp:
+                    validp = peakP[gi, :wp] > 4.0 * np.maximum(
+                        meanP[gi, :wp], 1e-12
+                    )
+                    if not validp.all():
+                        continue
+                    pos = 0
+                    for _ in range(wp // cw_len):
+                        llr_cw = np.empty((sf_p, cw_len))
+                        for j in range(cw_len):
+                            for b in range(sf_p):
+                                llr_cw[b, j] = llrP[
+                                    gi, pos + j, (b + j) % sf_p
+                                ]
+                        nib.extend(
+                            hamming_soft_decode(llr_cw, cr).tolist()
+                        )
+                        pos += cw_len
+                n_body = length + (2 if has_crc else 0)
+                body = _nibbles_to_bytes(np.asarray(nib[: 2 * n_body]))
+                wh = whitening_sequence(length)
+                payload = bytes(
+                    np.frombuffer(body[:length], np.uint8) ^ wh[:length]
+                )
+                crc_ok = True
+                if has_crc:
+                    rx_crc = body[length] | (body[length + 1] << 8)
+                    crc_ok = _crc16(payload) == rx_crc
+                pk = [peakH[i].mean()] + (
+                    [peakP[gi, :wp].mean()] if wp else []
+                )
+                mn = [meanH[i].mean()] + (
+                    [meanP[gi, :wp].mean()] if wp else []
+                )
+                snr = float(
+                    10.0 * np.log10(np.mean(pk) / (np.mean(mn) + 1e-12))
+                )
+                out.append(
+                    LoraFrame(
+                        payload=payload,
+                        crc_ok=crc_ok,
+                        snr=snr,
+                        start=cands[i][0],
+                        cr=cr,
+                    )
+                )
+        out.sort(key=lambda f: f.start)
         return out

@@ -172,6 +172,82 @@ def _correlate_fn(k: int):
     return jax.jit(fn)
 
 
+# PSDU ≤ 127 bytes ⇒ ≤ 254 payload symbols + 12 header/preamble symbols
+_MAX_FRAME_SYMS = 272
+_RX_BLK = 256  # < preamble span (8·64 = 512): at most one head per block
+
+
+@lru_cache(maxsize=None)
+def _rx_program(n: int, kmax: int, wsyms: int):
+    """Whole-capture batched RX: ONE device program, one small fetch.
+
+    demod → preamble correlation (Toeplitz conv) → local-max peaks →
+    4-chain heads → gather-free block compaction (the WLAN detect trick,
+    ``models/wlan/rx.py detect_candidates``) → batched per-candidate
+    window scores → argmax symbols.  Only ``[kmax]`` starts and
+    ``[kmax, wsyms]`` uint8 symbols cross D2H — the per-frame
+    dispatch+fetch loop cost ~2 RTT × n_frames on tunnel-limited hosts
+    (measured 0.13 MS/s for a 100-frame capture; the batched program
+    restores dense-capture rate).
+    """
+    t0_taps = demod_templates()[0][::-1].copy()  # host np (Toeplitz path)
+    templates = jnp.asarray(demod_templates())  # [16, 64]
+    win = wsyms * SYM_SAMPLES
+
+    def fn(xc):
+        from futuresdr_tpu.ops.fir import conv1d_valid
+
+        d = (xc[1:] * xc[:-1].conj()).angle()  # [n-1]
+        cor = conv1d_valid(d, t0_taps)  # np.correlate(d, t0) parity
+        thr = 0.5 * jnp.max(cor)
+        m = cor.shape[-1]
+        prev = jnp.concatenate([jnp.full(1, -jnp.inf), cor[:-1]])
+        nxt = jnp.concatenate([cor[1:], jnp.full(1, -jnp.inf)])
+        peak = (cor > thr) & (cor >= prev) & (cor >= nxt)
+
+        def shift(mask, k):  # mask[i+k] with zero pad
+            return jnp.concatenate(
+                [mask[k:], jnp.zeros(k, bool)], axis=-1
+            )
+
+        chain4 = (
+            peak
+            & shift(peak, SYM_SAMPLES)
+            & shift(peak, 2 * SYM_SAMPLES)
+            & shift(peak, 3 * SYM_SAMPLES)
+        )
+        lagged = jnp.concatenate(
+            [jnp.zeros(SYM_SAMPLES, bool), peak[:-SYM_SAMPLES]]
+        )
+        head = chain4 & ~lagged  # first peak of a ≥4 chain
+
+        nb = m // _RX_BLK
+        mm = nb * _RX_BLK
+        h2 = head[:mm].reshape(nb, _RX_BLK)
+        iota = jnp.arange(mm, dtype=jnp.int32).reshape(nb, _RX_BLK)
+        has = jnp.any(h2, axis=1)
+        pos_b = jnp.sum(jnp.where(h2, iota, 0), axis=1)
+        key = jnp.where(has, pos_b, jnp.int32(2**30))
+        key_s = jax.lax.sort(key)[:kmax]
+        valid = key_s < 2**30
+        starts = jnp.where(valid, key_s, 0)
+
+        # batched window scores; guard zeros keep slices un-clamped
+        dg = jnp.concatenate([d, jnp.zeros(win, d.dtype)])
+
+        def one(s):
+            w = jax.lax.dynamic_slice_in_dim(dg, s, win)
+            w = w.reshape(wsyms, SYM_SAMPLES)
+            w = w - jnp.mean(w, axis=-1, keepdims=True)
+            sc = jnp.einsum("kn,sn->ks", w, templates)
+            return jnp.argmax(sc, axis=-1).astype(jnp.uint8)
+
+        syms = jax.vmap(one)(starts)  # [kmax, wsyms]
+        return starts, valid, syms
+
+    return jax.jit(fn)
+
+
 @dataclass
 class ZigbeeFrame:
     payload: bytes
@@ -180,58 +256,49 @@ class ZigbeeFrame:
 
 
 class ZigbeeReceiver:
-    def __init__(self):
+    """Batched whole-capture receiver: every PPDU in the chunk decodes
+    from ONE device program + one small fetch (see ``_rx_program``)."""
+
+    def __init__(self, max_frames_per_chunk: int = 128):
+        self.max_frames = int(max_frames_per_chunk)
         self.frames: List[ZigbeeFrame] = []
 
     def process(self, iq: np.ndarray) -> List[ZigbeeFrame]:
-        x = np.asarray(iq, np.complex64)
-        d = np.asarray(_demod_fn(len(x))(cplx.from_numpy(x)))
+        if isinstance(iq, cplx.CArray):
+            # device-resident ingest (WLAN prepare_device_iq pattern)
+            xc = iq
+            n = int(xc.shape[-1])
+            if n % 16384:
+                raise ValueError("device IQ must be a 16384-multiple")
+        else:
+            x = np.asarray(iq, np.complex64)
+            bucket = -(-len(x) // 16384) * 16384  # stable jit shapes
+            if bucket != len(x):
+                x = np.concatenate(
+                    [x, np.zeros(bucket - len(x), np.complex64)]
+                )
+            xc = cplx.from_numpy(x)
+            n = len(x)
+        starts_d, valid_d, syms_d = _rx_program(
+            n, self.max_frames, _MAX_FRAME_SYMS
+        )(xc)
+        starts, valid, syms = jax.device_get((starts_d, valid_d, syms_d))
         out: List[ZigbeeFrame] = []
-        t0 = demod_templates()[0]
-        # preamble: 8 consecutive symbol-0 templates → correlate and look
-        # for peaks with period SYM_SAMPLES
-        cor = np.correlate(d, t0, mode="valid")
-        thr = 0.5 * np.max(cor) if len(cor) else 0.0
-        if thr <= 0:
-            return out
-        peaks = np.nonzero(
-            (cor > thr)
-            & (cor >= np.roll(cor, 1))
-            & (cor >= np.roll(cor, -1))
-        )[0]
-        # first run of ≥4 peaks spaced SYM_SAMPLES apart = preamble
-        peak_set = set(int(p) for p in peaks)
-        start = None
-        for p in peaks:
-            chain = 1
-            q = int(p)
-            while q + SYM_SAMPLES in peak_set:
-                q += SYM_SAMPLES
-                chain += 1
-            if chain >= 4:
-                start = int(p)
-                break
-        if start is None:
-            return out
-        f = self._decode(d, start)
-        if f is not None:
-            out.append(f)
+        pos = 0
+        for k in range(len(starts)):
+            if not valid[k]:
+                continue
+            p = int(starts[k])
+            if p < pos:
+                continue  # false head inside the previous frame's payload
+            f = _walk_symbols(syms[k].astype(np.int64), p)
+            if f is not None:
+                out.append(f)
+                # preamble(8) + SFD(2) + len(2) + payload symbols
+                n_sym = 12 + 2 * (len(f.payload) + 2)
+                pos = p + n_sym * SYM_SAMPLES
         self.frames.extend(out)
         return out
-
-    def _decode(self, d: np.ndarray, start: int) -> Optional[ZigbeeFrame]:
-        max_syms = (len(d) - start) // SYM_SAMPLES
-        if max_syms < 12:
-            return None
-        idx = (
-            start
-            + SYM_SAMPLES * np.arange(max_syms)[:, None]
-            + np.arange(SYM_SAMPLES)
-        )
-        wins = d[idx].astype(np.float32)
-        scores = np.asarray(_correlate_fn(max_syms)(jnp.asarray(wins)))
-        # walk: preamble zeros, SFD = 0xA7 → symbols (7, 10)
-        return _walk_symbols(scores.argmax(axis=-1), start)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,153 @@
+"""Decode throughput of every modem family vs its real-time rate.
+
+Dense multi-frame captures, warmed compile, host-synced timing (process()
+returns decoded host frames, so each rep is settled by construction).
+Prints MS/s and x-real-time per modem; every frame must decode.
+
+Run:  python perf/modem_bench.py [--modems adsb,zigbee,lora,m17] [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+RESIDENT = False  # --resident: upload once, time decode from device IQ
+
+
+def _time_reps(name, rx_factory, sig, n_frames, fs_hz, reps, resident_ok=True):
+    n_samples = len(sig)
+    feed = sig
+    if RESIDENT and resident_ok:
+        from futuresdr_tpu.ops import cplx
+
+        bucket = -(-len(sig) // 16384) * 16384
+        x = np.concatenate(
+            [sig, np.zeros(bucket - len(sig), np.complex64)]
+        )
+        feed = cplx.from_numpy(x)
+        name += "(resident)"
+    rx_factory().process(feed)  # warm/compile with identical shapes
+    best = 0.0
+    for _ in range(reps):
+        rx = rx_factory()
+        t0 = time.perf_counter()
+        frames = rx.process(feed)
+        dt = time.perf_counter() - t0
+        ok = sum(1 for f in frames if getattr(f, "crc_ok", True))
+        assert ok >= n_frames, f"{name}: {ok}/{n_frames} decoded"
+        best = max(best, n_samples / dt / 1e6)
+    rt = fs_hz / 1e6
+    print(
+        f"{name}: {best:.2f} MS/s  ({best / rt:.0f}x real-time @ "
+        f"{rt:.3g} MS/s, {n_frames} frames, {n_samples/1e6:.2f} M samples)",
+        flush=True,
+    )
+
+
+def bench_adsb(reps):
+    from futuresdr_tpu.models.adsb.adsb import (
+        AdsbReceiver,
+        SAMPLE_RATE,
+        callsign_me,
+        encode_df17,
+        synthesize_frame,
+    )
+
+    rng = np.random.default_rng(0)
+    parts = []
+    n = 200
+    for i in range(n):
+        bits = encode_df17(0x400000 + i, callsign_me(f"TPU{i % 100:02d}A"))
+        parts.append(synthesize_frame(bits, pad=800))
+    sig = np.concatenate(parts)
+    sig = sig + (0.003 * rng.standard_normal(len(sig))).astype(np.float32)
+
+    _time_reps("adsb", AdsbReceiver, sig, n, SAMPLE_RATE, reps)
+
+
+def bench_zigbee(reps):
+    from futuresdr_tpu.models.zigbee.zigbee import (
+        ZigbeeReceiver,
+        make_phy_frame,
+        modulate,
+    )
+
+    n = 100
+    parts = []
+    for i in range(n):
+        payload = bytes(f"zigbee frame {i:03d} payload!".encode())
+        parts.append(modulate(make_phy_frame(payload), pad=120))
+    sig = np.concatenate(parts)
+    _time_reps("zigbee", ZigbeeReceiver, sig, n, 4_000_000, reps)
+
+
+def bench_lora(reps):
+    from futuresdr_tpu.models.lora.phy import (
+        LoraConfig,
+        LoraReceiver,
+        modulate_frame,
+    )
+
+    cfg = LoraConfig(sf=7, cr=1)
+    n = 20
+    parts = []
+    for i in range(n):
+        payload = bytes(f"lora payload number {i:02d}".encode())
+        parts.append(np.zeros(3 * cfg.n + 17, np.complex64))
+        parts.append(modulate_frame(cfg, payload))
+    parts.append(np.zeros(5 * cfg.n, np.complex64))
+    sig = np.concatenate(parts)
+    _time_reps(
+        "lora(sf7)", lambda: LoraReceiver(cfg), sig, n, 125_000, reps,
+        resident_ok=False,
+    )
+
+
+def bench_m17(reps):
+    from futuresdr_tpu.models.m17.phy import (
+        M17Receiver,
+        make_lsf,
+        modulate_transmission,
+    )
+
+    lsf = make_lsf("TPU-1", "N0CALL")
+    n = 60
+    payloads = [bytes([i % 251] * 16) for i in range(n)]
+    sig = modulate_transmission(lsf, payloads)
+    _time_reps("m17", M17Receiver, sig, n, 48_000, reps, resident_ok=False)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modems", default="adsb,zigbee,lora,m17")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--cpu", action="store_true", help="force CPU (correctness check)"
+    )
+    ap.add_argument(
+        "--resident",
+        action="store_true",
+        help="upload IQ once; time decode from device-resident samples "
+        "(adsb/zigbee; the deployable number on tunnel-limited hosts)",
+    )
+    args = ap.parse_args()
+    global RESIDENT
+    RESIDENT = args.resident
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    for m in args.modems.split(","):
+        globals()[f"bench_{m.strip()}"](args.reps)
+
+
+if __name__ == "__main__":
+    main()
