@@ -116,6 +116,27 @@ def _crc_remainder(bits: np.ndarray) -> int:
     return reg & 0xFFFFFF
 
 
+@lru_cache(maxsize=None)
+def _crc_contrib() -> np.ndarray:
+    """[N_BITS] uint32 per-bit remainder contributions: the CRC24 is
+    GF(2)-linear, so remainder(bits) = XOR of contrib[i] over set bits —
+    lets whole candidate batches CRC-check in one vectorized pass."""
+    out = np.zeros(N_BITS, np.uint32)
+    for i in range(N_BITS):
+        e = np.zeros(N_BITS, np.uint8)
+        e[i] = 1
+        out[i] = _crc_remainder(e)
+    return out
+
+
+def _crc_remainder_batch(bits_all: np.ndarray) -> np.ndarray:
+    """[k, N_BITS] uint8 → [k] uint32 remainders (vectorized)."""
+    c = _crc_contrib()
+    return np.bitwise_xor.reduce(
+        np.where(bits_all.astype(bool), c[None, :], np.uint32(0)), axis=1
+    )
+
+
 # ---------------------------------------------------------------------------
 # encode (test vectors / TX parity)
 # ---------------------------------------------------------------------------
@@ -304,16 +325,20 @@ def _decode_fields(frame: AdsbFrame) -> None:
 class AdsbReceiver:
     """Magnitude-domain Mode S receiver over an IQ (or envelope) buffer."""
 
-    def __init__(self, threshold: float = 3.0, forward_failed_crc: bool = False):
+    def __init__(
+        self,
+        threshold: float = 3.0,
+        forward_failed_crc: bool = False,
+        max_frames_per_chunk: int = 256,
+    ):
         # threshold 3.0 (was 4.0): ~2 dB more sensitive, zero CRC-clean
         # false frames over 4M noise-only samples (the CRC24 gate holds)
         self.threshold = float(threshold)
         self.forward_failed_crc = forward_failed_crc
+        self.max_frames = int(max_frames_per_chunk)
         self.frames: List[AdsbFrame] = []
         self.n_crc_ok = 0
         self.n_crc_fail = 0
-
-    MAX_FRAMES = 256  # top_k compaction width per capture
 
     def process(self, iq: np.ndarray) -> List[AdsbFrame]:
         if isinstance(iq, cplx.CArray):
@@ -336,7 +361,7 @@ class AdsbReceiver:
         # device: metrics + local-max candidates + top_k compaction; bit
         # metrics stay resident for the batched window extraction
         idx_d, vals_d, nfp_d, bit_d = _detect_fn(
-            n, self.MAX_FRAMES, self.threshold
+            n, self.max_frames, self.threshold
         )(xc)
         idx_a, vals_a, nfp_a = jax.device_get((idx_d, vals_d, nfp_d))
         n_bit = n - SPS + 1  # bit metric length (taps = SPS wide)
@@ -344,18 +369,22 @@ class AdsbReceiver:
         out: List[AdsbFrame] = []
         # exact non-max suppression on the compacted list: strongest
         # peaks first, suppress neighbors (a weak early side-lobe must
-        # not shadow the true preamble). top_k returns score-descending.
+        # not shadow the true preamble). top_k returns score-descending;
+        # an occupancy bitmap keeps this O(k·PREAMBLE_LEN), not O(k²)
         taken: List[int] = []
         nf_by_start = {}
+        occupied = np.zeros(n_bit + PREAMBLE_LEN, bool)
+        last_fit = n_bit - 1 - PREAMBLE_LEN - SPS * (N_BITS - 1)
         for j, v, nfp in zip(idx_a, vals_a, nfp_a):
             j = int(j)
             if v <= 0:
                 break  # padding below threshold
             # window must fit (parity: the sequential path skipped these)
-            if j + PREAMBLE_LEN + SPS * (N_BITS - 1) >= n_bit:
+            if j > last_fit:
                 continue
-            if any(abs(j - t) < PREAMBLE_LEN for t in taken):
+            if occupied[j]:
                 continue
+            occupied[max(0, j - PREAMBLE_LEN + 1) : j + PREAMBLE_LEN] = True
             taken.append(j)
             nf_by_start[j] = float(nfp)
         if not taken:
@@ -367,9 +396,15 @@ class AdsbReceiver:
         soft_all = np.asarray(
             _extract_fn(n_bit, kb)(bit_d, jnp.asarray(starts))
         )
+        # vectorized batch CRC: only failures enter the bit-repair path
+        bits_all = (soft_all[:k] > 0).astype(np.uint8)
+        rems = _crc_remainder_batch(bits_all)
         for i in range(k):
             f = self._demod_soft(
-                soft_all[i], nf_by_start[taken[i]], taken[i]
+                soft_all[i],
+                nf_by_start[taken[i]],
+                taken[i],
+                crc_ok=bool(rems[i] == 0),
             )
             if f is None:
                 continue
@@ -384,9 +419,16 @@ class AdsbReceiver:
         self.frames.extend(out)
         return out
 
-    def _demod_soft(self, soft: np.ndarray, nf_start: float, start: int):
+    def _demod_soft(
+        self,
+        soft: np.ndarray,
+        nf_start: float,
+        start: int,
+        crc_ok: Optional[bool] = None,
+    ):
         bits = (soft > 0).astype(np.uint8)
-        crc_ok = _crc_remainder(bits) == 0
+        if crc_ok is None:
+            crc_ok = _crc_remainder(bits) == 0
         corrected = 0
         if not crc_ok:
             bits, corrected = try_repair(bits, np.abs(soft))

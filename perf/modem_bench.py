@@ -20,6 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 RESIDENT = False  # --resident: upload once, time decode from device IQ
+SCALE = 1  # --scale: frame-count multiplier (amortizes fixed RTT costs)
 
 
 def _time_reps(name, rx_factory, sig, n_frames, fs_hz, reps, resident_ok=True):
@@ -63,14 +64,18 @@ def bench_adsb(reps):
 
     rng = np.random.default_rng(0)
     parts = []
-    n = 200
+    n = 200 * SCALE
     for i in range(n):
         bits = encode_df17(0x400000 + i, callsign_me(f"TPU{i % 100:02d}A"))
         parts.append(synthesize_frame(bits, pad=800))
     sig = np.concatenate(parts)
     sig = sig + (0.003 * rng.standard_normal(len(sig))).astype(np.float32)
 
-    _time_reps("adsb", AdsbReceiver, sig, n, SAMPLE_RATE, reps)
+    _time_reps(
+        "adsb",
+        lambda: AdsbReceiver(max_frames_per_chunk=max(256, 2 * n)),
+        sig, n, SAMPLE_RATE, reps,
+    )
 
 
 def bench_zigbee(reps):
@@ -80,13 +85,17 @@ def bench_zigbee(reps):
         modulate,
     )
 
-    n = 100
+    n = 100 * SCALE
     parts = []
     for i in range(n):
         payload = bytes(f"zigbee frame {i:03d} payload!".encode())
         parts.append(modulate(make_phy_frame(payload), pad=120))
     sig = np.concatenate(parts)
-    _time_reps("zigbee", ZigbeeReceiver, sig, n, 4_000_000, reps)
+    _time_reps(
+        "zigbee",
+        lambda: ZigbeeReceiver(max_frames_per_chunk=max(128, 2 * n)),
+        sig, n, 4_000_000, reps,
+    )
 
 
 def bench_lora(reps):
@@ -97,7 +106,7 @@ def bench_lora(reps):
     )
 
     cfg = LoraConfig(sf=7, cr=1)
-    n = 20
+    n = 20 * SCALE
     parts = []
     for i in range(n):
         payload = bytes(f"lora payload number {i:02d}".encode())
@@ -119,7 +128,7 @@ def bench_m17(reps):
     )
 
     lsf = make_lsf("TPU-1", "N0CALL")
-    n = 60
+    n = 60 * SCALE
     payloads = [bytes([i % 251] * 16) for i in range(n)]
     sig = modulate_transmission(lsf, payloads)
     _time_reps("m17", M17Receiver, sig, n, 48_000, reps, resident_ok=False)
@@ -132,6 +141,7 @@ def main() -> None:
     ap.add_argument(
         "--cpu", action="store_true", help="force CPU (correctness check)"
     )
+    ap.add_argument("--scale", type=int, default=1)
     ap.add_argument(
         "--resident",
         action="store_true",
@@ -139,8 +149,9 @@ def main() -> None:
         "(adsb/zigbee; the deployable number on tunnel-limited hosts)",
     )
     args = ap.parse_args()
-    global RESIDENT
+    global RESIDENT, SCALE
     RESIDENT = args.resident
+    SCALE = args.scale
     if args.cpu:
         import jax
 
