@@ -400,6 +400,29 @@ def _dechirp_jit(xc, dc, k, n):
 
 
 @lru_cache(maxsize=None)
+def _grid_fn(k: int, sf: int):
+    """Symbol-grid dechirp of device-resident IQ: ``xc → (bins, peak,
+    mean)`` for the first ``k·n`` samples (broadcast downchirp — no
+    host-tiled constant, no re-upload)."""
+    n = 1 << sf
+    d = np.conj(base_upchirp(sf))
+    dcr = jnp.asarray(np.real(d).astype(np.float32))
+    dci = jnp.asarray(np.imag(d).astype(np.float32))
+
+    def fn(xc: CArray):
+        w = xc[: k * n].reshape(k, n)
+        v = w * cplx.CArray(dcr[None, :], dci[None, :])
+        p = fft_c(v).abs2()
+        return (
+            jnp.argmax(p, axis=-1),
+            jnp.max(p, axis=-1),
+            jnp.mean(p, axis=-1),
+        )
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
 def _window_fn(nw: int, wsym: int, sf: int, sf_app: int):
     """Batched per-candidate window dechirp: ``(xc, starts[nw]) →
     (bins, peak, mean, llrs)`` for ``wsym`` symbols per window.
@@ -465,16 +488,23 @@ class LoraReceiver:
         A preamble chirp starting at t₀ dechirps (on the unaligned window
         grid) to bin b = (N − t₀) mod N — equal across the run — so the
         aligned grid is ``run_start·N + (N − b) mod N``."""
+        bins, peak, mean = _dechirp_bins(x, self.cfg.sf)
+        return self._walk_grid(bins, peak, mean)
+
+    def _walk_grid(self, bins, peak, mean) -> List[int]:
         cfg = self.cfg
         n = cfg.n
         starts = []
-        bins, peak, mean = _dechirp_bins(x, cfg.sf)
         run_val, run_len, run_start = -1, 0, 0
         for i, b in enumerate(bins):
             # 4x-over-mean chirp-energy gate: measured 2 dB more sensitive
             # than 10x with zero noise-only false syncs (the sync-word and
-            # CRC checks downstream reject what slips through)
-            if peak[i] < 4.0 * mean[i]:  # no chirp energy
+            # CRC checks downstream reject what slips through). Floored
+            # strict inequality: exact-zero regions (padding, silent
+            # gaps) must NOT pass — 0 < 4·0 is false, and every zero
+            # window dechirps to bin 0, manufacturing preamble runs that
+            # bloat the batched candidate set
+            if not (peak[i] > 4.0 * max(float(mean[i]), 1e-12)):
                 run_len = 0
                 run_val = -1
                 continue
@@ -613,7 +643,12 @@ class LoraReceiver:
             payload=payload, crc_ok=crc_ok, snr=snr, start=t_align, cr=cr
         )
 
-    def process(self, iq: np.ndarray) -> List[LoraFrame]:
+    def process(self, iq) -> List[LoraFrame]:
+        if isinstance(iq, cplx.CArray):
+            # device-resident ingest — batched soft path only
+            out = self._process_batched(iq)
+            self.frames.extend(out)
+            return out
         x = np.asarray(iq, dtype=np.complex64)
         if not self.soft:
             # hard-decision A/B path: per-frame sequential demod
@@ -634,21 +669,37 @@ class LoraReceiver:
 
     # -- batched soft path: every frame in the capture decodes from four
     # device programs total (find / preamble-tail / header / payload) ----
-    def _process_batched(self, x: np.ndarray) -> List[LoraFrame]:
+    def _process_batched(self, x) -> List[LoraFrame]:
         cfg = self.cfg
         n, sf = cfg.n, cfg.sf
+        if isinstance(x, cplx.CArray):
+            # device-resident ingest: grid scan + windows all read the
+            # resident buffer; nothing re-crosses H2D
+            nx = int(x.shape[-1])
+            if nx % (64 * n):
+                raise ValueError(f"device IQ must be a {64 * n}-multiple")
+            xc = x
+            bins, peak, mean = jax.device_get(
+                _grid_fn(nx // n, sf)(xc)
+            )
+            cand_starts = self._walk_grid(bins, peak, mean)
+        else:
+            x = np.asarray(x, np.complex64)
+            cand_starts = self._find_frames(x)
+            bucket = -(-len(x) // (64 * n)) * (64 * n)  # stable shapes
+            if bucket != len(x):
+                x = np.concatenate(
+                    [x, np.zeros(bucket - len(x), np.complex64)]
+                )
+            xc = cplx.from_numpy(x)
         starts0: List[int] = []
         seen = set()
-        for s in self._find_frames(x):
+        for s in cand_starts:
             if s not in seen:
                 seen.add(s)
                 starts0.append(s)
         if not starts0:
             return []
-        bucket = -(-len(x) // (64 * n)) * (64 * n)  # stable jit shapes
-        if bucket != len(x):
-            x = np.concatenate([x, np.zeros(bucket - len(x), np.complex64)])
-        xc = cplx.from_numpy(x)
         sf_app_hdr = sf - 2
         sf_p = sf - 2 if cfg.ldro else sf
 

@@ -115,8 +115,7 @@ def bench_lora(reps):
     parts.append(np.zeros(5 * cfg.n, np.complex64))
     sig = np.concatenate(parts)
     _time_reps(
-        "lora(sf7)", lambda: LoraReceiver(cfg), sig, n, 125_000, reps,
-        resident_ok=False,
+        "lora(sf7)", lambda: LoraReceiver(cfg), sig, n, 125_000, reps
     )
 
 
