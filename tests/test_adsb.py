@@ -137,3 +137,30 @@ def test_crc_two_bit_repair_with_decoy_candidates():
     fixed, n = try_repair(bad, conf)
     assert n == 2
     assert np.array_equal(fixed, clean)
+
+
+def test_device_resident_ingest():
+    from futuresdr_tpu.ops import cplx
+
+    bits = encode_df17(0x4840D6, callsign_me("KLM1023"))
+    sig = _noise(synthesize_frame(bits, pad=500), 0.005)
+    bucket = -(-len(sig) // 16384) * 16384
+    x = np.concatenate([sig, np.zeros(bucket - len(sig), np.complex64)])
+    frames = AdsbReceiver().process(cplx.from_numpy(x))
+    assert len(frames) == 1 and frames[0].crc_passed
+    assert frames[0].callsign == "KLM1023"
+
+
+def test_dense_capture_batch():
+    """Batch CRC + O(k) NMS path over many frames in one capture."""
+    rng = np.random.default_rng(3)
+    parts = []
+    for i in range(40):
+        b = encode_df17(0x400000 + i, callsign_me(f"AC{i:02d}A"))
+        parts.append(synthesize_frame(b, pad=700))
+    sig = np.concatenate(parts)
+    sig = sig + (0.004 * rng.standard_normal(len(sig))).astype(np.float32)
+    rx = AdsbReceiver()
+    frames = rx.process(sig)
+    assert rx.n_crc_ok == 40
+    assert sorted(f.icao for f in frames) == [0x400000 + i for i in range(40)]

@@ -140,3 +140,39 @@ def test_soft_decoding_beats_hard_at_waterfall():
     soft = LoraReceiver(cfg, soft=True).process(sig)
     assert not any(f.crc_ok and f.payload == payload for f in hard)
     assert any(f.crc_ok and f.payload == payload for f in soft)
+
+
+def test_multi_frame_capture_batched():
+    """Every frame in a dense capture decodes via the batched soft path."""
+    cfg = LoraConfig(sf=7, cr=2)
+    parts = []
+    payloads = []
+    for i in range(5):
+        p = bytes(f"dense lora {i}".encode())
+        payloads.append(p)
+        parts.append(np.zeros(3 * cfg.n + 11, np.complex64))
+        parts.append(modulate_frame(cfg, p))
+    parts.append(np.zeros(4 * cfg.n, np.complex64))
+    sig = np.concatenate(parts)
+    frames = LoraReceiver(cfg).process(sig)
+    assert [f.payload for f in frames] == payloads
+    assert all(f.crc_ok for f in frames)
+
+
+def test_device_resident_ingest():
+    from futuresdr_tpu.ops import cplx
+
+    cfg = LoraConfig(sf=7, cr=1)
+    p = b"resident lora payload"
+    sig = np.concatenate(
+        [
+            np.zeros(2 * cfg.n + 5, np.complex64),
+            modulate_frame(cfg, p),
+            np.zeros(4 * cfg.n, np.complex64),
+        ]
+    )
+    mult = 64 * cfg.n
+    bucket = -(-len(sig) // mult) * mult
+    x = np.concatenate([sig, np.zeros(bucket - len(sig), np.complex64)])
+    frames = LoraReceiver(cfg).process(cplx.from_numpy(x))
+    assert len(frames) == 1 and frames[0].payload == p and frames[0].crc_ok

@@ -129,3 +129,28 @@ def test_mm_rx_tracks_sro():
     frames = ZigbeeChipReceiver().process(chips)
     ok = [f for f in frames if f.crc_ok]
     assert len(ok) == 1 and ok[0].payload == payload
+
+
+def test_multi_frame_capture():
+    """The batched receiver decodes every PPDU in a dense capture."""
+    parts = []
+    payloads = []
+    for i in range(6):
+        p = bytes(f"multi frame {i:02d}!".encode())
+        payloads.append(p)
+        parts.append(modulate(make_phy_frame(p), pad=100))
+    sig = np.concatenate(parts)
+    frames = ZigbeeReceiver().process(sig)
+    assert [f.payload for f in frames] == payloads
+    assert all(f.crc_ok for f in frames)
+
+
+def test_device_resident_ingest():
+    from futuresdr_tpu.ops import cplx
+
+    p = b"resident zigbee frame"
+    sig = modulate(make_phy_frame(p), pad=80)
+    bucket = -(-len(sig) // 16384) * 16384
+    x = np.concatenate([sig, np.zeros(bucket - len(sig), np.complex64)])
+    frames = ZigbeeReceiver().process(cplx.from_numpy(x))
+    assert len(frames) == 1 and frames[0].payload == p and frames[0].crc_ok
