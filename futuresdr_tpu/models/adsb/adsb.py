@@ -79,7 +79,9 @@ def _detect_fn(n: int, kmax: int, threshold: float):
         prev = jnp.concatenate([jnp.full(1, -jnp.inf), score[:-1]])
         nxt = jnp.concatenate([score[1:], jnp.full(1, -jnp.inf)])
         cand = (score > threshold) & (score >= prev) & (score >= nxt)
-        masked = jnp.where(cand, score, -1.0)
+        # -inf fill: an unambiguous padding sentinel, so the host break
+        # condition stays correct for any threshold (including <= 0)
+        masked = jnp.where(cand, score, -jnp.inf)
         vals, idx = jax.lax.top_k(masked, kmax)
         return idx.astype(jnp.int32), vals, nf_pre[idx], bit
 
@@ -377,8 +379,8 @@ class AdsbReceiver:
         last_fit = n_bit - 1 - PREAMBLE_LEN - SPS * (N_BITS - 1)
         for j, v, nfp in zip(idx_a, vals_a, nfp_a):
             j = int(j)
-            if v <= 0:
-                break  # padding below threshold
+            if v == -np.inf:
+                break  # padding sentinel (fewer candidates than kmax)
             # window must fit (parity: the sequential path skipped these)
             if j > last_fit:
                 continue

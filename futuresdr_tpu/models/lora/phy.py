@@ -645,7 +645,13 @@ class LoraReceiver:
 
     def process(self, iq) -> List[LoraFrame]:
         if isinstance(iq, cplx.CArray):
-            # device-resident ingest — batched soft path only
+            # device-resident ingest — batched soft path only; refuse
+            # rather than silently soft-decode a hard-path A/B receiver
+            if not self.soft:
+                raise ValueError(
+                    "device-resident ingest requires soft=True (the "
+                    "hard-decision A/B path is host-sequential)"
+                )
             out = self._process_batched(iq)
             self.frames.extend(out)
             return out

@@ -126,6 +126,13 @@ def detect_candidates(a: CArray, cor: jnp.ndarray, kmax: int):
         jnp.where(lead2, a1.im.reshape(nb, _DETECT_BLK), 0.0), axis=1
     )
     key = jnp.where(has, pos_b, jnp.int32(2**30))
+    if nb < kmax:
+        # short captures have fewer blocks than requested candidates:
+        # pad with empty sentinels so the output is always [kmax]
+        pad = kmax - nb
+        key = jnp.concatenate([key, jnp.full(pad, 2**30, jnp.int32)])
+        are = jnp.concatenate([are, jnp.zeros(pad, are.dtype)])
+        aim = jnp.concatenate([aim, jnp.zeros(pad, aim.dtype)])
     key_s, are_s, aim_s = jax.lax.sort((key, are, aim), num_keys=1)
     idx = jnp.where(key_s[:kmax] < 2**30, key_s[:kmax] + 1, -1)
     f_off = -jnp.arctan2(aim_s[:kmax], are_s[:kmax]) / 16.0
@@ -515,6 +522,18 @@ def _descramble(decoded: np.ndarray, psdu_size: int) -> bytes:
     return bytes(data[2 : psdu_size + 2])
 
 
+def unpack_signal_fields(dec_a: np.ndarray):
+    """SIGNAL field unpack (signal.rs RATE/LENGTH/parity) from the
+    [kmax, 24] decoded-bit matrix — shared by the receiver and the
+    per-stage profiler (perf/wlan_profile.py) so the two cannot drift.
+    Returns (rate[kmax], parity_ok[kmax], length[kmax]) numpy arrays."""
+    dec = dec_a.astype(np.int32)
+    rate = dec[:, :4] @ (1 << np.arange(4))
+    parity = (dec[:, :17].sum(axis=1) % 2) == dec[:, 17]
+    length = dec[:, 5:17] @ (1 << np.arange(12))
+    return rate, parity, length
+
+
 def prepare_device_iq(iq: np.ndarray):
     """Upload host IQ once, padded to receiver shape.
 
@@ -587,11 +606,7 @@ class WlanReceiver:
         starts_a, valid_a, foff_a, dec_a, snr_a = jax.device_get(
             (starts_d, valid_d, foff_d, dec_d, snr_d)
         )
-        # SIGNAL field unpack (signal.rs RATE/LENGTH/parity) — host numpy
-        dec = dec_a.astype(np.int32)
-        rate_f = dec[:, :4] @ (1 << np.arange(4))
-        parity = (dec[:, :17].sum(axis=1) % 2) == dec[:, 17]
-        length_f = dec[:, 5:17] @ (1 << np.arange(12))
+        rate_f, parity, length_f = unpack_signal_fields(dec_a)
         out: List[RxFrame] = []
         cands: List[int] = []
         params: List[Optional[C.FrameParam]] = []

@@ -220,6 +220,19 @@ def _rx_program(n: int, kmax: int, wsyms: int):
             [jnp.zeros(SYM_SAMPLES, bool), peak[:-SYM_SAMPLES]]
         )
         head = chain4 & ~lagged  # first peak of a ≥4 chain
+        # leader filter (WLAN detect_candidates pattern): a head counts
+        # only when the preceding _RX_BLK samples held no head — this
+        # ESTABLISHES the at-most-one-head-per-block invariant the
+        # masked-sum compaction below needs (off-period sidelobe chains
+        # could otherwise put two heads in one block and sum their
+        # positions into garbage); real PPDUs span >=512 samples, so
+        # genuine heads are never this close
+        hf = head.astype(jnp.int32)
+        hp = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(hf)])
+        hp_lag = jnp.concatenate(
+            [jnp.zeros(_RX_BLK, jnp.int32), hp]
+        )[: head.shape[-1]]
+        head = head & ((hp[: head.shape[-1]] - hp_lag) == 0)
 
         nb = m // _RX_BLK
         mm = nb * _RX_BLK

@@ -98,12 +98,6 @@ def _radix_tables(K: int, g0: int, g1: int, r: int):
     return pred, sgn, wordbits
 
 
-def _argmin_rowdot(values: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
-    """Gather-free ``table[i, sel[i]]`` pattern helper: select along the
-    last axis by one-hot contraction (values is the one-hot mask)."""
-    return jnp.sum(values * table, axis=-1)
-
-
 @lru_cache(maxsize=None)
 def make_batch_viterbi_soft(
     K: int = 7, g0: int = 0o133, g1: int = 0o171, radix: int = 1

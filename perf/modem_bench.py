@@ -42,7 +42,15 @@ def _time_reps(name, rx_factory, sig, n_frames, fs_hz, reps, resident_ok=True):
         t0 = time.perf_counter()
         frames = rx.process(feed)
         dt = time.perf_counter() - t0
-        ok = sum(1 for f in frames if getattr(f, "crc_ok", True))
+        # per-frame CRC flag: LoRa/ZigBee use .crc_ok, ADS-B .crc_passed,
+        # M17 .lsf_crc_ok — never default a missing flag to True
+        def _ok(f):
+            for attr in ("crc_ok", "crc_passed", "lsf_crc_ok"):
+                if hasattr(f, attr):
+                    return bool(getattr(f, attr))
+            raise AttributeError(f"{type(f).__name__} has no CRC flag")
+
+        ok = sum(1 for f in frames if _ok(f))
         assert ok >= n_frames, f"{name}: {ok}/{n_frames} decoded"
         best = max(best, n_samples / dt / 1e6)
     rt = fs_hz / 1e6

@@ -83,10 +83,7 @@ def main() -> None:
         t0 = time.perf_counter()
         import futuresdr_tpu.models.wlan.consts as C
 
-        dec = dec_a.astype(np.int32)
-        rate_f = dec[:, :4] @ (1 << np.arange(4))
-        parity = (dec[:, :17].sum(axis=1) % 2) == dec[:, 17]
-        length_f = dec[:, 5:17] @ (1 << np.arange(12))
+        rate_f, parity, length_f = R.unpack_signal_fields(dec_a)
         cands, params, fsh = [], [], []
         for j in range(kk):
             if not valid_a[j]:

@@ -327,3 +327,22 @@ def test_rx_device_resident_ingest():
     bad = CArray(dev.re[:1000], dev.im[:1000])
     with pytest.raises(ValueError):
         WlanReceiver().process(bad)
+
+
+def test_short_capture_large_kmax():
+    """A single-bucket chunk with max_frames >= the capture's block count
+    must not crash the sort compaction (regression: static key_s[:kmax]
+    clamped below kmax on short captures)."""
+    from futuresdr_tpu.models.wlan import (
+        WlanReceiver,
+        encode_frame,
+        make_mac_frame,
+    )
+
+    psdu = make_mac_frame(b"short capture frame", seq=1)
+    sig = np.concatenate(
+        [np.zeros(300, np.complex64), encode_frame(psdu, "bpsk12"),
+         np.zeros(500, np.complex64)]
+    )
+    frames = WlanReceiver(max_frames_per_chunk=256).process(sig)
+    assert len(frames) == 1 and frames[0].crc_ok
