@@ -82,8 +82,14 @@ def _fft64(v: CArray) -> CArray:
 _DETECT_BLK = 256  # must stay < MIN_GAP (one leader per block, see below)
 
 
-@partial(jax.jit, static_argnames=("kmax",))
-def detect_candidates(a: CArray, cor: jnp.ndarray, kmax: int):
+@partial(jax.jit, static_argnames=("kmax", "lo", "hi"))
+def detect_candidates(
+    a: CArray,
+    cor: jnp.ndarray,
+    kmax: int,
+    lo: Optional[int] = None,
+    hi: Optional[int] = None,
+):
     """Device-side sync_short candidate extraction.
 
     Two consecutive above-threshold correlation samples mark a candidate
@@ -111,6 +117,14 @@ def detect_candidates(a: CArray, cor: jnp.ndarray, kmax: int):
     p_lag = jnp.concatenate([jnp.zeros(MIN_GAP, jnp.int32), p])[:n_h]
     window = p[:n_h] - p_lag  # hits in [i-MIN_GAP, i-1]
     leader = jnp.logical_and(hit, window == 0)
+    if lo is not None or hi is not None:
+        # ownership bounds for time-sharded detection (sharded.py):
+        # candidate idx = pos+1 must land in [lo, hi) — the leader
+        # FILTER above still sees halo hits outside the bounds
+        ar = jnp.arange(n_h)
+        lo_p = (lo - 1) if lo is not None else 0
+        hi_p = (hi - 1) if hi is not None else n_h
+        leader = leader & (ar >= lo_p) & (ar < hi_p)
     nb = n_h // _DETECT_BLK
     m = nb * _DETECT_BLK
     lead2 = leader[:m].reshape(nb, _DETECT_BLK)

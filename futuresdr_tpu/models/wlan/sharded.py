@@ -1,0 +1,146 @@
+"""Time-sharded WLAN sync front over a device mesh.
+
+The full-rate stages of the receiver (sync metrics, candidate detection,
+SIGNAL decode — the work that touches EVERY sample) scale across chips by
+sharding the capture along time: each device owns a contiguous shard plus
+
+* a LEFT halo of ``MIN_GAP + 64`` samples (the leader filter counts hits
+  over the preceding MIN_GAP window; the moving sums look back 64), and
+* a RIGHT halo of ``FRAME_WIN`` samples (a frame starting near the shard
+  end is decoded by the shard that OWNS its start from neighbor samples),
+
+exchanged with one ``ppermute`` hop each (``parallel/halo.py`` — the
+overlap-save pattern of SURVEY.md §5, applied to a receiver rather than a
+filter bank). Every shard then runs the same detect + SIGNAL programs as
+the serial receiver (``rx.py``), bounded to candidates it owns; the tiny
+per-candidate results ``all_gather`` back and the host performs the
+global MIN_GAP resync walk (sequential by nature, microseconds of work).
+
+The per-frame tail stages (equalization, Viterbi) touch only detected
+frames — orders of magnitude fewer samples — and run wherever the frames
+land (serial path), so sharding the sync front is what moves the
+capacity ceiling.
+
+Verified numerically equivalent to the serial ``_detect_program`` +
+``_signal_program`` on the 8-device CPU mesh (``tests/test_wlan.py``).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from futuresdr_tpu.models.wlan import consts as C
+from futuresdr_tpu.models.wlan.rx import (
+    MIN_GAP,
+    SEARCH_WINDOW,
+    _signal_program,
+    _span,
+    detect_candidates,
+    sync_metrics,
+    unpack_signal_fields,
+)
+from futuresdr_tpu.ops import cplx
+from futuresdr_tpu.ops.cplx import CArray
+from futuresdr_tpu.parallel.halo import halo_left, halo_right
+
+HALO_L = MIN_GAP + 64  # leader-filter history + moving-sum lookback
+# right lookahead: phase 1 decodes only the SIGNAL symbol, so a shard
+# needs start+SEARCH_WINDOW+_span(1) samples ahead of its last owned
+# candidate (start = idx+47), NOT the full FRAME_WIN (phase B, which
+# walks whole frames, is per-frame work and stays unsharded)
+HALO_R = 47 + SEARCH_WINDOW + _span(1) + 64
+
+
+@lru_cache(maxsize=None)
+def _sharded_phase1(mesh: Mesh, shard_len: int, kmax_loc: int):
+    axis = mesh.axis_names[0]
+    ndev = mesh.shape[axis]
+
+    def local(xre: jnp.ndarray, xim: jnp.ndarray):
+        xs = CArray(xre, xim)  # [S] local shard
+        # both halos must carry RAW shard samples — chaining the helpers
+        # would re-transmit the other halo's data as neighbor samples
+        recv_l = halo_left(xs, HALO_L, axis)[..., :HALO_L]
+        ext = cplx.concat([recv_l, halo_right(xs, HALO_R, axis)], axis=-1)
+        a, cor = sync_metrics(ext)
+        me = jax.lax.axis_index(axis).astype(jnp.int32)
+        # shard 0's left halo is zero-padding for positions that do not
+        # exist in the serial stream; partial windows straddling the
+        # zeros/signal boundary still correlate and the resulting fake
+        # hits would suppress a frame starting at the very front via the
+        # MIN_GAP leader filter — zero the nonexistent metric region
+        cor = jnp.where(
+            (jnp.arange(cor.shape[-1]) < HALO_L) & (me == 0), 0.0, cor
+        )
+        idx, f_off = detect_candidates(
+            a, cor, kmax_loc, lo=HALO_L, hi=HALO_L + shard_len
+        )
+        starts_loc = jnp.where(idx >= 0, idx + 47, 0).astype(jnp.int32)
+        dec, snr = _signal_program(kmax_loc)(ext, starts_loc, f_off)
+        me = jax.lax.axis_index(axis).astype(jnp.int32)
+        gpos = jnp.where(idx >= 0, idx - HALO_L + me * shard_len, -1)
+        return gpos, f_off, dec, snr
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    del ndev
+    return jax.jit(fn)
+
+
+def sharded_phase1(
+    iq: np.ndarray, mesh: Mesh, kmax_per_shard: int = 32
+) -> List[Tuple[int, float, "C.FrameParam", float]]:
+    """Run the sharded sync front over ``iq`` (complex64 host samples).
+
+    Returns the accepted candidate list after the global MIN_GAP walk:
+    ``(start, coarse_cfo, FrameParam-or-None, snr_db)`` per frame, in
+    time order — the exact phase-1 contract of ``WlanReceiver.process``.
+    """
+    axis = mesh.axis_names[0]
+    ndev = mesh.shape[axis]
+    x = np.asarray(iq, np.complex64)
+    n_real = len(x)
+    shard = -(-n_real // (ndev * 256)) * 256
+    total = shard * ndev
+    if total != len(x):
+        x = np.concatenate([x, np.zeros(total - len(x), np.complex64)])
+    spec = NamedSharding(mesh, P(axis))
+    xre = jax.device_put(np.real(x).astype(np.float32), spec)
+    xim = jax.device_put(np.imag(x).astype(np.float32), spec)
+    gpos, f_off, dec, snr = jax.device_get(
+        _sharded_phase1(mesh, shard, kmax_per_shard)(xre, xim)
+    )
+    rate, parity, length = unpack_signal_fields(dec)
+
+    # global MIN_GAP resync walk over the gathered candidates (host —
+    # sequential by nature; _detect_program runs it as a device scan in
+    # the serial path)
+    order = np.argsort(gpos, kind="stable")
+    out = []
+    last = -(10**9)
+    fit_end = n_real - (SEARCH_WINDOW + 128 + 16 + 80)
+    for j in order:
+        g = int(gpos[j])  # global LEADER index (serial walk's `i`)
+        if g < 0:
+            continue
+        start = g + 47
+        if g - last < MIN_GAP or start > fit_end:
+            continue
+        last = g
+        mcs = C.RATE_TO_MCS.get(int(rate[j]))
+        param = None
+        if parity[j] and mcs is not None and int(length[j]) > 0:
+            param = C.FrameParam(mcs, int(length[j]))
+        out.append((start, float(f_off[j]), param, float(snr[j])))
+    return out

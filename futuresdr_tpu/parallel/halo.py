@@ -87,3 +87,34 @@ def ring_carry(x: ArrayLike, h: int, axis_name: str) -> ArrayLike:
         )
         return cplx.CArray(both[0], both[1])
     return jax.lax.psum(masked, axis_name)
+
+
+def halo_right(x: ArrayLike, h: int, axis_name: str) -> ArrayLike:
+    """Append the first ``h`` items (along the last axis) of the RIGHT
+    neighbor's shard; the last shard gets zeros. Returns ``[..., n + h]``.
+
+    The mirror of :func:`halo_left`, for lookahead-shaped stages: frame
+    receivers whose detection windows extend forward (a frame starting
+    near a shard's end is decoded by the shard that owns its start, from
+    neighbor samples)."""
+    if h == 0:
+        return x
+    if h > x.shape[-1]:
+        raise ValueError(
+            f"halo of {h} items exceeds the {x.shape[-1]}-item shard"
+        )
+    n = jax.lax.psum(1, axis_name)
+    perm = [(i, (i - 1) % n) for i in range(n)]
+    head = x[..., :h]
+    if isinstance(head, cplx.CArray):
+        both = jax.lax.ppermute(
+            jnp.stack([head.re, head.im]), axis_name, perm=perm
+        )
+        recv = cplx.CArray(both[0], both[1])
+    else:
+        recv = jax.lax.ppermute(head, axis_name, perm=perm)
+    idx = jax.lax.axis_index(axis_name)
+    recv = cplx.apply1(
+        lambda t: jnp.where(idx == n - 1, jnp.zeros_like(t), t), recv
+    )
+    return cplx.concat([x, recv], axis=-1)

@@ -346,3 +346,77 @@ def test_short_capture_large_kmax():
     )
     frames = WlanReceiver(max_frames_per_chunk=256).process(sig)
     assert len(frames) == 1 and frames[0].crc_ok
+
+
+def test_sharded_phase1_matches_serial():
+    """Time-sharded sync front (8-device mesh, ppermute halos) produces
+    the same accepted candidates + SIGNAL decisions as the serial
+    detect/SIGNAL programs."""
+    import jax
+    import jax.numpy as jnp
+
+    from futuresdr_tpu.models.wlan import (
+        encode_frame,
+        make_mac_frame,
+        prepare_device_iq,
+    )
+    from futuresdr_tpu.models.wlan import consts as C
+    from futuresdr_tpu.models.wlan import rx as R
+    from futuresdr_tpu.models.wlan.sharded import sharded_phase1
+    from futuresdr_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(5)
+    parts = []
+    for i in range(10):
+        psdu = make_mac_frame(
+            rng.integers(0, 256, 60 + 10 * i, dtype=np.uint8).tobytes(),
+            seq=i,
+        )
+        parts.append(encode_frame(psdu, "qpsk12", scrambler_seed=1 + i))
+        parts.append(np.zeros(3000 + 137 * i, np.complex64))
+    sig = np.concatenate(parts).astype(np.complex64)
+    sig += (
+        0.01
+        * (
+            rng.standard_normal(len(sig)) + 1j * rng.standard_normal(len(sig))
+        ).astype(np.complex64)
+    )
+
+    # serial ground truth (the receiver's phase A)
+    x, n_real, _ = prepare_device_iq(sig)
+    kk = 16
+    s_d, v_d, f_d = R._detect_program(kk, kk)(x, jnp.int32(n_real))
+    dec_d, snr_d = R._signal_program(kk)(x, s_d, f_d)
+    s_a, v_a, f_a, dec_a, snr_a = jax.device_get(
+        (s_d, v_d, f_d, dec_d, snr_d)
+    )
+    rate, parity, length = R.unpack_signal_fields(dec_a)
+    serial = [
+        (
+            int(s_a[j]),
+            float(f_a[j]),
+            (int(rate[j]), bool(parity[j]), int(length[j])),
+            float(snr_a[j]),
+        )
+        for j in range(kk)
+        if v_a[j]
+    ]
+    assert len(serial) == 10
+
+    mesh = make_mesh(axis_names=("t",))
+    got = sharded_phase1(sig, mesh, kmax_per_shard=8)
+    assert len(got) == len(serial)
+    for (gs, gf, gp, gsnr), (ss, sf, sfields, ssnr) in zip(got, serial):
+        assert gs == ss
+        assert abs(gf - sf) < 1e-6
+        srate, sparity, slength = sfields
+        if gp is None:
+            assert (
+                not sparity
+                or C.RATE_TO_MCS.get(srate) is None
+                or slength == 0
+            )
+        else:
+            assert sparity
+            assert gp == C.FrameParam(C.RATE_TO_MCS[srate], slength)
+        assert abs(gsnr - ssnr) < 1e-3
