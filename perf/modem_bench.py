@@ -48,6 +48,8 @@ def _time_reps(name, rx_factory, sig, n_frames, fs_hz, reps, resident_ok=True):
             for attr in ("crc_ok", "crc_passed", "lsf_crc_ok"):
                 if hasattr(f, attr):
                     return bool(getattr(f, attr))
+            if hasattr(f, "command"):  # keyfob: decoded command = ok
+                return f.command is not None
             raise AttributeError(f"{type(f).__name__} has no CRC flag")
 
         ok = sum(1 for f in frames if _ok(f))
@@ -141,9 +143,54 @@ def bench_m17(reps):
     _time_reps("m17", M17Receiver, sig, n, 48_000, reps, resident_ok=False)
 
 
+def bench_keyfob(reps):
+    from futuresdr_tpu.models.keyfob import KeyfobReceiver, synthesize
+
+    from futuresdr_tpu.models.keyfob import PREAMBLE
+
+    n = 30
+    suffixes = ["11010101", "11100011", "10111001"]  # Close/Open/Trunk
+    parts = []
+    for i in range(n):
+        bits = "0110" + PREAMBLE + "01100110" + suffixes[i % 3]
+        parts.append(synthesize(bits, pad=1500))
+    sig = np.concatenate(parts)
+    _time_reps(
+        "keyfob", KeyfobReceiver, sig, n, 250_000, reps,  # RATE=250k
+        resident_ok=False,
+    )
+
+
+def bench_rattlegram(reps):
+    from futuresdr_tpu.models.rattlegram.exact import (
+        RATE,
+        ExactDecoder,
+        encode_exact,
+    )
+
+    n = 6
+    parts = []
+    for i in range(n):
+        audio = encode_exact(
+            bytes(f"rattlegram frame number {i:02d}!".encode()),
+            call_sign=b"TPU1",
+        )
+        parts.append(audio.astype(np.float32))
+        parts.append(np.zeros(RATE // 4, np.float32))
+    sig = np.concatenate(parts)
+
+    class _Rx:
+        def process(self, audio):
+            return ExactDecoder().process(audio)
+
+    _time_reps("rattlegram", _Rx, sig, n, RATE, reps, resident_ok=False)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--modems", default="adsb,zigbee,lora,m17")
+    ap.add_argument(
+        "--modems", default="adsb,zigbee,lora,m17,keyfob,rattlegram"
+    )
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument(
         "--cpu", action="store_true", help="force CPU (correctness check)"
