@@ -371,7 +371,9 @@ def _signal_program(kmax: int):
     decisions are inherently sequential host logic anyway)."""
     from futuresdr_tpu.ops.viterbi import make_batch_viterbi_soft
 
-    Pp = jnp.asarray(_perm_matrix(C.interleaver_permutation(48, 1)))
+    # numpy constant (embeds per-trace) — a factory-time jnp.asarray
+    # caches a tracer when the factory first runs inside a trace
+    Pp = _perm_matrix(C.interleaver_permutation(48, 1))
     viterbi = make_batch_viterbi_soft(radix=VITERBI_RADIX)
     sig_front = _frame_front_from_starts(kmax, 1)
 

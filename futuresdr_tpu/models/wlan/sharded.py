@@ -61,6 +61,11 @@ HALO_R = 47 + SEARCH_WINDOW + _span(1) + 64
 def _sharded_phase1(mesh: Mesh, shard_len: int, kmax_loc: int):
     axis = mesh.axis_names[0]
     ndev = mesh.shape[axis]
+    # invoke the factory OUTSIDE the traced function: lru-cached
+    # factories build constants at factory time, and a first invocation
+    # inside the shard_map trace would cache tracers (poisoning every
+    # later serial use — the NOTES.md lru_cache gotcha)
+    signal_fn = _signal_program(kmax_loc)
 
     def local(xre: jnp.ndarray, xim: jnp.ndarray):
         xs = CArray(xre, xim)  # [S] local shard
@@ -82,7 +87,7 @@ def _sharded_phase1(mesh: Mesh, shard_len: int, kmax_loc: int):
             a, cor, kmax_loc, lo=HALO_L, hi=HALO_L + shard_len
         )
         starts_loc = jnp.where(idx >= 0, idx + 47, 0).astype(jnp.int32)
-        dec, snr = _signal_program(kmax_loc)(ext, starts_loc, f_off)
+        dec, snr = signal_fn(ext, starts_loc, f_off)
         me = jax.lax.axis_index(axis).astype(jnp.int32)
         gpos = jnp.where(idx >= 0, idx - HALO_L + me * shard_len, -1)
         return gpos, f_off, dec, snr
@@ -118,9 +123,33 @@ def sharded_phase1(
     spec = NamedSharding(mesh, P(axis))
     xre = jax.device_put(np.real(x).astype(np.float32), spec)
     xim = jax.device_put(np.imag(x).astype(np.float32), spec)
-    gpos, f_off, dec, snr = jax.device_get(
-        _sharded_phase1(mesh, shard, kmax_per_shard)(xre, xim)
+    return sharded_phase1_global(
+        xre, xim, mesh, shard, n_real, kmax_per_shard
     )
+
+
+def sharded_phase1_global(
+    xre,
+    xim,
+    mesh: Mesh,
+    shard_len: int,
+    n_real: int,
+    kmax_per_shard: int = 32,
+):
+    """Sharded sync front over PRE-SHARDED global re/im arrays (the
+    multi-host path builds these with ``jax.make_array_from_callback``
+    — every process contributes its addressable shards)."""
+    outs = _sharded_phase1(mesh, shard_len, kmax_per_shard)(xre, xim)
+    try:
+        gpos, f_off, dec, snr = jax.device_get(outs)
+    except RuntimeError:
+        # multi-process: gather the (tiny) per-shard results globally
+        from jax.experimental import multihost_utils
+
+        gpos, f_off, dec, snr = (
+            np.asarray(multihost_utils.process_allgather(o, tiled=True))
+            for o in outs
+        )
     rate, parity, length = unpack_signal_fields(dec)
 
     # global MIN_GAP resync walk over the gathered candidates (host —

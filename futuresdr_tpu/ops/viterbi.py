@@ -120,7 +120,10 @@ def make_batch_viterbi_soft(
 def _make_radix1(K: int, g0: int, g1: int):
     bit_of, pred0, pred1, sgn0, sgn1 = _tables(K, g0, g1)
     ns = 1 << (K - 1)
-    s0c, s1c = jnp.asarray(sgn0), jnp.asarray(sgn1)
+    # factory-cached constants stay NUMPY: jnp.asarray here would cache
+    # a tracer if the factory is first invoked inside an active trace
+    # (lru_cache gotcha); numpy embeds per-trace instead
+    s0c, s1c = sgn0, sgn1
     half = ns >> 1
     # sanity: the K=7 predecessor structure the strided forms rely on
     assert np.array_equal(pred0, np.tile(np.arange(half) * 2, 2))
@@ -175,10 +178,11 @@ def _make_radixr(K: int, g0: int, g1: int, r: int):
     for s in range(ns):
         for c in range(nw):
             P[pred[s, c], s * nw + c] = 1.0
-    Pc = jnp.asarray(P)
-    sgnc = jnp.asarray(sgn)  # [ns, nw, 2r]
-    wordc = jnp.asarray(wordbits)  # [ns, nw, r] (0/1 floats)
-    predf = jnp.asarray(pred.astype(np.float32))  # [ns, nw]
+    # numpy on purpose — see _make_radix1's factory-constant note
+    Pc = P
+    sgnc = sgn  # [ns, nw, 2r]
+    wordc = wordbits  # [ns, nw, r] (0/1 floats)
+    predf = pred.astype(np.float32)  # [ns, nw]
 
     def decode(llrs: jnp.ndarray) -> jnp.ndarray:
         b, t, _ = llrs.shape
