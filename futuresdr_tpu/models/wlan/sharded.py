@@ -6,8 +6,10 @@ sharding the capture along time: each device owns a contiguous shard plus
 
 * a LEFT halo of ``MIN_GAP + 64`` samples (the leader filter counts hits
   over the preceding MIN_GAP window; the moving sums look back 64), and
-* a RIGHT halo of ``FRAME_WIN`` samples (a frame starting near the shard
-  end is decoded by the shard that OWNS its start from neighbor samples),
+* a RIGHT halo of ~600 samples — the SIGNAL decode window (a frame
+  starting near the shard end is SIGNAL-decoded by the shard that OWNS
+  its start from neighbor samples; the full-frame window belongs to the
+  unsharded per-frame tail),
 
 exchanged with one ``ppermute`` hop each (``parallel/halo.py`` — the
 overlap-save pattern of SURVEY.md §5, applied to a receiver rather than a
@@ -28,7 +30,7 @@ Verified numerically equivalent to the serial ``_detect_program`` +
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,7 +62,6 @@ HALO_R = 47 + SEARCH_WINDOW + _span(1) + 64
 @lru_cache(maxsize=None)
 def _sharded_phase1(mesh: Mesh, shard_len: int, kmax_loc: int):
     axis = mesh.axis_names[0]
-    ndev = mesh.shape[axis]
     # invoke the factory OUTSIDE the traced function: lru-cached
     # factories build constants at factory time, and a first invocation
     # inside the shard_map trace would cache tracers (poisoning every
@@ -88,7 +89,6 @@ def _sharded_phase1(mesh: Mesh, shard_len: int, kmax_loc: int):
         )
         starts_loc = jnp.where(idx >= 0, idx + 47, 0).astype(jnp.int32)
         dec, snr = signal_fn(ext, starts_loc, f_off)
-        me = jax.lax.axis_index(axis).astype(jnp.int32)
         gpos = jnp.where(idx >= 0, idx - HALO_L + me * shard_len, -1)
         return gpos, f_off, dec, snr
 
@@ -99,24 +99,45 @@ def _sharded_phase1(mesh: Mesh, shard_len: int, kmax_loc: int):
         out_specs=(P(axis), P(axis), P(axis), P(axis)),
         check_vma=False,
     )
-    del ndev
     return jax.jit(fn)
 
 
+# shard quantum: coarse enough to bound the distinct-compile set (the
+# serial receiver buckets to 32768 for the same reason), and its floor
+# of one quantum already exceeds both halos (HALO_L=544, HALO_R=655 —
+# one ppermute hop reaches only the immediate neighbor)
+_SHARD_QUANTUM = 4096
+
+
+def _shard_len(n_real: int, ndev: int) -> int:
+    return max(1, -(-n_real // (ndev * _SHARD_QUANTUM))) * _SHARD_QUANTUM
+
+
+def auto_kmax(shard_len: int) -> int:
+    """Candidates a shard can hold: leaders are >= MIN_GAP apart."""
+    return shard_len // MIN_GAP + 2
+
+
 def sharded_phase1(
-    iq: np.ndarray, mesh: Mesh, kmax_per_shard: int = 32
+    iq: np.ndarray, mesh: Mesh, kmax_per_shard: Optional[int] = None
 ) -> List[Tuple[int, float, "C.FrameParam", float]]:
     """Run the sharded sync front over ``iq`` (complex64 host samples).
 
     Returns the accepted candidate list after the global MIN_GAP walk:
     ``(start, coarse_cfo, FrameParam-or-None, snr_db)`` per frame, in
     time order — the exact phase-1 contract of ``WlanReceiver.process``.
+
+    ``kmax_per_shard`` defaults to the loss-free bound (a leader every
+    MIN_GAP samples); passing a smaller value trades SIGNAL-stage work
+    for a per-shard candidate cap, which on overflow drops frames from
+    that shard's TAIL (unlike serial kmax truncation, the gap can sit
+    mid-capture).
     """
     axis = mesh.axis_names[0]
     ndev = mesh.shape[axis]
     x = np.asarray(iq, np.complex64)
     n_real = len(x)
-    shard = -(-n_real // (ndev * 256)) * 256
+    shard = _shard_len(n_real, ndev)
     total = shard * ndev
     if total != len(x):
         x = np.concatenate([x, np.zeros(total - len(x), np.complex64)])
@@ -134,11 +155,13 @@ def sharded_phase1_global(
     mesh: Mesh,
     shard_len: int,
     n_real: int,
-    kmax_per_shard: int = 32,
+    kmax_per_shard: Optional[int] = None,
 ):
     """Sharded sync front over PRE-SHARDED global re/im arrays (the
     multi-host path builds these with ``jax.make_array_from_callback``
     — every process contributes its addressable shards)."""
+    if kmax_per_shard is None:
+        kmax_per_shard = auto_kmax(shard_len)
     outs = _sharded_phase1(mesh, shard_len, kmax_per_shard)(xre, xim)
     try:
         gpos, f_off, dec, snr = jax.device_get(outs)
@@ -173,3 +196,65 @@ def sharded_phase1_global(
             param = C.FrameParam(mcs, int(length[j]))
         out.append((start, float(f_off[j]), param, float(snr[j])))
     return out
+
+
+def check_sharded_vs_serial(
+    mesh: Mesh,
+    n_frames: int = 4,
+    gap: int = 2000,
+    seed: int = 1,
+    use_global: bool = False,
+) -> None:
+    """Dryrun helper shared by ``__graft_entry__.dryrun_multichip`` and
+    the multihost worker: synthesize frames, run the sharded front, and
+    assert its accepted starts equal the serial detect program's.
+    Raises AssertionError on mismatch."""
+    import jax.numpy as jnp
+
+    from futuresdr_tpu.models.wlan import (
+        encode_frame,
+        make_mac_frame,
+        prepare_device_iq,
+    )
+    from futuresdr_tpu.models.wlan import rx as _rx
+
+    rng = np.random.default_rng(seed)
+    parts = []
+    for i in range(n_frames):
+        psdu = make_mac_frame(
+            rng.integers(0, 256, 64, dtype=np.uint8).tobytes(), seq=i
+        )
+        parts.append(encode_frame(psdu, "qpsk12", scrambler_seed=1 + i))
+        parts.append(np.zeros(gap, np.complex64))
+    sig = np.concatenate(parts).astype(np.complex64)
+
+    if use_global:
+        axis = mesh.axis_names[0]
+        ndev = mesh.shape[axis]
+        shard = _shard_len(len(sig), ndev)
+        xw = np.concatenate(
+            [sig, np.zeros(shard * ndev - len(sig), np.complex64)]
+        )
+        spec = NamedSharding(mesh, P(axis))
+        wre = np.ascontiguousarray(xw.real.astype(np.float32))
+        wim = np.ascontiguousarray(xw.imag.astype(np.float32))
+        gre = jax.make_array_from_callback(
+            wre.shape, spec, lambda i: wre[i]
+        )
+        gim = jax.make_array_from_callback(
+            wim.shape, spec, lambda i: wim[i]
+        )
+        got = sharded_phase1_global(gre, gim, mesh, shard, len(sig))
+    else:
+        got = sharded_phase1(sig, mesh)
+
+    xD, nr, _ = prepare_device_iq(sig)
+    kk = max(16, n_frames + 4)
+    s_d, v_d, _f = _rx._detect_program(kk, kk)(xD, jnp.int32(nr))
+    s_a, v_a = jax.device_get((s_d, v_d))
+    serial_starts = [int(s_a[j]) for j in range(kk) if v_a[j]]
+    got_starts = [g[0] for g in got]
+    assert got_starts == serial_starts and len(got) == n_frames, (
+        got_starts,
+        serial_starts,
+    )

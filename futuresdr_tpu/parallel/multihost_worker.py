@@ -81,43 +81,16 @@ def main() -> int:
 
     # --- sharded WLAN sync front across hosts (flat time axis over every
     # device of every process; ppermute halos ride the DCN boundary) ----
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh
 
-    from futuresdr_tpu.models.wlan import (
-        encode_frame,
-        make_mac_frame,
-        prepare_device_iq,
-    )
-    from futuresdr_tpu.models.wlan import rx as _rx
-    from futuresdr_tpu.models.wlan.sharded import sharded_phase1_global
+    from futuresdr_tpu.models.wlan.sharded import check_sharded_vs_serial
 
-    wrng = np.random.default_rng(7)  # same seed on every host
-    parts = []
-    for i in range(4):
-        psdu = make_mac_frame(
-            wrng.integers(0, 256, 64, dtype=np.uint8).tobytes(), seq=i
-        )
-        parts.append(encode_frame(psdu, "qpsk12", scrambler_seed=1 + i))
-        parts.append(np.zeros(2500, np.complex64))
-    sig = np.concatenate(parts).astype(np.complex64)
     wmesh = Mesh(np.asarray(jax.devices()), ("t",))
-    ndev = len(jax.devices())
-    shard = -(-len(sig) // (ndev * 256)) * 256
-    xw = np.concatenate(
-        [sig, np.zeros(shard * ndev - len(sig), np.complex64)]
-    )
-    wspec = NamedSharding(wmesh, P("t"))
-    wre = np.ascontiguousarray(xw.real.astype(np.float32))
-    wim = np.ascontiguousarray(xw.imag.astype(np.float32))
-    gre = jax.make_array_from_callback(wre.shape, wspec, lambda i: wre[i])
-    gim = jax.make_array_from_callback(wim.shape, wspec, lambda i: wim[i])
-    got = sharded_phase1_global(gre, gim, wmesh, shard, len(sig), 8)
-    xD, nr, _ = prepare_device_iq(sig)
-    s_d, v_d, _f = _rx._detect_program(16, 16)(xD, jnp.int32(nr))
-    s_a, v_a = jax.device_get((s_d, v_d))
-    serial_starts = [int(s_a[j]) for j in range(16) if v_a[j]]
-    wlan_ok = [g[0] for g in got] == serial_starts and len(got) == 4
+    try:
+        check_sharded_vs_serial(wmesh, gap=2500, seed=7, use_global=True)
+        wlan_ok = True
+    except AssertionError:
+        wlan_ok = False
     ok = ok and wlan_ok
 
     if args.process_id == 0:

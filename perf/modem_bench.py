@@ -144,9 +144,12 @@ def bench_m17(reps):
 
 
 def bench_keyfob(reps):
-    from futuresdr_tpu.models.keyfob import KeyfobReceiver, synthesize
-
-    from futuresdr_tpu.models.keyfob import PREAMBLE
+    from futuresdr_tpu.models.keyfob import (
+        PREAMBLE,
+        RATE,
+        KeyfobReceiver,
+        synthesize,
+    )
 
     n = 30
     suffixes = ["11010101", "11100011", "10111001"]  # Close/Open/Trunk
@@ -156,7 +159,7 @@ def bench_keyfob(reps):
         parts.append(synthesize(bits, pad=1500))
     sig = np.concatenate(parts)
     _time_reps(
-        "keyfob", KeyfobReceiver, sig, n, 250_000, reps,  # RATE=250k
+        "keyfob", KeyfobReceiver, sig, n, RATE, reps,
         resident_ok=False,
     )
 

@@ -97,6 +97,9 @@ def main() -> None:
             else:
                 params.append(C.FrameParam(mcs, length))
         k = len(cands)
+        if k == 0 or all(p is None for p in params):
+            print(f"rep{rep}: no decodable frames (k={k})")
+            continue
         kb = 1 << (k - 1).bit_length()
         starts_np = np.zeros(kb, np.int32)
         starts_np[:k] = cands
