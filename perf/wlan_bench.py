@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--gap", type=int, default=2000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument(
+        "--sc16",
+        action="store_true",
+        help="feed interleaved-int16 I/Q (radio wire format): 4x fewer "
+        "H2D bytes, converted to float on device",
+    )
+    ap.add_argument(
         "--resident",
         action="store_true",
         help="upload IQ once, time decode from device-resident samples "
@@ -55,8 +61,11 @@ def main() -> None:
 
     kmax = args.frames + 4
     feed = sig
+    if args.sc16:
+        scaled = np.clip(np.round(sig.view(np.float32) * 32767.0), -32768, 32767)
+        feed = scaled.astype(np.int16)
     if args.resident:
-        feed, _, _ = prepare_device_iq(sig)
+        feed, _, _ = prepare_device_iq(feed)
     # warmup with the SAME buffer (identical jit shapes — otherwise the
     # measured pass pays the compiles)
     WlanReceiver(max_frames_per_chunk=kmax).process(feed)
