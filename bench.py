@@ -90,7 +90,14 @@ def main() -> None:
     # measure dispatch latency, not the machine. 2M samples/step (2 ms of
     # stream at 1 GS/s — ordinary SDR buffering) amortizes it; measured
     # scaling r=512/1024/2048/4096 -> 1.2/2.5/4.3/4.9 GS/s medians.
-    r = int(os.environ.get("BENCH_R", 2048))
+    # Per-rung best chunk (A/B'd on chip 2026-08-18): the einsum pipeline
+    # peaks at r=2048 and *degrades* beyond (3.0 GS/s at r=4096 — the f32
+    # intermediates spill to HBM), while the fused kernel keeps scaling
+    # (6.6 / 13.0 / 11.8 GS/s at r=2048/4096/8192 — VMEM-resident, so
+    # bigger grids only amortize dispatch). BENCH_R overrides both.
+    r_env = os.environ.get("BENCH_R")
+    r = int(r_env) if r_env else 2048
+    r_fused = int(r_env) if r_env else 4096
     ladder = os.environ.get("BENCH_LADDER", "1") != "0"
     results = {}
 
@@ -119,7 +126,7 @@ def main() -> None:
     # rung 3 (headline): fused Pallas channelizer+demod kernel
     init_f, step_f = make_bank_step_fused(cfg, tile_rows=128)
     state_f = init_f()
-    _, x = example_args(cfg, r=r)
+    _, x = example_args(cfg, r=r_fused)
     step_fj = jax.jit(step_f, donate_argnums=(0,))
     _, results["fused_pallas"] = _bench_median(
         step_fj, state_f, x, x.shape[-1], "fused pallas channelizer+demod"
@@ -137,7 +144,8 @@ def main() -> None:
                 "variant": best,
                 "ladder": {k: round(v, 4) for k, v in results.items()},
                 "protocol": "median of 5 x >=0.5s steady-state loops; "
-                f"chunk r={r} ({r * 1024 / 1e6:.1f}M samples/step)",
+                f"chunk r={r} einsum rungs / r={r_fused} fused "
+                f"({r_fused * 1024 / 1e6:.1f}M samples/step)",
             }
         )
     )

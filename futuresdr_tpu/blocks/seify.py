@@ -5,22 +5,148 @@ reference's hardware abstraction (message ports ``freq``/``gain``/
 ``sample_rate``/``cmd``, builder with driver args, and a **dummy driver**
 used by its test suite, ``tests/seify.rs:18-70``).
 
-On a TPU host there is no SDR bus; real capture arrives via file/UDP/TCP/
-ZMQ ingest (SURVEY.md §2.5 mapping). This module keeps the *API surface*:
-``Builder("driver=dummy")`` yields a source producing synthetic IQ (tone +
-noise, retunable via the same message ports), so reference-style apps and
-tests port unchanged; pointing it at a real capture is
-``Builder("driver=file,path=...")``.
+On a TPU host there is no SDR USB bus; real capture arrives over the
+network or from files (SURVEY.md §2.5 mapping). This module keeps the *API
+surface*: ``Builder("driver=dummy")`` yields a source producing synthetic
+IQ (tone + noise, retunable via the same message ports), so
+reference-style apps and tests port unchanged; a real capture file is
+``Builder("driver=file,path=...")``; live RTL-SDR hardware is
+``Builder("driver=rtl_tcp,host=...,port=1234")`` — the rtl_tcp wire
+protocol with retunes forwarded as live commands.
 """
 
 from __future__ import annotations
 
+import socket
+import struct
 from typing import Dict, Optional
 
 import numpy as np
 
 from futuresdr_tpu.runtime.block import Block, PortSpec, message_handler
 from futuresdr_tpu.types.pmt import Pmt
+
+# ---------------------------------------------------------------------------
+# rtl_tcp network driver
+# ---------------------------------------------------------------------------
+# The reference's seify crate reaches RTL-SDR dongles over the USB bus
+# (driver feature `rtlsdr`, Cargo.toml). On a TPU host the idiomatic bus is
+# the network: rtl_tcp (shipped with librtlsdr) exposes the same dongle over
+# TCP with a tiny public protocol — 12-byte "RTL0" banner, offset-uint8
+# interleaved IQ stream, and 5-byte big-endian control commands. This driver
+# keeps seify's message-port surface (freq/gain/sample_rate/cmd) and turns
+# each handler into the matching wire command.
+
+_RTL_CMD = {
+    "freq": 0x01,
+    "sample_rate": 0x02,
+    "gain_mode": 0x03,  # 0 = auto, 1 = manual
+    "gain": 0x04,  # tenths of dB
+    "freq_correction": 0x05,
+    "if_gain": 0x06,
+    "test_mode": 0x07,
+    "agc_mode": 0x08,
+    "direct_sampling": 0x09,
+    "offset_tuning": 0x0A,
+    "gain_index": 0x0D,
+    "bias_tee": 0x0E,
+}
+
+_RTL_TUNERS = {
+    0: "UNKNOWN",
+    1: "E4000",
+    2: "FC0012",
+    3: "FC0013",
+    4: "FC2580",
+    5: "R820T",
+    6: "R828D",
+}
+
+
+class RtlTcpClient:
+    """Minimal rtl_tcp protocol client (banner + commands + IQ stream)."""
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 1234,
+        timeout: float = 5.0,
+    ):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.settimeout(timeout)
+        hdr = self._recv_exact(12)
+        if hdr is None or hdr[:4] != b"RTL0":
+            raise ConnectionError(
+                f"not an rtl_tcp server at {host}:{port} "
+                f"(banner {hdr[:4]!r} != b'RTL0')"
+            )
+        self.tuner_type, self.tuner_gain_count = struct.unpack(">II", hdr[4:])
+        self._carry = bytearray()  # partial-chunk bytes from a recv timeout
+
+    @property
+    def tuner_name(self) -> str:
+        return _RTL_TUNERS.get(self.tuner_type, "UNKNOWN")
+
+    def _recv_exact(self, n: int) -> Optional[bytes]:
+        buf = bytearray()
+        while len(buf) < n:
+            try:
+                chunk = self.sock.recv(n - len(buf))
+            except socket.timeout:
+                return bytes(buf) if buf else b""
+            if not chunk:  # server closed
+                return None if not buf else bytes(buf)
+            buf.extend(chunk)
+        return bytes(buf)
+
+    def command(self, name: str, param: int) -> None:
+        self.sock.sendall(
+            struct.pack(">BI", _RTL_CMD[name], int(param) & 0xFFFFFFFF)
+        )
+
+    def set_freq(self, hz: float) -> None:
+        self.command("freq", round(hz))
+
+    def set_sample_rate(self, hz: float) -> None:
+        self.command("sample_rate", round(hz))
+
+    def set_gain(self, db: Optional[float]) -> None:
+        """None → hardware AGC; a value → manual gain in dB."""
+        if db is None:
+            self.command("gain_mode", 0)
+            self.command("agc_mode", 1)
+        else:
+            self.command("gain_mode", 1)
+            self.command("gain", round(db * 10.0))
+
+    def read(self, n_samples: int) -> Optional[np.ndarray]:
+        """Exactly n complex samples off the wire, or None on server EOF
+        (the final chunk before EOF may be short). An empty array means a
+        receive timeout — the bytes so far are carried over and the caller
+        retries, so mid-stream chunks are never short/zero-padded."""
+        from futuresdr_tpu.native import convert_iq
+
+        want = 2 * n_samples - len(self._carry)
+        raw = self._recv_exact(want) if want > 0 else b""
+        if raw is None and not self._carry:
+            return None
+        data = bytes(self._carry) + (raw or b"")
+        if raw is not None and len(data) < 2 * n_samples:
+            # timeout mid-stream: stash and signal retry
+            self._carry = bytearray(data)
+            return np.zeros(0, np.complex64)
+        usable = len(data) - len(data) % 2
+        self._carry = bytearray(data[usable:]) if raw is not None else bytearray()
+        if usable == 0:
+            return None if raw is None else np.zeros(0, np.complex64)
+        re, im = convert_iq(np.frombuffer(data[:usable], np.uint8), "cu8")
+        return (re + 1j * im).astype(np.complex64)
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
 
 
 def _parse_args(args: Optional[str]) -> Dict[str, str]:
@@ -46,6 +172,8 @@ class SeifySource(Block):
         sample_rate: float = 1e6,
         gain: float = 0.0,
         path: Optional[str] = None,
+        host: Optional[str] = None,
+        port: Optional[int] = None,
         tone_offset: float = 100e3,
         noise_power: float = 1e-4,
         name: Optional[str] = None,
@@ -64,31 +192,46 @@ class SeifySource(Block):
         self._phase = 0.0
         self._rng = np.random.default_rng(0)
         self._file = None
+        self._rtl: Optional[RtlTcpClient] = None
         if driver == "file":
             if not path:
                 raise ValueError("driver=file needs path=...")
             self._file = np.memmap(path, dtype=np.complex64, mode="r")
             self._pos = 0
+        elif driver == "rtl_tcp":
+            self._rtl = RtlTcpClient(
+                host=host or "127.0.0.1", port=int(port or 1234)
+            )
+            self._rtl.set_sample_rate(self.sample_rate)
+            self._rtl.set_freq(self.frequency)
+            self._rtl.set_gain(self.gain if self.gain != 0.0 else None)
         elif driver != "dummy":
             raise ValueError(
                 f"driver {driver!r} not available on this platform — use "
-                "'dummy', 'file', or network ingest blocks (Tcp/Udp/Zmq)"
+                "'dummy', 'file', 'rtl_tcp', or network ingest blocks "
+                "(Tcp/Udp/Zmq)"
             )
 
     # ---- message handlers (seify/source.rs:126-210 ports) --------------
     @message_handler("freq")
     def _freq(self, pmt: Pmt) -> Pmt:
         self.frequency = float(pmt.as_float())
+        if self._rtl is not None:
+            self._rtl.set_freq(self.frequency)
         return Pmt.ok()
 
     @message_handler("gain")
     def _gain(self, pmt: Pmt) -> Pmt:
         self.gain = float(pmt.as_float())
+        if self._rtl is not None:
+            self._rtl.set_gain(self.gain)
         return Pmt.ok()
 
     @message_handler("sample_rate")
     def _rate(self, pmt: Pmt) -> Pmt:
         self.sample_rate = float(pmt.as_float())
+        if self._rtl is not None:
+            self._rtl.set_sample_rate(self.sample_rate)
         return Pmt.ok()
 
     @message_handler("cmd")
@@ -98,13 +241,21 @@ class SeifySource(Block):
             for k, v in cfg.items():
                 if k in ("freq", "frequency"):
                     self.frequency = float(v)
+                    if self._rtl is not None:
+                        self._rtl.set_freq(self.frequency)
                 elif k == "gain":
                     self.gain = float(v)
+                    if self._rtl is not None:
+                        self._rtl.set_gain(self.gain)
                 elif k == "sample_rate":
                     self.sample_rate = float(v)
+                    if self._rtl is not None:
+                        self._rtl.set_sample_rate(self.sample_rate)
         return Pmt.ok()
 
     def host_produce(self, n: int, port: int = 0):
+        if self._rtl is not None:
+            return self._rtl.read(n)
         if self._file is not None:
             end = min(self._pos + n, len(self._file))
             if self._pos >= len(self._file):
@@ -123,6 +274,10 @@ class SeifySource(Block):
                 + 1j * self._rng.standard_normal(n)
             )
         return iq.astype(np.complex64)
+
+    def on_finish(self) -> None:
+        if self._rtl is not None:
+            self._rtl.close()
 
 
 class SeifySink(Block):
@@ -192,6 +347,8 @@ class Builder:
             sample_rate=self._rate,
             gain=self._gain,
             path=self._cfg.get("path"),
+            host=self._cfg.get("host"),
+            port=int(self._cfg["port"]) if "port" in self._cfg else None,
         )
 
     def build_sink(self) -> SeifySink:

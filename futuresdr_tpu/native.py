@@ -77,6 +77,7 @@ def _declare(m: ctypes.CDLL) -> None:
     m.ring_read.argtypes = [p, ctypes.c_char_p, u64]
     for name, t_in in [
         ("cs8_to_planar_f32", ctypes.POINTER(ctypes.c_int8)),
+        ("cu8_to_planar_f32", ctypes.POINTER(ctypes.c_uint8)),
         ("cs16_to_planar_f32", ctypes.POINTER(ctypes.c_int16)),
         ("cf32_to_planar_f32", ctypes.POINTER(ctypes.c_float)),
     ]:
@@ -124,8 +125,20 @@ def _declare(m: ctypes.CDLL) -> None:
     ]
 
 
-_IN_DTYPE = {"cs8": np.int8, "cs16": np.int16, "cf32": np.float32}
-_SCALE = {"cs8": 1.0 / 128.0, "cs16": 1.0 / 32768.0, "cf32": 1.0}
+_IN_DTYPE = {
+    "cs8": np.int8,
+    "cu8": np.uint8,
+    "cs16": np.int16,
+    "cf32": np.float32,
+}
+_SCALE = {
+    "cs8": 1.0 / 128.0,
+    "cu8": 1.0 / 127.5,
+    "cs16": 1.0 / 32768.0,
+    "cf32": 1.0,
+}
+# offset removed before scaling (cu8 is offset-binary, the rtl_tcp wire fmt)
+_OFFSET = {"cu8": 127.5}
 
 
 def convert_iq(raw: np.ndarray, fmt: str):
@@ -140,6 +153,7 @@ def convert_iq(raw: np.ndarray, fmt: str):
     if m is not None:
         fn = {
             "cs8": m.cs8_to_planar_f32,
+            "cu8": m.cu8_to_planar_f32,
             "cs16": m.cs16_to_planar_f32,
             "cf32": m.cf32_to_planar_f32,
         }[fmt]
@@ -151,8 +165,9 @@ def convert_iq(raw: np.ndarray, fmt: str):
         )
     else:
         k = _SCALE[fmt]
-        re[:] = raw[0::2].astype(np.float32) * k
-        im[:] = raw[1::2].astype(np.float32) * k
+        off = _OFFSET.get(fmt, 0.0)
+        re[:] = (raw[0::2].astype(np.float32) - off) * k
+        im[:] = (raw[1::2].astype(np.float32) - off) * k
     return re, im
 
 

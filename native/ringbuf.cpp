@@ -32,6 +32,15 @@ void cs8_to_planar_f32(const int8_t* in, float* re, float* im, int64_t n) {
     }
 }
 
+// offset-uint8 interleaved (rtl_tcp wire format) -> planar f32 in [-1, 1]
+void cu8_to_planar_f32(const uint8_t* in, float* re, float* im, int64_t n) {
+    constexpr float k = 1.0f / 127.5f;
+    for (int64_t i = 0; i < n; ++i) {
+        re[i] = k * (static_cast<float>(in[2 * i]) - 127.5f);
+        im[i] = k * (static_cast<float>(in[2 * i + 1]) - 127.5f);
+    }
+}
+
 // int16 interleaved (sc16, USRP/RTL float path) -> planar f32, 1/32768
 void cs16_to_planar_f32(const int16_t* in, float* re, float* im, int64_t n) {
     constexpr float k = 1.0f / 32768.0f;

@@ -1,0 +1,137 @@
+"""seify rtl_tcp network driver against an in-process fake server.
+
+The reference reaches RTL-SDR dongles through seify's USB drivers
+(`/root/reference/src/blocks/seify/source.rs`); here the dongle is on the
+network via librtlsdr's rtl_tcp protocol. The fake server below speaks the
+real wire format (RTL0 banner, 5-byte big-endian commands, offset-uint8 IQ
+stream), mirroring the reference's dummy-driver test pattern
+(`/root/reference/tests/seify.rs:18-70`).
+"""
+
+import socket
+import struct
+import threading
+
+import numpy as np
+
+from futuresdr_tpu import Flowgraph, Runtime, connect
+from futuresdr_tpu.blocks import Head, VectorSink
+from futuresdr_tpu.blocks.seify import Builder, RtlTcpClient
+from futuresdr_tpu.types.pmt import Pmt
+
+
+class FakeRtlTcpServer:
+    """One-connection rtl_tcp server: banner, IQ ramp stream, command log."""
+
+    def __init__(self, n_samples: int, tuner_type: int = 5, gain_count: int = 29):
+        self.n_samples = n_samples
+        self.tuner_type = tuner_type
+        self.gain_count = gain_count
+        self.commands = []  # (cmd_id, param) in arrival order
+        self._lsock = socket.socket()
+        self._lsock.bind(("127.0.0.1", 0))
+        self._lsock.listen(1)
+        self.port = self._lsock.getsockname()[1]
+        self.iq_bytes = bytes(
+            (np.arange(2 * n_samples) % 256).astype(np.uint8)
+        )
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self) -> None:
+        conn, _ = self._lsock.accept()
+        self._lsock.close()
+        with conn:
+            conn.sendall(
+                b"RTL0" + struct.pack(">II", self.tuner_type, self.gain_count)
+            )
+            # drain commands in a side thread while streaming samples
+            def drain():
+                buf = b""
+                while True:
+                    try:
+                        data = conn.recv(4096)
+                    except OSError:
+                        return
+                    if not data:
+                        return
+                    buf += data
+                    while len(buf) >= 5:
+                        cmd, param = struct.unpack(">BI", buf[:5])
+                        self.commands.append((cmd, param))
+                        buf = buf[5:]
+
+            t = threading.Thread(target=drain, daemon=True)
+            t.start()
+            conn.sendall(self.iq_bytes)
+            # half-close: FIN after the stream so the client sees EOF even
+            # though the drain thread still holds the socket in recv()
+            # (CPython defers the real close while a recv is in flight)
+            conn.shutdown(socket.SHUT_WR)
+            deadline = threading.Event()
+            deadline.wait(0.3)
+
+    def join(self) -> None:
+        self._thread.join(timeout=5)
+
+
+def _wait_for(pred, timeout=2.0):
+    deadline = threading.Event()
+    for _ in range(int(timeout / 0.01)):
+        if pred():
+            return True
+        deadline.wait(0.01)
+    return pred()
+
+
+def test_rtl_tcp_client_banner_and_samples():
+    srv = FakeRtlTcpServer(n_samples=4096)
+    cli = RtlTcpClient(port=srv.port)
+    assert cli.tuner_name == "R820T"
+    assert cli.tuner_gain_count == 29
+    cli.set_sample_rate(2.4e6)
+    cli.set_freq(100e6)
+    cli.set_gain(28.0)
+    got = cli.read(4096)
+    assert got is not None and got.shape == (4096,)
+    # wire format: u8 ramp -> (x - 127.5) / 127.5
+    raw = np.frombuffer(srv.iq_bytes, np.uint8).astype(np.float32)
+    expect = ((raw[0::2] - 127.5) + 1j * (raw[1::2] - 127.5)) / 127.5
+    np.testing.assert_allclose(got, expect.astype(np.complex64), atol=1e-6)
+    assert cli.read(1) is None  # server closed -> EOF
+    cli.close()
+    assert _wait_for(lambda: len(srv.commands) >= 4)
+    assert (0x02, 2_400_000) in srv.commands  # sample rate
+    assert (0x01, 100_000_000) in srv.commands  # freq
+    assert (0x03, 1) in srv.commands  # manual gain mode
+    assert (0x04, 280) in srv.commands  # 28.0 dB -> tenths
+
+
+def test_rtl_tcp_source_flowgraph_and_retune():
+    n = 16384
+    srv = FakeRtlTcpServer(n_samples=n)
+    src = (
+        Builder(f"driver=rtl_tcp,host=127.0.0.1,port={srv.port}")
+        .frequency(868e6)
+        .sample_rate(1e6)
+        .build_source()
+    )
+    # initial config hit the wire at construction
+    assert _wait_for(lambda: (0x01, 868_000_000) in srv.commands)
+    assert (0x02, 1_000_000) in srv.commands
+    # gain 0.0 -> hardware AGC (gain_mode auto + agc on)
+    assert (0x03, 0) in srv.commands and (0x08, 1) in srv.commands
+
+    src.call_handler("freq", Pmt.from_py(915e6))
+    assert _wait_for(lambda: (0x01, 915_000_000) in srv.commands)
+
+    fg = Flowgraph()
+    snk = VectorSink(np.complex64)
+    connect(fg, src, Head(n, np.complex64), snk)
+    Runtime(chunk_size=4096).run(fg)
+    y = snk.data()
+    assert len(y) == n
+    raw = np.frombuffer(srv.iq_bytes, np.uint8).astype(np.float32)
+    expect = ((raw[0::2] - 127.5) + 1j * (raw[1::2] - 127.5)) / 127.5
+    np.testing.assert_allclose(y, expect.astype(np.complex64), atol=1e-6)
+    srv.join()
