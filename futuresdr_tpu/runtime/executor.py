@@ -641,12 +641,21 @@ class Executor:
         while inflight:
             self._deliver_full(inflight.popleft(), lat_left)
         if getattr(self, "_last_arrays", None) is not None:
-            jax.tree_util.tree_map(
-                lambda a: np.asarray(a[(Ellipsis,) + (slice(-1, None),)])
-                if hasattr(a, "shape") and a.ndim
-                else np.asarray(a),
-                self._last_arrays,
-            )
+            # one combined scalar, one fetch: a per-leaf fetch costs a full
+            # tunnel round-trip EACH (~50 ms measured), so reduce all leaves
+            # into a single element device-side first
+            leaves = [
+                l
+                for l in jax.tree_util.tree_leaves(self._last_arrays)
+                if hasattr(l, "ndim") and getattr(l, "size", 0)
+            ]
+            if leaves:
+                import jax.numpy as jnp
+
+                probe = sum(
+                    jnp.ravel(l)[-1].astype(jnp.float32) for l in leaves
+                )
+                np.asarray(probe)
         self._drain_messages()
         for b in fg.blocks:
             b.on_finish()

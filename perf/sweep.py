@@ -50,15 +50,16 @@ def run_one(kind: str, pipes: int, stages: int, samples: int, chunk: int):
     ex = Executor(fg, chunk_size=chunk)
     per_step = ex.cfg.out_chunks[0][0]  # NullSource chunk
     steps = max(1, samples // (per_step * pipes))
-    # warmup (compile)
-    ex.max_steps = 1
+    # warmup (trace + compile) on the SAME executor: each Executor owns its
+    # jitted step, so measuring a fresh instance times a re-trace (~0.7 s),
+    # not the stream
+    ex.max_steps = 2
     ex.running = True
     ex.run_loop()
-    # measured
-    ex2 = Executor(fg, chunk_size=chunk, max_steps=steps)
-    ex2.running = True
+    # measured: steady state on the warm step
+    ex.max_steps = steps
     t0 = time.perf_counter()
-    ex2.run_loop()
+    ex.run_loop()
     dt = time.perf_counter() - t0
     total = per_step * steps * pipes
     return total, dt
