@@ -34,20 +34,33 @@ def main() -> None:
         default="1d",
         help="1d time mesh, 2d ch-x-time, or partial-DFT 2d",
     )
+    ap.add_argument(
+        "--real",
+        action="store_true",
+        help="use the real attached devices instead of a virtual CPU mesh",
+    )
     args = ap.parse_args()
 
     import jax
 
-    if len(jax.devices()) < args.devices:
-        import os
-
+    if args.real:
+        if len(jax.devices()) < args.devices:
+            print(
+                f"# --real but only {len(jax.devices())} devices",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+    else:
+        # default: virtual CPU mesh, configured BEFORE any backend init
+        # (env vars are not enough on containers whose sitecustomize pins
+        # a TPU backend at interpreter start)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.devices)
         print(
-            f"# only {len(jax.devices())} devices; set XLA_FLAGS="
-            f"--xla_force_host_platform_device_count={args.devices} "
-            "JAX_PLATFORMS=cpu for a virtual mesh",
+            f"# {args.devices}-device virtual CPU mesh (pass --real on an "
+            "actual slice for ICI numbers)",
             file=sys.stderr,
         )
-        sys.exit(1)
 
     from futuresdr_tpu.models.pfb_fm_bank import (
         BankConfig,
