@@ -23,11 +23,10 @@ try:  # pragma: no cover - environment dependent
 except Exception:  # noqa: BLE001
     _sd = None
 
-# CAVEAT: the ``sounddevice`` hardware path is written to the library's
-# documented stream API but has NOT been exercised on real audio hardware
-# (this build environment has no sound device and no ``sounddevice``
-# package — every run and test here uses the WAV fallback). Treat the
-# ``_sd`` branches as best-effort until driven on a host with audio.
+# The ``sounddevice`` branches are exercised against a fake driver with
+# the real stream API (tests/test_audio_driver.py — the dummy-driver
+# pattern); they have not run on physical audio hardware, since this
+# build environment has none.
 
 
 def supported_sample_rates():
