@@ -77,6 +77,13 @@ class VectorSource(Block):
         self._abs += chunk.shape[-1]
         return (chunk, tags) if tags else chunk
 
+    def host_state(self):
+        return {"pos": self._pos, "abs": self._abs}
+
+    def set_host_state(self, state) -> None:
+        self._pos = int(state["pos"])
+        self._abs = int(state["abs"])
+
 
 class VectorSink(Block):
     """Host sink accumulating all items + tags (parity: vector_sink.rs:69)."""
@@ -101,6 +108,15 @@ class VectorSink(Block):
 
     def tags(self) -> List[ItemTag]:
         return list(self._tags)
+
+    def host_state(self):
+        return {"data": self.data(), "tags": list(self._tags), "n": self._n}
+
+    def set_host_state(self, state) -> None:
+        d = state["data"]
+        self._chunks = [d] if d.shape[-1] else []
+        self._tags = list(state["tags"])
+        self._n = int(state["n"])
 
 
 class NullSource(Block):
@@ -183,6 +199,12 @@ class FileSource(Block):
         chunk = np.asarray(self._mm[self._pos : end])
         self._pos = end
         return chunk
+
+    def host_state(self):
+        return {"pos": self._pos}
+
+    def set_host_state(self, state) -> None:
+        self._pos = int(state["pos"])
 
 
 class IQFileSource(Block):
@@ -299,6 +321,18 @@ class FileSink(Block):
     def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:
         self._f.write(np.ascontiguousarray(arr.astype(self._dtype)).tobytes())
         self.n_written += arr.shape[-1]
+
+    def host_state(self):
+        self._f.flush()
+        return {"n_written": self.n_written}
+
+    def set_host_state(self, state) -> None:
+        # continue the file from exactly the checkpointed length
+        self.n_written = int(state["n_written"])
+        self._f.close()
+        with open(self.path, "r+b") as f:
+            f.truncate(self.n_written * self._dtype.itemsize)
+        self._f = open(self.path, "ab")
 
     def on_finish(self) -> None:
         if not self._f.closed:

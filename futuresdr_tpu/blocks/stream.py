@@ -66,6 +66,13 @@ class Head(Block):
             self.request_finish()
         return free + v
 
+    def host_state(self):
+        return {"remaining": self._remaining, "lat_free": self._lat_free}
+
+    def set_host_state(self, state) -> None:
+        self._remaining = int(state["remaining"])
+        self._lat_free = int(state["lat_free"])
+
 
 class Delay(Block):
     """Insert ``n`` zero samples at stream start (positive delay,

@@ -257,6 +257,14 @@ def _convert_sc16(raw: jnp.ndarray) -> CArray:
     return CArray(f[0::2], f[1::2])
 
 
+@jax.jit
+def _convert_cs8(raw: jnp.ndarray) -> CArray:
+    """Interleaved int8 I/Q → CArray floats, on device (cs8 ingest —
+    HackRF-style wire format, 8x fewer H2D bytes than complex64)."""
+    f = raw.astype(jnp.float32) * (1.0 / 128.0)
+    return CArray(f[0::2], f[1::2])
+
+
 def _demap_llrs_f32(eq: CArray, n_bpsc: int) -> jnp.ndarray:
     """Device max-log demapper (same math as ``consts.demap_soft``):
     CArray symbols [..., 48] → f32 LLRs [..., 48, n_bpsc]."""
@@ -563,13 +571,14 @@ def prepare_device_iq(iq: np.ndarray):
     tunnel-limited dev hosts the upload, not the machine, otherwise
     bounds the rate."""
     iq = np.asarray(iq)
-    is_sc16 = iq.dtype == np.int16
-    n_real = len(iq) // 2 if is_sc16 else len(iq)
+    is_wire = iq.dtype in (np.int16, np.int8)
+    n_real = len(iq) // 2 if is_wire else len(iq)
     bucket = -(-n_real // 32768) * 32768
     pad = bucket - n_real + FRAME_WIN
-    if is_sc16:
-        raw = np.concatenate([iq, np.zeros(2 * pad, np.int16)])
-        x = _convert_sc16(jnp.asarray(raw))
+    if is_wire:
+        raw = np.concatenate([iq, np.zeros(2 * pad, iq.dtype)])
+        conv = _convert_sc16 if iq.dtype == np.int16 else _convert_cs8
+        x = conv(jnp.asarray(raw))
     else:
         arr = np.concatenate(
             [iq.astype(np.complex64), np.zeros(pad, np.complex64)]

@@ -155,6 +155,17 @@ class Block:
     def on_finish(self) -> None:
         """Host hook: called once when the flowgraph finishes."""
 
+    # ---- checkpoint/resume (host-side position & accumulation) ----------
+    def host_state(self):
+        """Snapshot of host-side state (stream position, accumulated
+        output, …) for :meth:`Executor.snapshot`. ``None`` (default) =
+        stateless on the host; device-side state is captured separately
+        by the executor. Must be picklable."""
+        return None
+
+    def set_host_state(self, state) -> None:
+        """Restore what :meth:`host_state` captured."""
+
     # ---- params (retunable device scalars) -----------------------------
     def params(self) -> Dict[str, np.ndarray]:
         """Current device params; passed as jit args every step."""

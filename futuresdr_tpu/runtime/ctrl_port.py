@@ -8,6 +8,8 @@ thread) — here the stdlib ``http.server`` on a daemon thread. Routes:
 * ``GET /api/fg/{fg}/block/{blk}/`` — BlockDescription
 * ``GET|POST /api/fg/{fg}/block/{blk}/call/{handler}/`` — handler RPC
   (POST body = Pmt as JSON; GET calls with null)
+* ``POST /api/fg/{fg}/snapshot/`` — checkpoint the live graph to a path
+  (body ``{"path": "..."}``); resume with ``Runtime.run(restore=...)``
 * ``GET /api/fg/{fg}/stats/`` — executor counters (steps, items in/out,
   wall time) from :meth:`FlowgraphHandle.stats` (TPU-side addition; the
   reference exposes perf data via tracing/LTTng instead)
@@ -155,6 +157,26 @@ class ControlPort:
                 req._send(404, {"error": "no such block"})
                 return
             req._send(200, blocks[bid])
+            return
+
+        m_snap = re.fullmatch(r"/api/fg/(\d+)/snapshot/?", path)
+        if method == "POST" and m_snap:
+            h = self._handles.get(int(m_snap.group(1)))
+            if h is None:
+                req._send(404, {"error": "no such flowgraph"})
+                return
+            if not hasattr(h, "snapshot"):
+                req._send(404, {"error": "handle exposes no snapshot"})
+                return
+            path_arg = (
+                body.get("path")
+                if isinstance(body, dict)
+                else body if isinstance(body, str) else None
+            )
+            if not path_arg:
+                req._send(400, {"error": 'body must be {"path": "..."}'})
+                return
+            req._send(200, {"path": h.snapshot(path_arg)})
             return
 
         m_call = re.fullmatch(

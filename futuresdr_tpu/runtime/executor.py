@@ -106,6 +106,10 @@ class FlowgraphHandle:
     def stop(self) -> None:
         self._ex.request_stop()
 
+    def snapshot(self, path, timeout: float = 120.0) -> str:
+        """Checkpoint the live flowgraph (see :meth:`Executor.snapshot`)."""
+        return self._ex.snapshot(path, timeout=timeout)
+
     def wait(self, timeout: Optional[float] = None) -> Flowgraph:
         return self._ex.join(timeout)
 
@@ -123,6 +127,7 @@ class Executor:
         chunk_size: Optional[int] = None,
         max_inflight: int = 2,
         max_steps: Optional[int] = None,
+        restore: Optional[str] = None,
     ):
         self.fg = fg
         self.cfg: CompiledFlowgraph = compile_flowgraph(fg, chunk_size=chunk_size)
@@ -145,7 +150,48 @@ class Executor:
         self._thread: Optional[threading.Thread] = None
         self._done = threading.Event()
         self.fg_id: Optional[int] = None  # control-port registration
+        self._restore_path = restore
+        self._snap_req: Optional[Tuple[str, queue.Queue]] = None
+        self._states = None  # post-run states (for offline snapshot)
+        self._lat_left: Dict[str, int] = {}
+        self._in_loop = False  # run_loop actively processing
         self._wire_message_ports()
+
+    # ---- checkpoint/resume ------------------------------------------------
+    def snapshot(self, path, timeout: float = 120.0) -> str:
+        """Write a consistent checkpoint of the flowgraph (device state +
+        host block state) to ``path``. Works on a live graph — the
+        snapshot is taken between steps, after all in-flight steps have
+        delivered — or on a stopped one (its final state)."""
+        from futuresdr_tpu.runtime.checkpoint import save_checkpoint
+
+        if self._in_loop:
+            replyq: queue.Queue = queue.Queue(1)
+            self._snap_req = (str(path), replyq)
+            self._wake.set()
+            kind, val = replyq.get(timeout=timeout)
+            if kind == "err":
+                raise val
+            return val
+        if self._states is None:
+            raise RuntimeError(
+                "nothing to snapshot: the flowgraph has not run"
+            )
+        save_checkpoint(path, self.fg, self._states, self._lat_left, self.steps_run)
+        return str(path)
+
+    def _handle_snap_req(self, states, lat_left, steps_total) -> None:
+        from futuresdr_tpu.runtime.checkpoint import save_checkpoint
+
+        req, self._snap_req = self._snap_req, None
+        if req is None:
+            return
+        path, replyq = req
+        try:
+            save_checkpoint(path, self.fg, states, lat_left, steps_total)
+            replyq.put(("ok", path))
+        except BaseException as e:  # noqa: BLE001 - reported to caller
+            replyq.put(("err", e))
 
     # ---- message plumbing ------------------------------------------------
     def _wire_message_ports(self) -> None:
@@ -430,21 +476,37 @@ class Executor:
 
     # ---- the loop --------------------------------------------------------
     def run_loop(self) -> None:
+        self._in_loop = True
+        try:
+            self._run_loop_impl()
+        finally:
+            self._in_loop = False
+
+    def _run_loop_impl(self) -> None:
         cfg, fg = self.cfg, self.fg
         self._t_start = time.monotonic()
         for b in fg.blocks:  # event-driven wakeup (BlockNotifier parity)
             b._wake_fn = self._wake.set
         states = cfg.init_states()
-        # every state leaf must be its own buffer (step donates states)
-        states = jax.tree_util.tree_map(
-            lambda a: jax.numpy.array(a, copy=True), states
-        )
         inflight: "deque[_Inflight]" = deque()
         lat_left = {
             cfg.pkey(bid, e.dst_port): cfg.edge_latency[e]
             for bid in cfg.host_sink_ids
             for e in fg.in_edges(bid)
         }
+        step_base = 0
+        if self._restore_path is not None:
+            from futuresdr_tpu.runtime.checkpoint import load_checkpoint
+
+            states, lat_restored, step_base = load_checkpoint(
+                self._restore_path, fg, states
+            )
+            lat_left = {k: lat_restored.get(k, 0) for k in lat_left}
+            self._restore_path = None  # consumed; a rerun starts fresh
+        # every state leaf must be its own buffer (step donates states)
+        states = jax.tree_util.tree_map(
+            lambda a: jax.numpy.array(a, copy=True), states
+        )
         src_dtypes = {}
         for bid in cfg.host_source_ids:
             b = fg.blocks[bid]
@@ -495,6 +557,12 @@ class Executor:
         while not self._stop.is_set():
             if self._drain_messages():
                 params_cache = None  # a handler may have retuned params
+            if self._snap_req is not None:
+                # consistent point: deliver all in-flight steps first so
+                # sink accumulation matches the carried device state
+                while inflight:
+                    self._deliver_full(inflight.popleft(), lat_left)
+                self._handle_snap_req(states, lat_left, step_base + step_no)
             for b in tickers:
                 b.host_tick()
             if any(b.finish_requested for b in fg.blocks):
@@ -624,7 +692,7 @@ class Executor:
                             )
                         )
                 step_no += len(batch)
-                self.steps_run = step_no
+                self.steps_run = step_base + step_no
 
             # -- deliver completed steps ----------------------------------
             while inflight and (eos or len(inflight) >= self.max_inflight):
@@ -640,6 +708,9 @@ class Executor:
         # device_get is a trustworthy settle point.
         while inflight:
             self._deliver_full(inflight.popleft(), lat_left)
+        self._states, self._lat_left = states, lat_left
+        if self._snap_req is not None:  # snapshot raced the shutdown
+            self._handle_snap_req(states, lat_left, step_base + step_no)
         if getattr(self, "_last_arrays", None) is not None:
             # one combined scalar, one fetch: a per-leaf fetch costs a full
             # tunnel round-trip EACH (~50 ms measured), so reduce all leaves
@@ -696,15 +767,20 @@ class Runtime:
         _enable_compile_cache()
 
     def run(
-        self, fg: Flowgraph, max_steps: Optional[int] = None
+        self,
+        fg: Flowgraph,
+        max_steps: Optional[int] = None,
+        restore: Optional[str] = None,
     ) -> Flowgraph:
         """Run a flowgraph to completion; returns it with block state
-        intact (parity: ``runtime.rs:204-207`` + ``restore_blocks``)."""
+        intact (parity: ``runtime.rs:204-207`` + ``restore_blocks``).
+        ``restore`` resumes from an :meth:`Executor.snapshot` checkpoint."""
         ex = Executor(
             fg,
             chunk_size=self.chunk_size,
             max_inflight=self.max_inflight,
             max_steps=max_steps,
+            restore=restore,
         )
         ex.running = True
         try:
@@ -715,7 +791,10 @@ class Runtime:
         return fg
 
     def start(
-        self, fg: Flowgraph, max_steps: Optional[int] = None
+        self,
+        fg: Flowgraph,
+        max_steps: Optional[int] = None,
+        restore: Optional[str] = None,
     ) -> FlowgraphHandle:
         """Start a flowgraph in the background; returns its handle
         (registered with the REST control port when ``ctrlport_enable``)."""
@@ -724,6 +803,7 @@ class Runtime:
             chunk_size=self.chunk_size,
             max_inflight=self.max_inflight,
             max_steps=max_steps,
+            restore=restore,
         )
         handle = ex.start()
         from futuresdr_tpu.runtime.ctrl_port import global_ctrl_port

@@ -41,6 +41,12 @@ def main() -> None:
         "H2D bytes, converted to float on device",
     )
     ap.add_argument(
+        "--cs8",
+        action="store_true",
+        help="feed interleaved-int8 I/Q (HackRF wire format): 8x fewer "
+        "H2D bytes, converted to float on device",
+    )
+    ap.add_argument(
         "--resident",
         action="store_true",
         help="upload IQ once, time decode from device-resident samples "
@@ -64,6 +70,12 @@ def main() -> None:
     if args.sc16:
         scaled = np.clip(np.round(sig.view(np.float32) * 32767.0), -32768, 32767)
         feed = scaled.astype(np.int16)
+    elif args.cs8:
+        # AGC to full scale first: 8-bit headroom is precious
+        g = 127.0 / max(np.abs(sig.view(np.float32)).max(), 1e-9)
+        feed = np.clip(np.round(sig.view(np.float32) * g), -128, 127).astype(
+            np.int8
+        )
     if args.resident:
         feed, _, _ = prepare_device_iq(feed)
     # warmup with the SAME buffer (identical jit shapes — otherwise the

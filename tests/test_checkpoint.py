@@ -1,0 +1,140 @@
+"""Checkpoint/resume: snapshot a flowgraph mid-stream, resume bit-exact.
+
+Beyond reference parity: FutureSDR has no checkpointing (SURVEY.md §5 —
+its closest mechanism is reading state back from a *finished* graph).
+Here a snapshot captures every block's device carry (filter history,
+feedback scans) plus host positions/accumulations, and a resumed run
+must produce output identical to one that never stopped.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from futuresdr_tpu import Flowgraph, Runtime, connect
+from futuresdr_tpu.blocks import (
+    Agc,
+    Fir,
+    Head,
+    SignalSource,
+    Throttle,
+    VectorSink,
+    VectorSource,
+)
+from futuresdr_tpu.runtime.executor import Executor
+
+
+def _taps(n=31, seed=0):
+    return np.random.default_rng(seed).standard_normal(n).astype(np.float32)
+
+
+def _graph(x):
+    fg = Flowgraph()
+    snk = VectorSink(np.complex64)
+    connect(fg, VectorSource(x), Fir(_taps()), snk)
+    return fg, snk
+
+
+def _iq(n, seed=1):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """Stateful FIR chain: run 3 steps, snapshot, resume in a fresh
+    process-equivalent graph; concatenated output is bit-exact."""
+    x = _iq(8 * 4096)
+    ckpt = tmp_path / "fg.ckpt"
+
+    # uninterrupted reference
+    fg_ref, snk_ref = _graph(x)
+    Runtime(chunk_size=4096).run(fg_ref)
+    ref = snk_ref.data()
+
+    # first half: 3 steps then snapshot the stopped executor
+    fg1, snk1 = _graph(x)
+    ex1 = Executor(fg1, chunk_size=4096, max_steps=3)
+    ex1.running = True
+    ex1.run_loop()
+    ex1.snapshot(ckpt)
+    part1 = snk1.data()
+    assert 0 < len(part1) < len(ref)
+
+    # second half: structurally identical fresh graph, restore, run to EOS
+    fg2, snk2 = _graph(x)
+    Runtime(chunk_size=4096).run(fg2, restore=str(ckpt))
+    out = snk2.data()
+    np.testing.assert_array_equal(out, ref)
+    # the restored sink contains part1 exactly as a prefix
+    np.testing.assert_array_equal(out[: len(part1)], part1)
+
+
+def test_live_snapshot_on_running_graph(tmp_path):
+    """handle.snapshot() on a throttled live graph is consistent: resume
+    reproduces the uninterrupted stream bit-exactly."""
+    n = 1 << 16
+    ckpt = tmp_path / "live.ckpt"
+
+    def graph():
+        fg = Flowgraph()
+        snk = VectorSink(np.float32)
+        connect(
+            fg,
+            SignalSource(1e3, 48e3, kind="sin"),
+            Head(n, np.float32),
+            Throttle(400_000, dtype=np.float32),
+            Agc(dtype=np.float32),
+            snk,
+        )
+        return fg, snk
+
+    fg_ref, snk_ref = graph()
+    Runtime(chunk_size=4096).run(fg_ref)
+    ref = snk_ref.data()
+
+    fg1, snk1 = graph()
+    handle = Runtime(chunk_size=4096).start(fg1)
+    # let a few steps land, then checkpoint mid-flight and stop
+    deadline = threading.Event()
+    deadline.wait(0.15)
+    path = handle.snapshot(ckpt)
+    handle.stop()
+    handle.wait(timeout=30)
+    part1 = snk1.data()
+
+    fg2, snk2 = graph()
+    Runtime(chunk_size=4096).run(fg2, restore=path)
+    out = snk2.data()
+    assert len(part1) <= len(out) == len(ref) == n
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_restore_rejects_different_graph(tmp_path):
+    x = _iq(4 * 4096)
+    fg1, _ = _graph(x)
+    ex1 = Executor(fg1, chunk_size=4096, max_steps=2)
+    ex1.running = True
+    ex1.run_loop()
+    ckpt = tmp_path / "a.ckpt"
+    ex1.snapshot(ckpt)
+
+    fg2 = Flowgraph()
+    connect(
+        fg2,
+        VectorSource(x),
+        Fir(_taps()),
+        Fir(_taps(15)),  # extra block: different structure
+        VectorSink(np.complex64),
+    )
+    with pytest.raises(Exception, match="structurally different"):
+        Runtime(chunk_size=4096).run(fg2, restore=str(ckpt))
+
+
+def test_snapshot_before_run_raises():
+    fg, _ = _graph(_iq(4096))
+    ex = Executor(fg, chunk_size=4096)
+    with pytest.raises(RuntimeError, match="has not run"):
+        ex.snapshot("/tmp/never.ckpt")

@@ -294,6 +294,34 @@ def test_rx_sc16_ingest():
     assert frames[0].psdu == psdu
 
 
+def test_rx_cs8_ingest():
+    """Interleaved int8 I/Q (HackRF wire format, 8x fewer H2D bytes)
+    decodes through the device-side converter despite 8-bit quantization."""
+    import numpy as np
+
+    from futuresdr_tpu.models.wlan import (
+        WlanReceiver,
+        encode_frame,
+        make_mac_frame,
+    )
+
+    psdu = make_mac_frame(b"cs8 ingest frame payload!!", seq=2)
+    sig = np.concatenate(
+        [
+            np.zeros(500, np.complex64),
+            encode_frame(psdu, "qpsk12", scrambler_seed=11),
+            np.zeros(3000, np.complex64),
+        ]
+    ).astype(np.complex64)
+    g = 127.0 / np.abs(sig).max()
+    cs8 = np.empty(2 * len(sig), np.int8)
+    cs8[0::2] = np.clip(np.round(sig.real * g), -128, 127).astype(np.int8)
+    cs8[1::2] = np.clip(np.round(sig.imag * g), -128, 127).astype(np.int8)
+    frames = WlanReceiver().process(cs8)
+    assert len(frames) == 1 and frames[0].crc_ok
+    assert frames[0].psdu == psdu
+
+
 def test_rx_device_resident_ingest():
     """prepare_device_iq + CArray process decodes the same frames as the
     host-numpy path without re-crossing H2D, and rejects odd shapes."""
