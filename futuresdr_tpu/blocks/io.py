@@ -240,16 +240,23 @@ class IQFileSource(Block):
         from futuresdr_tpu.native import NativeRing, convert_iq
 
         self._convert = convert_iq
+        self._ring_bytes = ring_bytes
         self._ring = NativeRing(ring_bytes)
         self._eof = threading.Event()
         self._stop = threading.Event()
+        self._consumed = 0  # bytes delivered to the executor (checkpoint)
+        self._resume_at = 0  # first-pass file offset after a restore
         self._thread = threading.Thread(target=self._reader, daemon=True)
         self._thread.start()
 
     def _reader(self) -> None:
         item = self._ITEM_BYTES[self.fmt]
+        first = True
         while not self._stop.is_set():
             with open(self.path, "rb") as f:
+                if first and self._resume_at:
+                    f.seek(self._resume_at)
+                first = False
                 while not self._stop.is_set():
                     space = self._ring.writable()
                     if space < item:
@@ -298,7 +305,29 @@ class IQFileSource(Block):
             self.fmt
         ]
         re, im = self._convert(_np.frombuffer(raw, scalar), self.fmt)
+        self._consumed += len(raw)
         return (re + 1j * im).astype(_np.complex64)
+
+    def host_state(self):
+        return {"consumed": self._consumed}
+
+    def set_host_state(self, state) -> None:
+        # restart the reader thread at the checkpointed stream position
+        # (prefetched-but-undelivered ring bytes are intentionally dropped)
+        from futuresdr_tpu.native import NativeRing
+
+        self._stop.set()
+        self._thread.join(timeout=10)
+        self._consumed = int(state["consumed"])
+        size = self.path.stat().st_size
+        self._resume_at = (
+            self._consumed % size if self.repeat and size else self._consumed
+        )
+        self._ring = NativeRing(self._ring_bytes)
+        self._eof = threading.Event()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._reader, daemon=True)
+        self._thread.start()
 
     def on_finish(self) -> None:
         self._stop.set()
@@ -315,27 +344,46 @@ class FileSink(Block):
         self.stream_inputs = [PortSpec("in", dt)]
         self.rate_in = (1,)
         self._dtype = dt
-        self._f = open(self.path, "wb")
+        # opened lazily: a checkpoint restore must see the existing file
+        # intact (eager "wb" in __init__ would truncate it before
+        # set_host_state could continue it)
+        self._f = None
         self.n_written = 0
 
+    def _file(self):
+        if self._f is None:
+            self._f = open(self.path, "wb")
+        return self._f
+
     def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:
-        self._f.write(np.ascontiguousarray(arr.astype(self._dtype)).tobytes())
+        self._file().write(
+            np.ascontiguousarray(arr.astype(self._dtype)).tobytes()
+        )
         self.n_written += arr.shape[-1]
 
     def host_state(self):
-        self._f.flush()
+        if self._f is not None and not self._f.closed:
+            self._f.flush()
         return {"n_written": self.n_written}
 
     def set_host_state(self, state) -> None:
         # continue the file from exactly the checkpointed length
         self.n_written = int(state["n_written"])
-        self._f.close()
-        with open(self.path, "r+b") as f:
-            f.truncate(self.n_written * self._dtype.itemsize)
-        self._f = open(self.path, "ab")
+        want = self.n_written * self._dtype.itemsize
+        if self._f is not None:
+            self._f.close()
+        have = self.path.stat().st_size if self.path.exists() else -1
+        if have < want:
+            raise ValueError(
+                f"cannot resume FileSink: {self.path} has {have} B but the "
+                f"checkpoint recorded {want} B of output"
+            )
+        self._f = open(self.path, "r+b")
+        self._f.truncate(want)
+        self._f.seek(want)
 
     def on_finish(self) -> None:
-        if not self._f.closed:
+        if self._f is not None and not self._f.closed:
             self._f.flush()
             self._f.close()
 

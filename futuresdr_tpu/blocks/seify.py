@@ -170,7 +170,7 @@ class SeifySource(Block):
         driver: str = "dummy",
         frequency: float = 100e6,
         sample_rate: float = 1e6,
-        gain: float = 0.0,
+        gain: Optional[float] = None,
         path: Optional[str] = None,
         host: Optional[str] = None,
         port: Optional[int] = None,
@@ -182,7 +182,9 @@ class SeifySource(Block):
         self.driver = driver
         self.frequency = float(frequency)
         self.sample_rate = float(sample_rate)
-        self.gain = float(gain)
+        # None = hardware AGC (rtl_tcp) / unity amplitude (dummy); a value
+        # = manual gain in dB — 0.0 means manual 0 dB, not AGC
+        self.gain = None if gain is None else float(gain)
         self.tone_offset = float(tone_offset)
         self.noise_power = float(noise_power)
         self.is_blocking = True
@@ -204,7 +206,7 @@ class SeifySource(Block):
             )
             self._rtl.set_sample_rate(self.sample_rate)
             self._rtl.set_freq(self.frequency)
-            self._rtl.set_gain(self.gain if self.gain != 0.0 else None)
+            self._rtl.set_gain(self.gain)
         elif driver != "dummy":
             raise ValueError(
                 f"driver {driver!r} not available on this platform — use "
@@ -222,7 +224,8 @@ class SeifySource(Block):
 
     @message_handler("gain")
     def _gain(self, pmt: Pmt) -> Pmt:
-        self.gain = float(pmt.as_float())
+        v = pmt.to_py()
+        self.gain = None if v is None else float(v)  # None → back to AGC
         if self._rtl is not None:
             self._rtl.set_gain(self.gain)
         return Pmt.ok()
@@ -240,17 +243,11 @@ class SeifySource(Block):
         if isinstance(cfg, dict):
             for k, v in cfg.items():
                 if k in ("freq", "frequency"):
-                    self.frequency = float(v)
-                    if self._rtl is not None:
-                        self._rtl.set_freq(self.frequency)
+                    self._freq(Pmt.from_py(v))
                 elif k == "gain":
-                    self.gain = float(v)
-                    if self._rtl is not None:
-                        self._rtl.set_gain(self.gain)
+                    self._gain(Pmt.from_py(v))
                 elif k == "sample_rate":
-                    self.sample_rate = float(v)
-                    if self._rtl is not None:
-                        self._rtl.set_sample_rate(self.sample_rate)
+                    self._rate(Pmt.from_py(v))
         return Pmt.ok()
 
     def host_produce(self, n: int, port: int = 0):
@@ -263,7 +260,7 @@ class SeifySource(Block):
             chunk = np.asarray(self._file[self._pos : end])
             self._pos = end
             return chunk
-        amp = 10.0 ** (self.gain / 20.0)
+        amp = 10.0 ** ((self.gain or 0.0) / 20.0)
         w = 2.0 * np.pi * self.tone_offset / self.sample_rate
         ph = self._phase + w * np.arange(n)
         self._phase = float((self._phase + w * n) % (2.0 * np.pi))
@@ -279,6 +276,20 @@ class SeifySource(Block):
         if self._rtl is not None:
             self._rtl.close()
 
+    def host_state(self):
+        if self._rtl is not None:
+            return None  # live hardware: resume rejoins the live stream
+        st = {"phase": self._phase, "rng": self._rng.bit_generator.state}
+        if self._file is not None:
+            st["pos"] = self._pos
+        return st
+
+    def set_host_state(self, state) -> None:
+        self._phase = float(state["phase"])
+        self._rng.bit_generator.state = state["rng"]
+        if self._file is not None and "pos" in state:
+            self._pos = int(state["pos"])
+
 
 class SeifySink(Block):
     """Hardware-style IQ sink (parity: seify/sink.rs) — dummy driver
@@ -289,14 +300,14 @@ class SeifySink(Block):
         driver: str = "dummy",
         frequency: float = 100e6,
         sample_rate: float = 1e6,
-        gain: float = 0.0,
+        gain: Optional[float] = None,
         name: Optional[str] = None,
     ):
         super().__init__(name)
         self.driver = driver
         self.frequency = float(frequency)
         self.sample_rate = float(sample_rate)
-        self.gain = float(gain)
+        self.gain = None if gain is None else float(gain)
         self.is_blocking = True
         self.stream_inputs = [PortSpec("in", np.complex64)]
         self.rate_in = (1,)
@@ -323,7 +334,7 @@ class Builder:
         self._cfg = _parse_args(args)
         self._freq = 100e6
         self._rate = 1e6
-        self._gain = 0.0
+        self._gain: Optional[float] = None  # None = AGC
 
     def frequency(self, f: float) -> "Builder":
         self._freq = float(f)

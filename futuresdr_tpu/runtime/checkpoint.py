@@ -13,6 +13,18 @@ Format: a single ``.npz`` holding the flattened device-state leaves
 latency ledger, step counter). Restore validates the leaf structure
 against the new executor's own ``init_states()``, so a checkpoint can
 only load into a structurally identical graph.
+
+SECURITY: checkpoint files are TRUSTED input. Host state is pickled
+(block states are arbitrary Python), so ``load_checkpoint`` executes
+whatever a tampered file contains — same trust model as ``torch.load``.
+Never restore a checkpoint from an untrusted source. (The REST
+``/snapshot/`` route only *writes* checkpoints; restore is not exposed
+remotely.)
+
+Coverage: file/vector sources and sinks, ``Head``, and the seify
+dummy/file drivers checkpoint their positions; live network sources
+(rtl_tcp, TCP/UDP/ZMQ) are intentionally position-less — a resumed
+graph rejoins the live stream.
 """
 
 from __future__ import annotations

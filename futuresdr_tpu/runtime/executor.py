@@ -138,7 +138,8 @@ class Executor:
         self.items_delivered: Dict[int, int] = {
             bid: 0 for bid in self.cfg.host_sink_ids
         }
-        self.steps_run = 0
+        self.steps_run = 0  # steps dispatched by this run
+        self.steps_total = 0  # cumulative across checkpoint restores
         self._t_start: Optional[float] = None
         self._t_stop: Optional[float] = None
         self._last_arrays = None
@@ -155,6 +156,7 @@ class Executor:
         self._states = None  # post-run states (for offline snapshot)
         self._lat_left: Dict[str, int] = {}
         self._in_loop = False  # run_loop actively processing
+        self._snap_lock = threading.Lock()
         self._wire_message_ports()
 
     # ---- checkpoint/resume ------------------------------------------------
@@ -166,10 +168,26 @@ class Executor:
         from futuresdr_tpu.runtime.checkpoint import save_checkpoint
 
         if self._in_loop:
-            replyq: queue.Queue = queue.Queue(1)
-            self._snap_req = (str(path), replyq)
-            self._wake.set()
-            kind, val = replyq.get(timeout=timeout)
+            with self._snap_lock:  # one snapshot request slot
+                replyq: queue.Queue = queue.Queue(1)
+                self._snap_req = (str(path), replyq)
+                self._wake.set()
+                try:
+                    kind, val = replyq.get(timeout=timeout)
+                except queue.Empty:
+                    self._snap_req = None
+                    if not self._in_loop and self._states is not None:
+                        # raced the shutdown: the loop exited before
+                        # servicing — fall back to the final state
+                        save_checkpoint(
+                            path,
+                            self.fg,
+                            self._states,
+                            self._lat_left,
+                            self.steps_total,
+                        )
+                        return str(path)
+                    raise TimeoutError(f"snapshot {str(path)!r} timed out")
             if kind == "err":
                 raise val
             return val
@@ -177,7 +195,9 @@ class Executor:
             raise RuntimeError(
                 "nothing to snapshot: the flowgraph has not run"
             )
-        save_checkpoint(path, self.fg, self._states, self._lat_left, self.steps_run)
+        save_checkpoint(
+            path, self.fg, self._states, self._lat_left, self.steps_total
+        )
         return str(path)
 
     def _handle_snap_req(self, states, lat_left, steps_total) -> None:
@@ -465,6 +485,7 @@ class Executor:
         total_items = sum(self.items_delivered.values())
         return {
             "steps": self.steps_run,
+            "steps_total": self.steps_total,
             "elapsed_s": elapsed,
             "steps_per_s": self.steps_run / elapsed,
             "items_delivered": dict(self.items_delivered),
@@ -502,6 +523,7 @@ class Executor:
                 self._restore_path, fg, states
             )
             lat_left = {k: lat_restored.get(k, 0) for k in lat_left}
+            self.steps_total = step_base
             self._restore_path = None  # consumed; a rerun starts fresh
         # every state leaf must be its own buffer (step donates states)
         states = jax.tree_util.tree_map(
@@ -692,7 +714,10 @@ class Executor:
                             )
                         )
                 step_no += len(batch)
-                self.steps_run = step_base + step_no
+                # steps_run = this run only (stats rates divide by this
+                # run's elapsed time); steps_total spans restores
+                self.steps_run = step_no
+                self.steps_total = step_base + step_no
 
             # -- deliver completed steps ----------------------------------
             while inflight and (eos or len(inflight) >= self.max_inflight):
