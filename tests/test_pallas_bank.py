@@ -90,6 +90,51 @@ def test_fused_multi_tile_state_carry():
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
 
 
+def test_fused_audio_quality_vs_f32():
+    """Demodulated-audio SNR of the fused bf16 kernel vs the f32
+    pipeline on real FM carriers — the BASELINE 60 dB demod-quality gate
+    as a unit test, not just a CLI measurement. (A Karatsuba 3-matmul
+    DFT variant was tried and deleted: ~66 dB audio vs ~75 dB here AND
+    ~20% slower on chip — see NOTES.md.)"""
+    from futuresdr_tpu import config
+    from futuresdr_tpu.models.pfb_fm_bank import (
+        BankConfig,
+        make_bank_step,
+        make_bank_step_fused,
+    )
+    from futuresdr_tpu.ops import cplx
+
+    cfg = BankConfig(n_ch=128, taps_per_ch=8, audio_decim=8, audio_taps=32)
+    M, R = cfg.n_ch, 512
+    n = R * M
+    t = np.arange(n, dtype=np.float64)
+    chans = [5, 40, 97]
+    x = np.zeros(n, np.complex128)
+    for i, c in enumerate(chans):
+        msg_phase = 3.0 * np.sin(2 * np.pi * 0.002 * (i + 1) / M * t)
+        x += 0.5 * np.exp(1j * (2 * np.pi * c / M * t + msg_phase))
+    xc = cplx.from_numpy(x.astype(np.complex64))
+
+    config.set("channelizer_fft", "mixed_radix")
+    config.set("fft_precision", "high")
+    i0, s0 = make_bank_step(cfg)
+    st0 = i0()
+    _, ref = jax.jit(s0)(st0, xc)
+    ref = np.asarray(ref)
+
+    ik, sk = make_bank_step_fused(cfg, tile_rows=128, interpret=True)
+    stk = ik()
+    _, ak = sk(stk, xc)
+    got = np.asarray(ak)
+
+    warm = -(-cfg.audio_taps // cfg.audio_decim) + 2
+    s = ref[chans, warm:]
+    e = got[chans, warm:] - s
+    snr = 10 * np.log10(np.sum(s * s) / max(np.sum(e * e), 1e-30))
+    # measured ~75 dB in interpret mode; gate at the 60 dB spec + margin
+    assert snr > 70, snr
+
+
 def test_atan2_poly_accuracy():
     import jax.numpy as jnp
 
