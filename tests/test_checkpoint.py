@@ -207,6 +207,45 @@ def test_restore_rejects_different_graph(tmp_path):
         Runtime(chunk_size=4096).run(fg2, restore=str(ckpt))
 
 
+def test_resume_feedback_loop(tmp_path):
+    """Checkpoint carries lax.scan feedback state (close_circuit loops):
+    a leaky integrator resumed mid-stream equals the uninterrupted run."""
+    from futuresdr_tpu.blocks import Apply, Combine
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(2048).astype(np.float32)
+    a = 0.9
+
+    def build():
+        fg = Flowgraph()
+        src = VectorSource(x)
+        add = Combine(lambda u, v: u + v, np.float32, np.float32, np.float32)
+        gain = Apply(lambda v: a * v, np.float32, np.float32)
+        snk = VectorSink(np.float32)
+        for b in (src, add, gain, snk):
+            fg.add(b)
+        fg.stream(src, add, dst_port=0)
+        fg.stream(add, gain)
+        fg.close_circuit(gain, add, dst_port=1, delay=1)
+        fg.stream(add, snk)
+        return fg, snk
+
+    fg_ref, snk_ref = build()
+    Runtime(chunk_size=256).run(fg_ref)
+    ref = snk_ref.data()
+
+    fg1, snk1 = build()
+    ex1 = Executor(fg1, chunk_size=256, max_steps=3)
+    ex1.running = True
+    ex1.run_loop()
+    ckpt = tmp_path / "loop.ckpt"
+    ex1.snapshot(ckpt)
+
+    fg2, snk2 = build()
+    Runtime(chunk_size=256).run(fg2, restore=str(ckpt))
+    np.testing.assert_array_equal(snk2.data(), ref)
+
+
 def test_snapshot_before_run_raises():
     fg, _ = _graph(_iq(4096))
     ex = Executor(fg, chunk_size=4096)
