@@ -125,3 +125,35 @@ def test_describe_feedback_edge_flag():
     d = fg.describe()
     fbs = [e for e in d.stream_edges if e.feedback]
     assert len(fbs) == 1 and fbs[0].feedback == 3
+
+
+def test_ctrl_port_snapshot_route(tmp_path):
+    """POST /api/fg/{id}/snapshot/ checkpoints a live graph to a path."""
+    import json
+    from urllib.request import Request, urlopen
+
+    from futuresdr_tpu.blocks import Throttle
+
+    cp = ControlPort(bind="127.0.0.1:0")
+    try:
+        fg = Flowgraph()
+        src = SignalSource(100e3, 1e6, name="osc")
+        snk = NullSink(np.complex64)
+        connect(fg, src, Throttle(2e6, dtype=np.complex64), snk)
+        h = Runtime(chunk_size=8192).start(fg)
+        fg_id = cp.register(h)
+        time.sleep(0.2)
+
+        path = tmp_path / "live.ckpt"
+        req = Request(
+            f"http://127.0.0.1:{cp.port}/api/fg/{fg_id}/snapshot/",
+            data=json.dumps({"path": str(path)}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urlopen(req) as resp:
+            assert json.loads(resp.read())["path"] == str(path)
+        assert path.exists() and path.stat().st_size > 0
+        h.stop()
+        h.wait(timeout=10)
+    finally:
+        cp.shutdown()
