@@ -101,37 +101,51 @@ def main() -> None:
     ladder = os.environ.get("BENCH_LADDER", "1") != "0"
     results = {}
 
+    def _rung(key, label, build):
+        # each rung is independent: a compile-queue stall or failure in
+        # one must not cost the round its headline JSON line
+        try:
+            step_j, state, x = build()
+            _, results[key] = _bench_median(
+                step_j, state, x, x.shape[-1], label
+            )
+        except Exception as e:  # noqa: BLE001 - report and continue
+            print(f"# {label}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+
+    # headline rung FIRST: fused Pallas channelizer+demod kernel
+    def _build_fused():
+        init_f, step_f = make_bank_step_fused(cfg, tile_rows=128)
+        _, x = example_args(cfg, r=r_fused)
+        return jax.jit(step_f, donate_argnums=(0,)), init_f(), x
+
+    _rung("fused_pallas", "fused pallas channelizer+demod", _build_fused)
+
     if ladder:
-        # rung 1: full-f32 einsum pipeline (accuracy reference)
-        config.set("fft_precision", "high")
-        config.set("fir_dtype", "float32")
-        config.set("channelizer_fft", "mixed_radix")
-        _, step = make_bank_step(cfg)
-        state, x = example_args(cfg, r=r)
-        step_j = jax.jit(step, donate_argnums=(0,))
-        _, results["f32_mixed_radix"] = _bench_median(
-            step_j, state, x, x.shape[-1], "f32 einsum + mixed-radix FFT"
+
+        def _build_einsum(fir_dtype, fft):
+            def build():
+                config.set("fft_precision", "high")
+                config.set("fir_dtype", fir_dtype)
+                config.set("channelizer_fft", fft)
+                _, step = make_bank_step(cfg)
+                state, x = example_args(cfg, r=r)
+                return jax.jit(step, donate_argnums=(0,)), state, x
+
+            return build
+
+        _rung(
+            "f32_mixed_radix",
+            "f32 einsum + mixed-radix FFT",
+            _build_einsum("float32", "mixed_radix"),
+        )
+        _rung(
+            "bf16_dft",
+            "bf16 FIR + dft_bf16",
+            _build_einsum("bfloat16", "dft_bf16"),
         )
 
-        # rung 2: bf16 branch FIR + dense bf16 DFT matmul (round-1 best)
-        config.set("fir_dtype", "bfloat16")
-        config.set("channelizer_fft", "dft_bf16")
-        _, step = make_bank_step(cfg)
-        state, x = example_args(cfg, r=r)
-        step_j = jax.jit(step, donate_argnums=(0,))
-        _, results["bf16_dft"] = _bench_median(
-            step_j, state, x, x.shape[-1], "bf16 FIR + dft_bf16"
-        )
-
-    # rung 3 (headline): fused Pallas channelizer+demod kernel
-    init_f, step_f = make_bank_step_fused(cfg, tile_rows=128)
-    state_f = init_f()
-    _, x = example_args(cfg, r=r_fused)
-    step_fj = jax.jit(step_f, donate_argnums=(0,))
-    _, results["fused_pallas"] = _bench_median(
-        step_fj, state_f, x, x.shape[-1], "fused pallas channelizer+demod"
-    )
-
+    if not results:
+        raise SystemExit("every bench rung failed — see stderr")
     best = max(results, key=results.get)
     gsps = results[best]
     print(
