@@ -28,14 +28,13 @@ import time
 from collections import deque
 from dataclasses import dataclass
 from fractions import Fraction
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
 
 from futuresdr_tpu import config
 from futuresdr_tpu.ops import cplx
-from futuresdr_tpu.runtime.block import Block
 from futuresdr_tpu.runtime.compiler import (
     CompiledFlowgraph,
     compile_flowgraph,

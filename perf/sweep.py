@@ -21,7 +21,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from futuresdr_tpu import Flowgraph, Runtime, connect  # noqa: E402
+from futuresdr_tpu import Flowgraph, connect  # noqa: E402
 from futuresdr_tpu.blocks import Copy, Fir, NullSink, NullSource  # noqa: E402
 from futuresdr_tpu.runtime.executor import (  # noqa: E402
     Executor,
