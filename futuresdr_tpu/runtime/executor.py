@@ -156,6 +156,8 @@ class Executor:
         self._lat_left: Dict[str, int] = {}
         self._in_loop = False  # run_loop actively processing
         self._snap_lock = threading.Lock()
+        self._nofetch_steps = 0
+        self._probes: "deque" = deque()  # rolling dispatch-queue bound
         self._wire_message_ports()
 
     # ---- checkpoint/resume ------------------------------------------------
@@ -389,6 +391,7 @@ class Executor:
         )
         host = jax.device_get(flight.sink_arrays) if need_fetch else None
         self._last_arrays = flight.sink_arrays
+        self._maybe_settle(need_fetch)
         for bid in cfg.host_sink_ids:
             b = fg.blocks[bid]
             for i, e in enumerate(fg.in_edges(bid)):
@@ -409,6 +412,72 @@ class Executor:
                 self.items_delivered[bid] += np_arr.shape[-1]
                 b.host_consume(np_arr, tags_, port=i)
 
+    def _probe(self, arrays):
+        """One device scalar depending on every leaf (dispatched async)."""
+        leaves = [
+            l
+            for l in jax.tree_util.tree_leaves(arrays)
+            if hasattr(l, "ndim") and getattr(l, "size", 0)
+        ]
+        if not leaves:
+            return None
+        import jax.numpy as jnp
+
+        return sum(jnp.ravel(l)[-1].astype(jnp.float32) for l in leaves)
+
+    def _settle(self, arrays) -> None:
+        """Force device-stream completion with ONE data-dependent fetch:
+        all leaves reduce to a single scalar device-side first (a per-leaf
+        fetch costs a full tunnel round-trip EACH, ~50 ms measured), and
+        block_until_ready is no substitute — through the TPU tunnel it can
+        return WITHOUT waiting (0.2 ms "block" vs 422 ms fetch)."""
+        p = self._probe(arrays)
+        if p is not None:
+            np.asarray(p)
+
+    def _maybe_settle(self, fetched: bool) -> None:
+        """Bound the async dispatch queue on no-fetch graphs.
+
+        A graph whose sinks are all ``device_reduce`` never touches D2H,
+        so the loop dispatches fire-and-forget and the backend buffers
+        every queued call host-side — measured ~700 MB/min RSS growth and
+        a minutes-deep device queue in a 10-minute NullSink soak. Rolling
+        probes: every ``settle_every_steps`` (default 32) dispatch a tiny
+        scalar depending on the current step and keep a window of 16;
+        when the window is full, poll the OLDEST probe's ``is_ready()``
+        until true — notification-driven and free, no pull round-trip
+        (a blocking fetch every N steps measured 27 ms each, up to 3x
+        slowdown on fast graphs). A device that keeps up never stalls the
+        loop; one that falls >512 steps behind gets paced."""
+        if fetched:
+            self._nofetch_steps = 0
+            return
+        self._nofetch_steps = getattr(self, "_nofetch_steps", 0) + 1
+        every = max(1, int(config.get("settle_every_steps", 32)))
+        if self._nofetch_steps >= every:
+            self._nofetch_steps = 0
+            # no extra device work: the marker is just a reference to the
+            # smallest leaf of this step's own outputs — its is_ready flips
+            # when the device has executed this step
+            leaves = [
+                l
+                for l in jax.tree_util.tree_leaves(self._last_arrays)
+                if hasattr(l, "is_ready")
+            ]
+            if not leaves:
+                return
+            self._probes.append(min(leaves, key=lambda l: l.size))
+            # window of 16 (512 steps): far past the ~0.2 s completion-
+            # notification lag, so a device that keeps up never stalls the
+            # loop; a device that falls >512 steps behind gets paced
+            if len(self._probes) > 16:
+                old = self._probes.popleft()
+                # poll, don't fetch: np.asarray would pay a pull round-trip
+                # (~27 ms) even for long-completed values; is_ready is
+                # notification-driven and free
+                while not old.is_ready():
+                    time.sleep(0.002)
+
     def _deliver_full(self, flight, lat_left: Dict[str, int]) -> None:
         """Deliver sink data AND route aux to block hooks (every path)."""
         if isinstance(flight, _InflightBatch):
@@ -418,6 +487,7 @@ class Executor:
         # last_aux (valid counts of fixed-capacity variable-rate outputs)
         if flight.aux:
             aux_host = jax.device_get(flight.aux)
+            self._nofetch_steps = 0  # the aux fetch already settled
             for bid in self.cfg.pure_ids:
                 a = aux_host.get(self.cfg.bkey(bid))
                 if a:
@@ -437,6 +507,7 @@ class Executor:
         )
         host = jax.device_get(flight.sink_arrays) if need_fetch else None
         self._last_arrays = flight.sink_arrays
+        self._maybe_settle(need_fetch or bool(flight.aux))
         aux_host = jax.device_get(flight.aux) if flight.aux else None
         # complex reassembly once per key, not once per (key, chunk)
         host_np = (
@@ -505,6 +576,8 @@ class Executor:
     def _run_loop_impl(self) -> None:
         cfg, fg = self.cfg, self.fg
         self._t_start = time.monotonic()
+        self._nofetch_steps = 0
+        self._probes.clear()
         for b in fg.blocks:  # event-driven wakeup (BlockNotifier parity)
             b._wake_fn = self._wake.set
         states = cfg.init_states()
@@ -735,22 +808,9 @@ class Executor:
         self._states, self._lat_left = states, lat_left
         if self._snap_req is not None:  # snapshot raced the shutdown
             self._handle_snap_req(states, lat_left, step_base + step_no)
+        self._probes.clear()
         if getattr(self, "_last_arrays", None) is not None:
-            # one combined scalar, one fetch: a per-leaf fetch costs a full
-            # tunnel round-trip EACH (~50 ms measured), so reduce all leaves
-            # into a single element device-side first
-            leaves = [
-                l
-                for l in jax.tree_util.tree_leaves(self._last_arrays)
-                if hasattr(l, "ndim") and getattr(l, "size", 0)
-            ]
-            if leaves:
-                import jax.numpy as jnp
-
-                probe = sum(
-                    jnp.ravel(l)[-1].astype(jnp.float32) for l in leaves
-                )
-                np.asarray(probe)
+            self._settle(self._last_arrays)
         self._drain_messages()
         for b in fg.blocks:
             b.on_finish()
