@@ -97,7 +97,8 @@ def main() -> None:
         out_dtype=np.float32,
         name="MagDb",
     )
-    throttle = Throttle(args.sample_rate / args.fft, dtype=np.float32)
+    # pace the post-FFT stream to ~10 spectrum frames/s for the GUI
+    throttle = Throttle(10.0 * args.fft, dtype=np.float32)
     ws_spec = WebsocketSink(port=9001, dtype=np.float32)
     connect(fg, src, noisy, fft, mag, throttle, ws_spec)
 
