@@ -25,9 +25,11 @@ fir_dtype          float32   branch-FIR input dtype; bfloat16 = 1.74x faster
 channelizer_fft    mixed_radix  PFB branch FFT backend; dft_bf16 = one dense
                              [M,M] bf16 DFT matmul, 1.63x whole-bank at 68 dB
 settle_every_steps 32        on no-fetch graphs (all sinks device_reduce),
-                             force one device sync per N steps — bounds the
-                             async dispatch queue (unbounded dispatch
-                             measured ~700 MB/min host RSS growth)
+                             keep a completion marker every N steps and
+                             pace dispatch once a 16-marker window fills —
+                             bounds the async dispatch queue at ~16·N steps
+                             (unbounded dispatch measured ~700 MB/min host
+                             RSS growth)
 ctrlport_enable    False     start the REST control port with the runtime
 ctrlport_bind      127.0.0.1:1337   control port bind address
 log_level          info      tracing level

@@ -435,7 +435,7 @@ class Executor:
         if p is not None:
             np.asarray(p)
 
-    def _maybe_settle(self, fetched: bool) -> None:
+    def _maybe_settle(self, fetched: bool, steps: int = 1) -> None:
         """Bound the async dispatch queue on no-fetch graphs.
 
         A graph whose sinks are all ``device_reduce`` never touches D2H,
@@ -452,7 +452,7 @@ class Executor:
         if fetched:
             self._nofetch_steps = 0
             return
-        self._nofetch_steps = getattr(self, "_nofetch_steps", 0) + 1
+        self._nofetch_steps = getattr(self, "_nofetch_steps", 0) + steps
         every = max(1, int(config.get("settle_every_steps", 32)))
         if self._nofetch_steps >= every:
             self._nofetch_steps = 0
@@ -474,8 +474,9 @@ class Executor:
                 old = self._probes.popleft()
                 # poll, don't fetch: np.asarray would pay a pull round-trip
                 # (~27 ms) even for long-completed values; is_ready is
-                # notification-driven and free
-                while not old.is_ready():
+                # notification-driven and free. A stop request must be able
+                # to interrupt the wait (a dead backend never flips it).
+                while not old.is_ready() and not self._stop.is_set():
                     time.sleep(0.002)
 
     def _deliver_full(self, flight, lat_left: Dict[str, int]) -> None:
@@ -507,7 +508,9 @@ class Executor:
         )
         host = jax.device_get(flight.sink_arrays) if need_fetch else None
         self._last_arrays = flight.sink_arrays
-        self._maybe_settle(need_fetch or bool(flight.aux))
+        self._maybe_settle(
+            need_fetch or bool(flight.aux), steps=len(flight.chunks)
+        )
         aux_host = jax.device_get(flight.aux) if flight.aux else None
         # complex reassembly once per key, not once per (key, chunk)
         host_np = (

@@ -2,10 +2,13 @@
 
 Production streams run for hours; a leak in the executor loop (growing
 tag lists, jit-cache churn, unreleased device buffers) or a slow
-throughput sag would not show up in the second-long benches. This runs a
-flowgraph continuously for ``--minutes`` and reports per-minute
-throughput plus RSS at start/end. Exit code 1 if throughput sags >30%
-from the first to the last minute or RSS grows >200 MB.
+throughput sag would not show up in the second-long benches. This warms
+(compiles) first, then runs a flowgraph continuously for ``--minutes``
+and reports per-minute throughput plus current RSS. Exit code 1 if
+throughput sags >30% from the first to the last minute, or RSS grows
+beyond ``--rss-limit-mb`` plus a 2.5 KB-per-step allowance for the dev
+tunnel backend's measured per-call retention (the gate targets OUR
+executor, not the backend).
 
 Run:  python perf/soak.py [--minutes 10] [--kind device|fetch]
 """
@@ -38,7 +41,14 @@ from futuresdr_tpu.runtime.executor import (  # noqa: E402
 
 
 def _rss_mb() -> float:
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    """Current RSS (not ru_maxrss, which is a high-water mark and would
+    count transient compile spikes as permanent growth)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * resource.getpagesize() / (1024.0 * 1024.0)
+    except OSError:  # non-Linux fallback: peak RSS
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
 def main() -> int:
@@ -85,27 +95,25 @@ def main() -> int:
         chain.append(FileSink("/dev/null", np.complex64))
     connect(fg, *chain)
 
-    ex = Executor(fg, chunk_size=args.chunk)
+    # warm (compile) BEFORE the clock starts: TPU compile latency is
+    # 2-250 s and would otherwise eat the soak window and pollute the
+    # first-minute rate the sag gate compares against
+    ex = Executor(fg, chunk_size=args.chunk, max_steps=2)
     ex.running = True
-    rss0 = _rss_mb()
-    t_end = time.monotonic() + args.minutes * 60.0
-    minutes = []
-    stopper = threading.Thread(
-        target=lambda: (
-            threading.Event().wait(args.minutes * 60.0),
-            ex.request_stop(),
-        ),
-        daemon=True,
-    )
-    stopper.start()
+    ex.run_loop()
+    warm_items = sum(ex.items_delivered.values())
 
-    # sample stats once a minute on a side thread while run_loop owns
-    # the main thread
-    def sampler():
-        last_items = 0
-        last_t = time.monotonic()
-        while time.monotonic() < t_end and ex._done.is_set() is False:
-            threading.Event().wait(60.0)
+    rss0 = _rss_mb()
+    ex.max_steps = None
+    t0 = time.monotonic()
+    t_end = t0 + args.minutes * 60.0  # the ONE shutdown deadline
+    minutes = []
+    done = threading.Event()
+
+    def watcher():
+        # per-minute samples + the stop request, one deadline
+        last_items, last_t = warm_items, t0
+        while not done.wait(min(60.0, max(0.0, t_end - time.monotonic()))):
             now = time.monotonic()
             items = sum(ex.items_delivered.values())
             minutes.append(
@@ -117,13 +125,18 @@ def main() -> int:
             )
             print(f"# {minutes[-1]}", file=sys.stderr, flush=True)
             last_items, last_t = items, now
+            if now >= t_end:
+                ex.request_stop()
+                return
+        if time.monotonic() >= t_end:
+            ex.request_stop()
 
-    sampling = threading.Thread(target=sampler, daemon=True)
-    sampling.start()
-    t0 = time.monotonic()
+    watching = threading.Thread(target=watcher, daemon=True)
+    watching.start()
     ex.run_loop()
+    done.set()
     dt = time.monotonic() - t0
-    total = sum(ex.items_delivered.values())
+    total = sum(ex.items_delivered.values()) - warm_items
     rss1 = _rss_mb()
 
     first = minutes[0]["gsps"] if minutes else total / dt / 1e9

@@ -16,11 +16,19 @@ import jax
 def _dft_rung():
     from futuresdr_tpu import config
 
-    old = config.get("channelizer_fft", "mixed_radix")
+    old = {
+        k: config.get(k, d)
+        for k, d in (
+            ("channelizer_fft", "mixed_radix"),
+            ("fir_dtype", "float32"),
+            ("fft_precision", "highest"),
+        )
+    }
     config.set("channelizer_fft", "dft_bf16")
     config.set("fir_dtype", "float32")
     yield
-    config.set("channelizer_fft", old)
+    for k, v in old.items():
+        config.set(k, v)
 
 
 def _mk(cfg, R, seed=0):
