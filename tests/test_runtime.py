@@ -586,3 +586,29 @@ def test_closed_loop_feedback_via_message_edge():
     fg.message(snk, "gain_out", g, "gain")  # the feedback edge
     Runtime(chunk_size=8192).run(fg)
     assert abs(snk.levels[-1] - 1.0) < 0.05
+
+
+def test_nofetch_pacing_bounds_probe_window():
+    """No-fetch graphs keep a bounded completion-marker window (the
+    dispatch-queue pacing that stops unbounded backend buffering; see
+    the 10-minute soak finding in NOTES.md)."""
+    from futuresdr_tpu import config
+    from futuresdr_tpu.blocks import Fir, NullSink, NullSource
+    from futuresdr_tpu.runtime.executor import Executor
+
+    old = config.get("settle_every_steps", 32)
+    config.set("settle_every_steps", 2)
+    try:
+        fg = Flowgraph()
+        taps = np.random.default_rng(0).standard_normal(16).astype(np.float32)
+        connect(fg, NullSource(np.complex64), Fir(taps), NullSink(np.complex64))
+        ex = Executor(fg, chunk_size=4096, max_steps=120)
+        ex.running = True
+        ex.run_loop()
+        assert ex.steps_run == 120
+        # window capped at 16 markers + the one being appended
+        assert len(ex._probes) <= 17
+        snk = fg.blocks[-1]
+        assert snk.n_received == 120 * 4096
+    finally:
+        config.set("settle_every_steps", old)
