@@ -1,0 +1,78 @@
+"""End-to-end GUI plumbing: REST retune moves the live WebSocket spectrum.
+
+Headless version of the browser check (prophecy-parity GUI): a SignalSource
+→ Fft → mag chain streams to a WebsocketSink while the control port serves
+the REST API; posting to the `freq` handler route (what the PmtEditor does)
+must move the spectrum peak in the next frames.
+"""
+
+import asyncio
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from futuresdr_tpu import Flowgraph, Runtime, config, connect
+from futuresdr_tpu.blocks import Apply, Fft, SignalSource, Throttle, WebsocketSink
+from futuresdr_tpu.runtime.ctrl_port import ControlPort
+
+FS, NFFT = 1e6, 1024
+
+
+def _peak_khz(frame: bytes) -> float:
+    spec = np.frombuffer(frame, np.float32).reshape(-1, NFFT)[-1]
+    return (int(np.argmax(spec)) - NFFT // 2) * FS / NFFT / 1e3
+
+
+async def _get_peak(port: int, skip: int = 0) -> float:
+    websockets = pytest.importorskip("websockets")
+    async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+        for _ in range(skip):
+            await asyncio.wait_for(ws.recv(), timeout=20)
+        return _peak_khz(await asyncio.wait_for(ws.recv(), timeout=20))
+
+
+def test_rest_retune_moves_spectrum():
+    import jax.numpy as jnp
+
+    cp = ControlPort(bind="127.0.0.1:0")
+    try:
+        fg = Flowgraph()
+        src = SignalSource(100e3, FS, name="tone")
+        ws_sink = WebsocketSink(port=0, dtype=np.float32)
+        connect(
+            fg,
+            src,
+            Fft(NFFT, shift=True),
+            Apply(
+                lambda x: (10.0 * jnp.log10(x.abs2() + 1e-20)).astype(
+                    jnp.float32
+                ),
+                in_dtype=np.complex64,
+                out_dtype=np.float32,
+            ),
+            Throttle(40.0 * NFFT, dtype=np.float32),  # ~40 frames/s
+            ws_sink,
+        )
+        h = Runtime(chunk_size=NFFT * 8).start(fg)
+        fg_id = cp.register(h)
+        time.sleep(0.3)
+
+        p0 = asyncio.run(_get_peak(ws_sink.port))
+        assert abs(p0 - 100.0) < 2.0, p0
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{cp.port}/api/fg/{fg_id}/block/0/call/freq/",
+            data=json.dumps(250e3).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        assert urllib.request.urlopen(req).status == 200
+        p1 = asyncio.run(_get_peak(ws_sink.port, skip=2))
+        assert abs(p1 - 250.0) < 2.0, p1
+
+        h.stop()
+        h.wait(timeout=20)
+    finally:
+        cp.shutdown()
