@@ -351,8 +351,10 @@ class FileSink(Block):
         self.n_written = 0
 
     def _file(self):
-        if self._f is None:
-            self._f = open(self.path, "wb")
+        if self._f is None or self._f.closed:
+            # reopen after on_finish (a rerun graph, sweep/soak-style):
+            # append if this sink already wrote output, else fresh file
+            self._f = open(self.path, "ab" if self.n_written else "wb")
         return self._f
 
     def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:
