@@ -12,7 +12,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from futuresdr_tpu import Flowgraph, Runtime, connect  # noqa: E402
+from futuresdr_tpu import Flowgraph, Runtime  # noqa: E402
 from futuresdr_tpu.blocks import Combine, SignalSource, VectorSource, WavSink  # noqa: E402
 
 MORSE = {

@@ -8,7 +8,6 @@ become one grouped branch convolution + one batched matmul-FFT per chunk
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax.numpy as jnp

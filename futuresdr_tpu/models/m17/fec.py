@@ -8,7 +8,7 @@ protocol spec values (spec.m17project.org).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -117,7 +117,7 @@ def make_sharded_bank_step(
     only reaches the immediate neighbor, so a halo cannot span shards
     (``halo_left`` raises if it would).
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     branch_taps, audio_taps = _design(cfg)

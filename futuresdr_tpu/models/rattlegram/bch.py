@@ -15,7 +15,7 @@ Host-side numpy/ints: BCH here guards tiny headers, not sample streams.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -7,12 +7,12 @@ Encoder/Mapper feeding IQ.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
 from futuresdr_tpu.blocks.framed import FramedReceiverSink
-from futuresdr_tpu.models.wlan.rx import FRAME_WIN, RxFrame, WlanReceiver
+from futuresdr_tpu.models.wlan.rx import FRAME_WIN, WlanReceiver
 from futuresdr_tpu.models.wlan.tx import encode_frame
 from futuresdr_tpu.runtime.block import Block, PortSpec, message_handler
 from futuresdr_tpu.types.pmt import Pmt

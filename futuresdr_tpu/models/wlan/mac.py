@@ -11,7 +11,7 @@ The FCS makes the PSDU satisfy the receiver's CRC32-residue check.
 from __future__ import annotations
 
 import zlib
-from typing import Optional, Tuple
+from typing import Optional
 
 from futuresdr_tpu.runtime.block import Block, message_handler
 from futuresdr_tpu.types.pmt import Pmt

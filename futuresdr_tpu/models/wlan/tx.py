@@ -7,7 +7,6 @@ STF (160) + LTF (160) + SIGNAL (80) + n_sym·80 DATA samples.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 

@@ -19,7 +19,7 @@ Host boundary: :func:`from_numpy` / :func:`to_numpy` convert numpy
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple, Union
+from typing import Any, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

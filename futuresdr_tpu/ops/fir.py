@@ -15,7 +15,7 @@ outputs ("valid" convolution).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ Parity anchors: ``src/blocks/pfb/channelizer.rs:71-224`` (analysis bank),
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ pod slice by changing only the coordinator address.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

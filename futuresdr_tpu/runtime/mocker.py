@@ -9,7 +9,7 @@ calls (split-call continuity is the reference's headline Mocker test).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -2,7 +2,6 @@
 register lifecycle — driven over the air through the receiver."""
 
 import numpy as np
-import pytest
 
 from futuresdr_tpu.models.adsb.adsb import (
     AdsbReceiver,

@@ -8,9 +8,8 @@ import threading
 import time
 
 import numpy as np
-import pytest
 
-from futuresdr_tpu import Flowgraph, Mocker, Runtime, connect
+from futuresdr_tpu import Flowgraph, Runtime, connect
 from futuresdr_tpu.blocks import (
     Head,
     MessageAnnotator,

@@ -2,7 +2,6 @@
 fallback, executor stats, and the WLAN TX→RX flowgraph round trip."""
 
 import numpy as np
-import pytest
 
 from futuresdr_tpu import Flowgraph, Runtime, connect
 from futuresdr_tpu.blocks import (

@@ -3,9 +3,8 @@ synthesize reconstruction, Agc convergence, Iir block, XlatingFir retune,
 FreqShift."""
 
 import numpy as np
-import pytest
 
-from futuresdr_tpu import Flowgraph, Mocker, Runtime, connect
+from futuresdr_tpu import Flowgraph, Runtime, connect
 from futuresdr_tpu.blocks import (
     Agc,
     Fir,

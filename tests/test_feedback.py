@@ -10,7 +10,7 @@ carried in state.
 import numpy as np
 import pytest
 
-from futuresdr_tpu import Flowgraph, Runtime, connect
+from futuresdr_tpu import Flowgraph, Runtime
 from futuresdr_tpu.blocks import (
     Apply,
     Combine,

@@ -14,7 +14,7 @@ import urllib.request
 import numpy as np
 import pytest
 
-from futuresdr_tpu import Flowgraph, Runtime, config, connect
+from futuresdr_tpu import Flowgraph, Runtime, connect
 from futuresdr_tpu.blocks import Apply, Fft, SignalSource, Throttle, WebsocketSink
 from futuresdr_tpu.runtime.ctrl_port import ControlPort
 

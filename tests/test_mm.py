@@ -8,7 +8,6 @@ spec, not code reuse).
 import math
 
 import numpy as np
-import pytest
 
 from futuresdr_tpu import Flowgraph, Runtime
 from futuresdr_tpu.blocks import ClockRecoveryMM, VectorSink, VectorSource

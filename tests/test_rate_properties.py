@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from futuresdr_tpu import Flowgraph, Runtime, connect
-from futuresdr_tpu.blocks import Apply, Delay, Fir, MovingAvg, VectorSink, VectorSource
+from futuresdr_tpu.blocks import Apply, Delay, Fir, VectorSink, VectorSource
 
 
 def _reference_chain(x, specs):
