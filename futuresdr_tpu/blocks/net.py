@@ -226,21 +226,41 @@ class BlobToUdp(Block):
 
 class WebsocketSink(Block):
     """Stream item chunks to connected WebSocket clients as binary frames
-    (parity: websocket_sink.rs:256 — the spectrum/GUI transport; mode
-    ~ FixedDropping: the latest chunk wins when a client is slow)."""
+    (parity: websocket_sink.rs:256 — the spectrum/GUI transport).
+
+    ``mode`` mirrors the reference's ``WebsocketSinkMode``:
+
+    - ``"fixed-dropping"`` (default): while a client's previous send is
+      still in flight its new chunk is dropped — a slow GUI tab never
+      back-pressures the flowgraph (ref ``FixedDropping``).
+    - ``"blocking"`` / ``"fixed-blocking"``: ``host_consume`` waits until
+      every connected client has received the chunk, back-pressuring the
+      graph to the slowest client (ref ``Blocking``/``FixedBlocking``;
+      chunks here are already fixed-size, so the two collapse to one
+      behavior). A per-chunk ``send_timeout`` bounds the stall so a dead
+      client cannot wedge the executor."""
 
     def __init__(
         self,
         port: int = 9001,
         dtype=np.float32,
+        mode: str = "fixed-dropping",
+        send_timeout: float = 5.0,
         name: Optional[str] = None,
     ):
         super().__init__(name)
         dt = np.dtype(dtype)
+        if mode not in ("fixed-dropping", "blocking", "fixed-blocking"):
+            raise ValueError(
+                f"WebsocketSink mode must be 'fixed-dropping', 'blocking' or "
+                f"'fixed-blocking', got {mode!r}"
+            )
         self.stream_inputs = [PortSpec("in", dt)]
         self.rate_in = (1,)
         self.is_blocking = True
         self._dtype = dt
+        self._mode = mode
+        self._send_timeout = float(send_timeout)
         self.port = port
         self._clients: List = []
         self._loop = None
@@ -286,19 +306,36 @@ class WebsocketSink(Block):
         payload = np.ascontiguousarray(arr.astype(self._dtype)).tobytes()
         if not hasattr(self, "_pending"):
             self._pending = {}
+        blocking = getattr(self, "_mode", "fixed-dropping") != "fixed-dropping"
+        sent = []
         for c in list(self._clients):
-            # true FixedDropping: while a client's previous send is still
-            # in flight, drop this chunk for it — otherwise a slow client
+            # FixedDropping: while a client's previous send is still in
+            # flight, drop this chunk for it — otherwise a slow client
             # queues coroutines without bound
             prev = self._pending.get(id(c))
             if prev is not None and not prev.done():
-                continue
+                if blocking:
+                    try:
+                        prev.result(timeout=self._send_timeout)
+                    except Exception:
+                        self._pending.pop(id(c), None)
+                        continue
+                else:
+                    continue
             try:
-                self._pending[id(c)] = asyncio.run_coroutine_threadsafe(
-                    c.send(payload), self._loop
-                )
+                fut = asyncio.run_coroutine_threadsafe(c.send(payload), self._loop)
+                self._pending[id(c)] = fut
+                sent.append((id(c), fut))
             except Exception:
                 self._pending.pop(id(c), None)
+        if blocking:
+            # Blocking/FixedBlocking: the chunk is delivered to every live
+            # client before the executor dispatches the next step
+            for cid, fut in sent:
+                try:
+                    fut.result(timeout=self._send_timeout)
+                except Exception:
+                    self._pending.pop(cid, None)
 
 
 class WebsocketPmtSink(Block):

@@ -212,6 +212,56 @@ def test_websocket_sink_streams():
     assert got and got[0].size > 0
 
 
+def test_websocket_sink_blocking_mode_delivers_every_chunk():
+    """mode="blocking" (ref WebsocketSinkMode::Blocking/FixedBlocking,
+    websocket_sink.rs:256): every chunk reaches a connected client before
+    the next step dispatches — a deliberately slow reader sees the full
+    lossless stream, where fixed-dropping would drop frames."""
+    import asyncio
+
+    from futuresdr_tpu.blocks import WebsocketSink
+
+    ws = WebsocketSink(port=0, dtype=np.float32, mode="blocking")
+    got = []
+    total = 32_768
+    chunk = 4096
+
+    async def client():
+        import websockets
+
+        async with websockets.connect(f"ws://127.0.0.1:{ws.port}") as conn:
+            n = 0
+            while n < total:
+                msg = await asyncio.wait_for(conn.recv(), timeout=30)
+                got.append(np.frombuffer(msg, np.float32))
+                n += got[-1].size
+                await asyncio.sleep(0.02)  # slow consumer
+
+    t = threading.Thread(target=lambda: asyncio.run(client()), daemon=True)
+    t.start()
+    time.sleep(0.3)
+    fg = Flowgraph()
+    connect(
+        fg,
+        VectorSource(np.arange(total, dtype=np.float32)),
+        ws,
+    )
+    Runtime(chunk_size=chunk).run(fg)
+    t.join(timeout=30)
+    stream = np.concatenate(got) if got else np.zeros(0, np.float32)
+    assert stream.size == total
+    assert np.array_equal(stream, np.arange(total, dtype=np.float32))
+
+
+def test_websocket_sink_rejects_bad_mode():
+    import pytest
+
+    from futuresdr_tpu.blocks import WebsocketSink
+
+    with pytest.raises(ValueError):
+        WebsocketSink(port=0, mode="nope")
+
+
 def test_framed_receiver_sink_lora():
     """Generic FramedReceiverSink runs any modem receiver in a flowgraph;
     frames straddling the process window dedup/complete via overlap."""
