@@ -523,6 +523,15 @@ class ClockRecoveryMM(Block):
         self.rate_in = (1,)
         self.rate_out = (1,)
 
+    def absorb_latency(self, in_lats):
+        """Compiler hook: upstream transient samples enter the timing loop
+        as data — they cannot be compensated by trimming the *symbol*
+        stream (the output is a data-dependent compacted prefix, so a
+        front-trim would drop a real symbol and shift the ``mm_valid``
+        window). Report 0: the loop re-acquires over any transient, as the
+        reference's streaming MM does (clock_recovery_mm.rs)."""
+        return [0]
+
     def make_state(self, in_sizes, out_sizes):
         from futuresdr_tpu.ops.mm import mm_init
 

@@ -374,6 +374,11 @@ class FileSink(Block):
         want = self.n_written * self._dtype.itemsize
         if self._f is not None:
             self._f.close()
+        if want == 0 and not self.path.exists():
+            # snapshot was taken before the first chunk arrived (the file
+            # is opened lazily) — resume with a fresh lazy open
+            self._f = None
+            return
         have = self.path.stat().st_size if self.path.exists() else -1
         if have < want:
             raise ValueError(

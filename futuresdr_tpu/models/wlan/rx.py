@@ -79,7 +79,7 @@ def _fft64(v: CArray) -> CArray:
     return fftshift_c(fft_c(v), axis=-1)
 
 
-_DETECT_BLK = 256  # must stay < MIN_GAP (one leader per block, see below)
+_DETECT_BLK = 256  # leader window == block size: one leader per block
 
 
 @partial(jax.jit, static_argnames=("kmax", "lo", "hi"))
@@ -99,24 +99,29 @@ def detect_candidates(
     full-chunk autocorr+cor fetch was ~12 B/sample over a ~35 ms-RTT
     tunnel: the round-1 receiver's actual rate limit).
 
-    Compaction is gather/scatter-free: leaders are >= MIN_GAP apart by
-    construction, so 256-sample blocks hold at most one each — a masked
+    Compaction is gather/scatter-free: leaders are >= _DETECT_BLK apart
+    by construction, so 256-sample blocks hold at most one each — a masked
     per-block reduction pulls (position, a) per block, and one
     ``lax.sort`` packs the occupied blocks to the front.  The previous
     ``jnp.nonzero`` form cost ~35 ms of flat scatter time per 3.8 M
     samples on v5e; this form measures at dispatch cost."""
+    from futuresdr_tpu.ops.detect import EMPTY, compact_mask, suppress_recent
+
     above = cor > THRESHOLD
     hit = jnp.logical_and(above[1:], above[:-1])
-    # leader filter: a candidate counts only when the preceding MIN_GAP
-    # samples had no hit — the STF's ~100 consecutive double-crossings
-    # collapse to one index each, so kmax bounds *frames*, not samples
-    hf = hit.astype(jnp.int32)
-    n_h = hf.shape[-1]
-    # P[k] = number of hits strictly before k
-    p = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(hf)])
-    p_lag = jnp.concatenate([jnp.zeros(MIN_GAP, jnp.int32), p])[:n_h]
-    window = p[:n_h] - p_lag  # hits in [i-MIN_GAP, i-1]
-    leader = jnp.logical_and(hit, window == 0)
+    # leader filter: a candidate counts only when the preceding
+    # _DETECT_BLK samples had no hit — the STF's ~100 consecutive
+    # double-crossings collapse to one index each, so kmax bounds
+    # *frames*, not samples. The window is _DETECT_BLK (256), NOT
+    # MIN_GAP (480): any quiet span longer than the STF hit run admits a
+    # new leader (a frame SIFS-close behind a minimal-length frame is
+    # still seen — the reference's resync walk accepts starts >= MIN_GAP
+    # apart without requiring MIN_GAP of *silence*, sync_short.rs:84-140;
+    # that spacing rule is enforced by the host walk downstream), while
+    # 256 still exceeds the STF's ~160-224-sample run so one STF can
+    # never split into two leaders.
+    n_h = hit.shape[-1]
+    leader = suppress_recent(hit, _DETECT_BLK)
     if lo is not None or hi is not None:
         # ownership bounds for time-sharded detection (sharded.py):
         # candidate idx = pos+1 must land in [lo, hi) — the leader
@@ -125,31 +130,13 @@ def detect_candidates(
         lo_p = (lo - 1) if lo is not None else 0
         hi_p = (hi - 1) if hi is not None else n_h
         leader = leader & (ar >= lo_p) & (ar < hi_p)
-    nb = n_h // _DETECT_BLK
-    m = nb * _DETECT_BLK
-    lead2 = leader[:m].reshape(nb, _DETECT_BLK)
-    iota = jnp.arange(m, dtype=jnp.int32).reshape(nb, _DETECT_BLK)
-    has = jnp.any(lead2, axis=1)
-    pos_b = jnp.sum(jnp.where(lead2, iota, 0), axis=1)  # [nb]
     # the CFO estimate reads a[pos+1] (the candidate index itself)
-    a1 = CArray(a.re[1 : m + 1], a.im[1 : m + 1])
-    are = jnp.sum(
-        jnp.where(lead2, a1.re.reshape(nb, _DETECT_BLK), 0.0), axis=1
+    a1 = CArray(a.re[1:], a.im[1:])
+    key_s, are_s, aim_s = compact_mask(
+        leader, _DETECT_BLK, kmax, payload=(a1.re, a1.im)
     )
-    aim = jnp.sum(
-        jnp.where(lead2, a1.im.reshape(nb, _DETECT_BLK), 0.0), axis=1
-    )
-    key = jnp.where(has, pos_b, jnp.int32(2**30))
-    if nb < kmax:
-        # short captures have fewer blocks than requested candidates:
-        # pad with empty sentinels so the output is always [kmax]
-        pad = kmax - nb
-        key = jnp.concatenate([key, jnp.full(pad, 2**30, jnp.int32)])
-        are = jnp.concatenate([are, jnp.zeros(pad, are.dtype)])
-        aim = jnp.concatenate([aim, jnp.zeros(pad, aim.dtype)])
-    key_s, are_s, aim_s = jax.lax.sort((key, are, aim), num_keys=1)
-    idx = jnp.where(key_s[:kmax] < 2**30, key_s[:kmax] + 1, -1)
-    f_off = -jnp.arctan2(aim_s[:kmax], are_s[:kmax]) / 16.0
+    idx = jnp.where(key_s < EMPTY, key_s + 1, -1)
+    f_off = -jnp.arctan2(aim_s, are_s) / 16.0
     return idx, f_off
 
 
@@ -694,10 +681,15 @@ class WlanReceiver:
                 for i in idxs:
                     nbits[i] = params[i].n_data_bits
                 by_dev = tail(eq_data_dev, jnp.asarray(nbits))
-                by = np.asarray(by_dev[: max(idxs) + 1])
-                for i in idxs:
+                # gather ONLY this group's rows device-side before the
+                # fetch: a mixed-MCS capture otherwise re-fetches the
+                # same leading rows once per group (D2H is the scarce
+                # resource here, not the demap FLOPs)
+                sel = jnp.asarray(np.asarray(idxs, np.int32))
+                by = np.asarray(by_dev[sel])
+                for j, i in enumerate(idxs):
                     p = params[i]
-                    psdu = bytes(by[i, 2 : p.psdu_size + 2])
+                    psdu = bytes(by[j, 2 : p.psdu_size + 2])
                     crc_ok = (
                         zlib.crc32(psdu) & 0xFFFFFFFF
                     ) == CRC32_RESIDUE
@@ -718,9 +710,10 @@ class WlanReceiver:
             llr_by_frame: Dict[int, np.ndarray] = {}
             for n_bpsc, idxs in groups.items():
                 llr_dev = _demap_llrs_int8(n_bpsc)(eq_data_dev)
-                llr_host = np.asarray(llr_dev[: max(idxs) + 1])
-                for i in idxs:
-                    llr_by_frame[i] = llr_host[i]
+                sel = jnp.asarray(np.asarray(idxs, np.int32))
+                llr_host = np.asarray(llr_dev[sel])
+                for j, i in enumerate(idxs):
+                    llr_by_frame[i] = llr_host[j]
             from concurrent.futures import ThreadPoolExecutor
 
             def decode(i: int):

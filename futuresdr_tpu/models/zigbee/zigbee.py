@@ -220,29 +220,22 @@ def _rx_program(n: int, kmax: int, wsyms: int):
             [jnp.zeros(SYM_SAMPLES, bool), peak[:-SYM_SAMPLES]]
         )
         head = chain4 & ~lagged  # first peak of a ≥4 chain
-        # leader filter (WLAN detect_candidates pattern): a head counts
-        # only when the preceding _RX_BLK samples held no head — this
-        # ESTABLISHES the at-most-one-head-per-block invariant the
-        # masked-sum compaction below needs (off-period sidelobe chains
-        # could otherwise put two heads in one block and sum their
-        # positions into garbage); real PPDUs span >=512 samples, so
-        # genuine heads are never this close
-        hf = head.astype(jnp.int32)
-        hp = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(hf)])
-        hp_lag = jnp.concatenate(
-            [jnp.zeros(_RX_BLK, jnp.int32), hp]
-        )[: head.shape[-1]]
-        head = head & ((hp[: head.shape[-1]] - hp_lag) == 0)
+        # leader filter + gather-free compaction (shared with WLAN's
+        # detect_candidates — ops/detect.py): suppressing heads with a
+        # head in the preceding _RX_BLK samples ESTABLISHES the
+        # at-most-one-head-per-block invariant the masked-sum compaction
+        # needs (off-period sidelobe chains could otherwise put two heads
+        # in one block and sum their positions into garbage); real PPDUs
+        # span >=512 samples, so genuine heads are never this close
+        from futuresdr_tpu.ops.detect import (
+            EMPTY,
+            compact_mask,
+            suppress_recent,
+        )
 
-        nb = m // _RX_BLK
-        mm = nb * _RX_BLK
-        h2 = head[:mm].reshape(nb, _RX_BLK)
-        iota = jnp.arange(mm, dtype=jnp.int32).reshape(nb, _RX_BLK)
-        has = jnp.any(h2, axis=1)
-        pos_b = jnp.sum(jnp.where(h2, iota, 0), axis=1)
-        key = jnp.where(has, pos_b, jnp.int32(2**30))
-        key_s = jax.lax.sort(key)[:kmax]
-        valid = key_s < 2**30
+        head = suppress_recent(head, _RX_BLK)
+        (key_s,) = compact_mask(head, _RX_BLK, kmax)
+        valid = key_s < EMPTY
         starts = jnp.where(valid, key_s, 0)
 
         # batched window scores; guard zeros keep slices un-clamped

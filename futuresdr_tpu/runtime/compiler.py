@@ -199,16 +199,21 @@ def find_feedback_regions(
                 f"{fg.blocks[e.src].instance_name}"
             )
         raw.append((members, [e]))
-    # merge overlapping regions
+    # merge overlapping regions transitively: a new region absorbs EVERY
+    # existing group it touches (a loop spanning two previously-disjoint
+    # loops must fuse all three into one scan region)
     merged: List[Tuple[set, List[StreamEdge]]] = []
     for members, es in raw:
+        members, es = set(members), list(es)
+        keep: List[Tuple[set, List[StreamEdge]]] = []
         for m in merged:
             if m[0] & members:
-                m[0].update(members)
-                m[1].extend(es)
-                break
-        else:
-            merged.append((set(members), list(es)))
+                members |= m[0]
+                es.extend(m[1])
+            else:
+                keep.append(m)
+        keep.append((members, es))
+        merged = keep
 
     pos = {b: i for i, b in enumerate(order)}
     regions: List[FeedbackRegion] = []

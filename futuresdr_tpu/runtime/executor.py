@@ -173,22 +173,42 @@ class Executor:
                 replyq: queue.Queue = queue.Queue(1)
                 self._snap_req = (str(path), replyq)
                 self._wake.set()
-                try:
-                    kind, val = replyq.get(timeout=timeout)
-                except queue.Empty:
-                    self._snap_req = None
-                    if not self._in_loop and self._states is not None:
-                        # raced the shutdown: the loop exited before
-                        # servicing — fall back to the final state
-                        save_checkpoint(
-                            path,
-                            self.fg,
-                            self._states,
-                            self._lat_left,
-                            self.steps_total,
+                deadline = time.monotonic() + timeout
+                kind = None
+                while True:
+                    try:
+                        kind, val = replyq.get(timeout=0.05)
+                        break
+                    except queue.Empty:
+                        pass
+                    if not self._in_loop:
+                        # raced the shutdown: the loop may still have
+                        # serviced the request on its way out
+                        try:
+                            kind, val = replyq.get_nowait()
+                            break
+                        except queue.Empty:
+                            pass
+                        self._snap_req = None
+                        if self._states is not None:
+                            # loop exited unserviced — final state is it
+                            save_checkpoint(
+                                path,
+                                self.fg,
+                                self._states,
+                                self._lat_left,
+                                self.steps_total,
+                            )
+                            return str(path)
+                        raise RuntimeError(
+                            "nothing to snapshot: the flowgraph stopped "
+                            "before producing state"
                         )
-                        return str(path)
-                    raise TimeoutError(f"snapshot {str(path)!r} timed out")
+                    if time.monotonic() >= deadline:
+                        self._snap_req = None
+                        raise TimeoutError(
+                            f"snapshot {str(path)!r} timed out"
+                        )
             if kind == "err":
                 raise val
             return val

@@ -251,3 +251,24 @@ def test_snapshot_before_run_raises():
     ex = Executor(fg, chunk_size=4096)
     with pytest.raises(RuntimeError, match="has not run"):
         ex.snapshot("/tmp/never.ckpt")
+
+
+def test_filesink_resume_before_first_write(tmp_path):
+    """A snapshot taken before the (lazily-opened) FileSink wrote anything
+    must restore cleanly: n_written == 0 with no file on disk resumes with
+    a fresh lazy open instead of raising."""
+    from futuresdr_tpu.blocks import FileSink
+
+    out = tmp_path / "out.bin"
+    snk = FileSink(out, dtype=np.float32)
+    assert not out.exists()
+    st = snk.host_state()
+    assert st == {"n_written": 0}
+
+    snk2 = FileSink(out, dtype=np.float32)
+    snk2.set_host_state(st)  # raised ValueError before the fix
+    snk2.host_consume(np.arange(8, dtype=np.float32), [])
+    snk2.on_finish()
+    assert np.array_equal(
+        np.fromfile(out, np.float32), np.arange(8, dtype=np.float32)
+    )

@@ -90,6 +90,60 @@ def test_scan_region_metadata():
     assert len(r.members) == 2  # add + gain
 
 
+def test_three_loop_transitive_merge():
+    """A loop spanning two previously-disjoint loops must fuse all three
+    into ONE scan region (the merge is transitive), and the nested
+    recurrence must match the sample-level reference."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(512).astype(np.float32)
+    b1, b2 = 0.5, 0.4
+
+    fg = Flowgraph()
+    src = VectorSource(x)
+    a0 = Combine(lambda p, q: p + q, a_dtype=np.float32)
+    a1 = Combine(lambda p, q: p + q, a_dtype=np.float32)
+    g1 = Apply(lambda v: np.float32(b1) * v, in_dtype=np.float32)
+    a2 = Combine(lambda p, q: p + q, a_dtype=np.float32)
+    g2 = Apply(lambda v: np.float32(b2) * v, in_dtype=np.float32)
+    snk = VectorSink(np.float32)
+    for b in (src, a0, a1, g1, a2, g2, snk):
+        fg.add(b)
+    fg.stream(src, a0, dst_port=0)
+    fg.stream(a0, a1, dst_port=0)
+    fg.stream(a1, g1)
+    fg.stream(g1, a2, dst_port=0)
+    fg.stream(a2, g2)
+    fg.stream(g2, snk)
+    # loop order matters for the regression: two disjoint inner loops
+    # first, then the outer loop that overlaps both
+    fg.close_circuit(g1, a1, dst_port=1, delay=1)
+    fg.close_circuit(g2, a2, dst_port=1, delay=1)
+    fg.close_circuit(g2, a0, dst_port=1, delay=2)
+
+    cfg = compile_flowgraph(fg, chunk_size=64)
+    assert len(cfg.regions) == 1
+    assert len(cfg.regions[0].fb_edges) == 3
+    assert len(cfg.regions[0].members) == 5  # a0 a1 g1 a2 g2
+
+    run(fg, chunk=64)
+
+    # sample-level reference of the nested recurrence
+    n = len(x)
+    g1r = np.zeros(n + 1, np.float64)
+    g2r = np.zeros(n + 2, np.float64)
+    out = np.zeros(n, np.float64)
+    for i in range(n):
+        v0 = x[i] + g2r[i]  # g2 delayed by 2 (index i = sample i-2)
+        v1 = v0 + g1r[i]  # g1 delayed by 1
+        g1r[i + 1] = b1 * v1
+        v2 = g1r[i + 1] + g2r[i + 1]  # g2 delayed by 1
+        g2r[i + 2] = b2 * v2
+        out[i] = g2r[i + 2]
+    np.testing.assert_allclose(
+        snk.data(), out.astype(np.float32), rtol=2e-4, atol=1e-6
+    )
+
+
 def test_delay_free_cycle_rejected():
     fg = Flowgraph()
     a = Apply(lambda v: v, in_dtype=np.float32)

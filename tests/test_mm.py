@@ -141,3 +141,28 @@ def test_tracks_sample_rate_offset():
         m = min(len(ref_bits), len(dec))
         best = max(best, np.mean(dec[:m] == ref_bits[:m]))
     assert best > 0.99
+
+
+def test_mm_absorbs_upstream_latency():
+    """Upstream transient latency must NOT front-trim the compacted symbol
+    stream: ClockRecoveryMM absorbs it (a trim would drop a real symbol
+    and shift the mm_valid window past a zero slot)."""
+    from futuresdr_tpu.blocks import QuadratureDemod
+    from futuresdr_tpu.runtime.compiler import compile_flowgraph
+
+    fg = Flowgraph()
+    src = VectorSource(np.zeros(1 << 12, np.complex64))
+    demod = QuadratureDemod(gain=1.0)  # latency_out = (1,)
+    mm = ClockRecoveryMM(
+        omega=2.0, gain_omega=1e-4, mu=0.5, gain_mu=0.03,
+        omega_relative_limit=0.01,
+    )
+    snk = VectorSink(np.float32)
+    for b in (src, demod, mm, snk):
+        fg.add(b)
+    fg.stream(src, demod)
+    fg.stream(demod, mm)
+    fg.stream(mm, snk)
+    cfg = compile_flowgraph(fg, chunk_size=1 << 11)
+    (snk_id,) = [i for i, b in enumerate(fg.blocks) if b is snk]
+    assert cfg.sink_latency[snk_id] == [0]

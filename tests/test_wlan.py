@@ -448,3 +448,26 @@ def test_sharded_phase1_matches_serial():
             assert sparity
             assert gp == C.FrameParam(C.RATE_TO_MCS[srate], slength)
         assert abs(gsnr - ssnr) < 1e-3
+
+
+def test_loopback_nearly_back_to_back_frames():
+    """A minimal-length frame followed almost immediately by another
+    (64-sample quiet gap; start spacing 624 >= MIN_GAP) must yield BOTH
+    frames: the reference resync walk only requires starts >= MIN_GAP
+    apart (sync_short.rs:84-140), not MIN_GAP of *silence* — a
+    MIN_GAP-wide leader quiet-window (the pre-fix behavior) silently
+    dropped the second frame because the first frame's STF hit run sat
+    inside its lookback."""
+    p1 = make_mac_frame(b"", seq=1)
+    p2 = make_mac_frame(b"ack!", seq=2)
+    iq1 = encode_frame(p1, "qam64_34")  # shortest frame (560 samples)
+    iq2 = encode_frame(p2, "qam64_34")
+    gap = np.zeros(64, np.complex64)
+    sig = np.concatenate(
+        [np.zeros(600, np.complex64), iq1, gap, iq2,
+         np.zeros(2000, np.complex64)]
+    ).astype(np.complex64)
+    frames = WlanReceiver().process(sig)
+    assert len(frames) == 2
+    assert frames[0].psdu == p1 and frames[0].crc_ok
+    assert frames[1].psdu == p2 and frames[1].crc_ok
