@@ -42,11 +42,11 @@ async function pollStats() {
   if (FGID === null) return;
   try {
     const s = await api(`/api/fg/${FGID}/stats/`);
-    const gs = s.items_in_per_s ? (s.items_in_per_s / 1e9).toFixed(3) : null;
+    const gs = s.samples_per_s ? (s.samples_per_s / 1e9).toFixed(3) : null;
     $("stats").textContent =
       `steps ${s.steps ?? "?"} · ` +
-      (gs ? `${gs} GS/s in · ` : "") +
-      `up ${s.wall_time ? s.wall_time.toFixed(1) : "?"} s`;
+      (gs ? `${gs} GS/s · ` : "") +
+      `up ${s.elapsed_s ? s.elapsed_s.toFixed(1) : "?"} s`;
   } catch (e) { /* stats optional */ }
 }
 

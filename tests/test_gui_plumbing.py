@@ -76,3 +76,75 @@ def test_rest_retune_moves_spectrum():
         h.wait(timeout=20)
     finally:
         cp.shutdown()
+
+
+def test_gui_js_wiring_static():
+    """No JS runtime ships in this environment, so statically verify the
+    GUI's wiring instead: every DOM id app.js looks up exists in
+    index.html, and every REST path shape it fetches is one the control
+    port actually routes."""
+    import re
+    from pathlib import Path
+
+    gui = Path(__file__).resolve().parent.parent / "futuresdr_tpu" / "gui"
+    js = (gui / "app.js").read_text()
+    html = (gui / "index.html").read_text()
+
+    ids_used = set(re.findall(r'\$\("([a-zA-Z0-9_]+)"\)', js))
+    ids_defined = set(re.findall(r'id="([a-zA-Z0-9_]+)"', html))
+    missing = ids_used - ids_defined
+    assert not missing, f"app.js references undefined DOM ids: {missing}"
+
+    # API shapes used by the JS (template params normalized away)
+    api_calls = set(re.findall(r'/api/fg[^"`\s)]*', js))
+    norm = {re.sub(r"\$\{[^}]*\}", "X", p).rstrip("`") for p in api_calls}
+    expected = {
+        "/api/fg/",
+        "/api/fg/X/",
+        "/api/fg/X/stats/",
+        "/api/fg/X/block/X/call/X/",
+    }
+    assert norm == expected, f"unexpected API shapes in app.js: {norm}"
+
+    # and the control port really serves those shapes
+    from futuresdr_tpu import Flowgraph, Runtime, connect
+    from futuresdr_tpu.blocks import Head, NullSink, SignalSource, Throttle
+    import json
+    import urllib.request
+
+    fg = Flowgraph()
+    connect(
+        fg,
+        SignalSource(1e3, 48e3, kind="sin"),
+        Throttle(48e3, dtype=np.float32),
+        Head(1 << 20, np.float32),
+        NullSink(np.float32),
+    )
+    cp = ControlPort(bind="127.0.0.1:0")
+    h = Runtime(chunk_size=4096).start(fg)
+    fg_id = cp.register(h)
+    assert fg_id == 0
+    try:
+        base = f"http://127.0.0.1:{cp.port}"
+        ids = json.load(urllib.request.urlopen(f"{base}/api/fg/", timeout=10))
+        assert ids == [0]
+        desc = json.load(
+            urllib.request.urlopen(f"{base}/api/fg/0/", timeout=10)
+        )
+        assert {"blocks", "stream_edges"} <= set(desc)
+        stats = json.load(
+            urllib.request.urlopen(f"{base}/api/fg/0/stats/", timeout=10)
+        )
+        # the keys pollStats renders must exist in the stats route
+        assert {"steps", "samples_per_s", "elapsed_s"} <= set(stats)
+        req = urllib.request.Request(
+            f"{base}/api/fg/0/block/0/call/freq/",
+            data=json.dumps(2e3).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        json.load(urllib.request.urlopen(req, timeout=10))
+    finally:
+        h.stop()
+        h.wait(timeout=30)
+        cp.shutdown()
