@@ -6,6 +6,11 @@ aircraft tracker, which prints the register (callsign, position,
 velocity per ICAO).
 
 Run:  python examples/adsb_rx.py [capture.cf32]
+
+With ``--serve`` the app runs as a live flowgraph instead (parity:
+the reference's web map at http://127.0.0.1:1337/ — ``examples/adsb/
+dist/``): receiver sink → TrackerBlock message edge, control port
+serving the aircraft map page; open http://127.0.0.1:1337/adsb.html.
 """
 
 from __future__ import annotations
@@ -54,13 +59,56 @@ def demo_signal() -> np.ndarray:
     return (sig + noise).astype(np.complex64)
 
 
+def serve(iq: np.ndarray) -> None:
+    """Live map app: throttled IQ → receiver sink → TrackerBlock, with
+    the control port serving /adsb.html (reference web-map parity)."""
+    from futuresdr_tpu import Flowgraph, Runtime
+    from futuresdr_tpu.blocks import FramedReceiverSink, Throttle, VectorSource
+    from futuresdr_tpu.models.adsb.tracker import TrackerBlock
+    from futuresdr_tpu.runtime.ctrl_port import ControlPort
+    from futuresdr_tpu.types.pmt import Pmt
+
+    fg = Flowgraph()
+    src = VectorSource(iq, repeat=True)
+    thr = Throttle(4e6)  # pace at the capture rate so the map evolves
+    sink = FramedReceiverSink(
+        AdsbReceiver(),
+        overlap=4096,
+        process_size=1 << 16,
+        emit=lambda f: Pmt.any_(f) if f.crc_passed else None,
+    )
+    tracker = TrackerBlock(prune_after=120.0)
+    for b in (src, thr, sink, tracker):
+        fg.add(b)
+    fg.stream(src, thr)
+    fg.stream(thr, sink)
+    fg.message(sink, "frames", tracker, "in")
+
+    cp = ControlPort(bind="127.0.0.1:1337")
+    h = Runtime(chunk_size=1 << 16).start(fg)
+    cp.register(h)
+    print(f"aircraft map: http://127.0.0.1:{cp.port}/adsb.html")
+    try:
+        h.wait()
+    except KeyboardInterrupt:
+        h.stop()
+        h.wait(timeout=20)
+    finally:
+        cp.shutdown()
+
+
 def main() -> None:
-    if len(sys.argv) > 1:
-        iq = np.fromfile(sys.argv[1], dtype=np.complex64)
-        print(f"read {len(iq)} samples from {sys.argv[1]}")
+    args = [a for a in sys.argv[1:] if a != "--serve"]
+    if args:
+        iq = np.fromfile(args[0], dtype=np.complex64)
+        print(f"read {len(iq)} samples from {args[0]}")
     else:
         iq = demo_signal()
         print(f"demo capture: {len(iq)} samples, 2 synthetic aircraft")
+
+    if "--serve" in sys.argv[1:]:
+        serve(iq)
+        return
 
     rx = AdsbReceiver()
     frames = rx.process(iq)

@@ -286,6 +286,31 @@ def try_repair(
     return bits, -1
 
 
+def frame_from_bits(
+    bits: np.ndarray, start: int = 0, snr: float = 0.0
+) -> "AdsbFrame":
+    """Build a decoded :class:`AdsbFrame` from raw 112 demodulated bits
+    (df/icao/CRC/field decode) — the message-plane entry point for
+    :class:`~futuresdr_tpu.models.adsb.tracker.TrackerBlock`, which may
+    receive frames as packed-byte blobs over a Pmt edge."""
+    bits = np.asarray(bits, dtype=np.uint8).reshape(-1)
+    if bits.size != N_BITS:
+        raise ValueError(f"expected {N_BITS} bits, got {bits.size}")
+    df = int(bits[:5] @ (1 << np.arange(4, -1, -1)))
+    icao = int(bits[8:32] @ (1 << np.arange(23, -1, -1)))
+    f = AdsbFrame(
+        bits=bits,
+        df=df,
+        icao=icao,
+        crc_passed=_crc_remainder(bits) == 0,
+        start=int(start),
+        snr=float(snr),
+    )
+    if f.crc_passed:
+        _decode_fields(f)
+    return f
+
+
 @dataclass
 class AdsbFrame:
     bits: np.ndarray

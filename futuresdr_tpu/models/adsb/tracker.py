@@ -182,10 +182,19 @@ class Tracker:
     even/odd CPR frames within ``cpr_window`` seconds pair into global
     positions. ``prune(max_age)`` drops stale aircraft."""
 
-    def __init__(self, cpr_window: float = 10.0, clock=time.monotonic):
+    def __init__(
+        self,
+        cpr_window: float = 10.0,
+        clock=time.monotonic,
+        max_history: int = 500,
+    ):
         self.register: Dict[int, AircraftRecord] = {}
         self.cpr_window = float(cpr_window)
         self._clock = clock
+        # the reference keeps unbounded Vec<...> histories (lib.rs:89-90);
+        # a long-running live graph needs a bound — the map only draws a
+        # trail, and every ctrl_port poll serializes the whole register
+        self.max_history = int(max_history)
 
     def _rec(self, icao: int) -> AircraftRecord:
         rec = self.register.get(icao)
@@ -226,11 +235,13 @@ class Tracker:
                                 "time": now,
                             }
                         )
+                        del rec.positions[: -self.max_history]
         vel = parse_velocity_me(frame.bits)
         if vel is not None:
             vel = dict(vel)
             vel["time"] = now
             rec.velocities.append(vel)
+            del rec.velocities[: -self.max_history]
         return rec
 
     def prune(self, max_age: float) -> int:
@@ -245,3 +256,113 @@ class Tracker:
         for icao in stale:
             del self.register[icao]
         return len(stale)
+
+
+# ---------------------------------------------------------------------------
+# the tracker as a flowgraph block (message plane)
+# ---------------------------------------------------------------------------
+
+
+def _register_json(tracker: Tracker) -> str:
+    """Serialize the register in the reference's JSON shape
+    (``tracker.rs:42-56`` → ``serde_json`` of ``AircraftRegister``), so
+    the map UI can read ``register[icao].positions[i].position.latitude``
+    etc. Times are epoch-seconds split like serde's SystemTime."""
+    import json
+
+    def t(ts: float) -> dict:
+        secs = int(ts)
+        return {
+            "secs_since_epoch": secs,
+            "nanos_since_epoch": int((ts - secs) * 1e9),
+        }
+
+    reg = {}
+    for icao, rec in tracker.register.items():
+        key = f"{icao:06x}"
+        reg[key] = {
+            "icao": key,
+            "callsign": rec.callsign,
+            "emitter_category": None,
+            "positions": [
+                {
+                    "position": {
+                        "latitude": p["lat"],
+                        "longitude": p["lon"],
+                        "altitude": p.get("altitude_ft"),
+                    },
+                    "time": t(p["time"]),
+                }
+                for p in rec.positions
+            ],
+            "velocities": [
+                {
+                    "velocity": {
+                        "ground_speed": v.get("ground_speed_kt"),
+                        "heading": v.get("heading_deg"),
+                        "vertical_rate": v.get("vertical_rate_fpm"),
+                        "vertical_rate_source": v.get("vrate_source"),
+                    },
+                    "time": t(v["time"]),
+                }
+                for v in rec.velocities
+            ],
+            "last_seen": t(rec.last_seen),
+        }
+    return json.dumps({"register": reg})
+
+
+def _make_tracker_block():
+    """Deferred Block import (this module stays importable standalone)."""
+    from futuresdr_tpu.runtime.block import Block, message_handler
+    from futuresdr_tpu.types.pmt import Pmt, PmtKind
+
+    class TrackerBlock(Block):
+        """The tracker as a message-plane flowgraph block
+        (parity: ``tracker.rs:13-96`` — ``#[message_inputs(in, ctrl_port)]``).
+
+        ``in`` accepts decoded frames: an :class:`AdsbFrame` (in-process
+        Pmt.Any, what :class:`~futuresdr_tpu.blocks.FramedReceiverSink`
+        posts with a custom emit) or a packed 14-byte blob of the raw
+        112 bits (serializable across process boundaries).  ``ctrl_port``
+        with Pmt.Null replies Pmt.String(JSON register) — the route the
+        aircraft-map page polls, exactly the reference's handler contract
+        (``tracker.rs:42-56``)."""
+
+        def __init__(
+            self,
+            prune_after: Optional[float] = None,
+            cpr_window: float = 10.0,
+            name: Optional[str] = None,
+        ):
+            super().__init__(name)
+            self.tracker = Tracker(cpr_window=cpr_window)
+            self.prune_after = prune_after
+
+        @message_handler("in")
+        def _in(self, pmt: "Pmt") -> "Pmt":
+            if pmt.is_finished():
+                return Pmt.ok()
+            v = pmt.to_py()
+            frame = v
+            if isinstance(v, (bytes, bytearray)):
+                from futuresdr_tpu.models.adsb.adsb import frame_from_bits
+
+                bits = np.unpackbits(np.frombuffer(bytes(v), np.uint8))
+                frame = frame_from_bits(bits)
+            if frame is not None:
+                self.tracker.update(frame)
+            if self.prune_after is not None:
+                self.tracker.prune(self.prune_after)
+            return Pmt.ok()
+
+        @message_handler("ctrl_port")
+        def _ctrl(self, pmt: "Pmt") -> "Pmt":
+            if pmt.is_finished():
+                return Pmt.ok()
+            return Pmt(PmtKind.STRING, _register_json(self.tracker))
+
+    return TrackerBlock
+
+
+TrackerBlock = _make_tracker_block()

@@ -121,3 +121,87 @@ def test_cpr_zone_mismatch_rejected():
     e = cpr_encode(10.0, 20.0, False)
     o = cpr_encode(80.0, 20.0, True)
     assert cpr_decode_global(e, o, newest_is_odd=True) is None
+
+
+def test_tracker_block_and_map_route():
+    """Flowgraph → FramedReceiverSink(frames Pmt) → TrackerBlock message
+    edge; the control port's ctrl_port call route replies
+    Pmt::String(register JSON) in the exact shape the aircraft-map page
+    consumes (parity: tracker.rs:42-56 + examples/adsb/dist/script.js)."""
+    import json
+    import urllib.request
+
+    from futuresdr_tpu import Flowgraph, Runtime
+    from futuresdr_tpu.blocks import FramedReceiverSink, VectorSource
+    from futuresdr_tpu.models.adsb.tracker import TrackerBlock
+    from futuresdr_tpu.runtime.ctrl_port import ControlPort
+    from futuresdr_tpu.types.pmt import Pmt
+
+    lat, lon = 48.35, 11.78
+    icao = 0x3C6444
+    parts = []
+    for bits in (
+        encode_df17(icao, callsign_me("DLH9TA")),
+        encode_df17(
+            icao, position_me(*cpr_encode(lat, lon, False), 37000, False)
+        ),
+        encode_df17(
+            icao, position_me(*cpr_encode(lat, lon, True), 37000, True)
+        ),
+        encode_df17(icao, velocity_me(-120, 300, -640)),
+    ):
+        parts.append(synthesize_frame(bits, amplitude=1.0, pad=600))
+    sig = np.concatenate(parts).astype(np.complex64)
+
+    fg = Flowgraph()
+    src = VectorSource(sig)
+    sink = FramedReceiverSink(
+        AdsbReceiver(),
+        overlap=4096,
+        process_size=1 << 15,
+        emit=lambda f: Pmt.any_(f) if f.crc_passed else None,
+    )
+    tracker = TrackerBlock()
+    for b in (src, sink, tracker):
+        fg.add(b)
+    fg.stream(src, sink)
+    fg.message(sink, "frames", tracker, "in")
+
+    cp = ControlPort(bind="127.0.0.1:0")
+    try:
+        h = Runtime(chunk_size=1 << 15).start(fg)
+        fg_id = cp.register(h)
+        h.wait(timeout=60)
+
+        base = f"http://127.0.0.1:{cp.port}"
+        (tid,) = [
+            i
+            for i, b in enumerate(fg.blocks)
+            if "Tracker" in type(b).__name__
+        ]
+        req = urllib.request.Request(
+            f"{base}/api/fg/{fg_id}/block/{tid}/call/ctrl_port/",
+            data=b"null",
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        res = json.load(urllib.request.urlopen(req, timeout=10))
+        reg = json.loads(res["String"])["register"]
+        rec = reg[f"{icao:06x}"]
+        assert rec["callsign"] == "DLH9TA"
+        p = rec["positions"][-1]["position"]
+        assert abs(p["latitude"] - lat) < 1e-2
+        assert abs(p["longitude"] - lon) < 1e-2
+        assert p["altitude"] == 37000
+        v = rec["velocities"][-1]["velocity"]
+        assert abs(v["ground_speed"] - np.hypot(-120, 300)) < 1.5
+        assert v["vertical_rate"] == -640
+        assert "secs_since_epoch" in rec["last_seen"]
+
+        # the map page itself is served next to the main GUI
+        html = urllib.request.urlopen(f"{base}/adsb.html", timeout=10).read()
+        assert b"adsb.js" in html
+        js = urllib.request.urlopen(f"{base}/adsb.js", timeout=10).read()
+        assert b"ctrl_port" in js
+    finally:
+        cp.shutdown()

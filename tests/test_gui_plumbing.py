@@ -88,12 +88,17 @@ def test_gui_js_wiring_static():
 
     gui = Path(__file__).resolve().parent.parent / "futuresdr_tpu" / "gui"
     js = (gui / "app.js").read_text()
-    html = (gui / "index.html").read_text()
 
-    ids_used = set(re.findall(r'\$\("([a-zA-Z0-9_]+)"\)', js))
-    ids_defined = set(re.findall(r'id="([a-zA-Z0-9_]+)"', html))
-    missing = ids_used - ids_defined
-    assert not missing, f"app.js references undefined DOM ids: {missing}"
+    for js_name, html_name in (
+        ("app.js", "index.html"),
+        ("adsb.js", "adsb.html"),
+    ):
+        page_js = (gui / js_name).read_text()
+        html = (gui / html_name).read_text()
+        ids_used = set(re.findall(r'\$\("([a-zA-Z0-9_]+)"\)', page_js))
+        ids_defined = set(re.findall(r'id="([a-zA-Z0-9_]+)"', html))
+        missing = ids_used - ids_defined
+        assert not missing, f"{js_name} references undefined DOM ids: {missing}"
 
     # API shapes used by the JS (template params normalized away)
     api_calls = set(re.findall(r'/api/fg[^"`\s)]*', js))
