@@ -465,11 +465,7 @@ class Agc(Block):
         n = x.shape[-1]
         f = self.frame
         k = n // f
-        mag = (
-            cplx.apply1(lambda t: t, x).abs()
-            if isinstance(x, cplx.CArray)
-            else jnp.abs(x)
-        )
+        mag = x.abs() if isinstance(x, cplx.CArray) else jnp.abs(x)
         frame_rms = jnp.sqrt(
             jnp.mean(mag.reshape(k, f) ** 2, axis=-1) + 1e-20
         )
@@ -560,5 +556,18 @@ class ClockRecoveryMM(Block):
             gain_mu=self.gain_mu,
         )
         new_tail = buf[-self.tail_len :]
+        # ii < n would mean the loop's average advance fell below one
+        # input sample per output (possible only for omega near 1 with
+        # large error excursions): the read pointer would land before the
+        # kept tail. The clamp keeps the program well-defined; the
+        # mm_underrun aux flag makes the (lossy) event observable instead
+        # of silent.
         mm3 = mm2._replace(ii=jnp.maximum(mm2.ii - n, 0))
-        return (new_tail, mm3), [out], {"mm_valid": valid.sum()}
+        return (
+            (new_tail, mm3),
+            [out],
+            {
+                "mm_valid": valid.sum(),
+                "mm_underrun": (mm2.ii < n).astype(jnp.int32),
+            },
+        )

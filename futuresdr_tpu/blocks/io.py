@@ -52,6 +52,9 @@ class VectorSource(Block):
 
     def host_produce(self, n: int, port: int = 0):
         total = self.data.shape[-1]
+        if total == 0:
+            # empty data + repeat=True would otherwise spin forever below
+            return None
         if self._pos >= total and not self.repeat:
             return None
         pieces = []

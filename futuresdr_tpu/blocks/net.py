@@ -279,6 +279,11 @@ class WebsocketSink(Block):
                 await conn.wait_closed()
             finally:
                 self._clients.remove(conn)
+                # drop the in-flight-send slot too: under client churn the
+                # dict would grow one stale Future per past client, and a
+                # new client landing on a recycled id() would inherit it
+                if hasattr(self, "_pending"):
+                    self._pending.pop(id(conn), None)
 
         async def main():
             async with ws_server.serve(handler, "0.0.0.0", self.port) as srv:

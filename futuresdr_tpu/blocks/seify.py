@@ -320,7 +320,9 @@ class SeifySink(Block):
 
     @message_handler("gain")
     def _gain(self, pmt: Pmt) -> Pmt:
-        self.gain = float(pmt.as_float())
+        # same contract as the source handler: None → AGC
+        v = pmt.to_py()
+        self.gain = None if v is None else float(v)
         return Pmt.ok()
 
     def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:

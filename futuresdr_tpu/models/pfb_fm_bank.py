@@ -452,7 +452,7 @@ def make_bank_step_fused(cfg: BankConfig = BankConfig(), tile_rows: int = 128,
         xt_im = x.im.reshape(R, M)
         a, hr, hi, ypr, ypi = fused_bank_demod(
             xt_re, xt_im, hr, hi, ypr, ypi, w_rev, dre, dim,
-            n_ch=M, L=L, tile_rows=tile_rows, gain=float(cfg.demod_gain),
+            L=L, tile_rows=tile_rows, gain=float(cfg.demod_gain),
             interpret=interpret,
         )
         ext = jnp.concatenate([ah, a], axis=0)  # [Ha+R, M]

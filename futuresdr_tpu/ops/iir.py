@@ -59,13 +59,33 @@ def iir_apply(
     ``y_history = [y[-1], ..., y[-p]]``. Real f32 path (complex inputs can
     be filtered per re/im by linearity).
     """
-    b = jnp.asarray(b, dtype=jnp.float32)
-    a = jnp.asarray(a, dtype=jnp.float32)
-    if a.shape[0] < 1:
-        raise ValueError("a must have at least a[0]")
-    a0 = a[0]
-    a = a / a0
-    b = b / jnp.asarray(a0, dtype=b.dtype)
+    if isinstance(b, jax.core.Tracer) or isinstance(a, jax.core.Tracer):
+        # taps traced as data (rare): normalize in-graph; the FIR stage
+        # will take the conv lowering since the taps aren't constants
+        b = jnp.asarray(b, dtype=jnp.float32)
+        a = jnp.asarray(a, dtype=jnp.float32)
+        if a.shape[0] < 1:
+            raise ValueError("a must have at least a[0]")
+        a0 = a[0]
+        a = a / a0
+        b = b / jnp.asarray(a0, dtype=b.dtype)
+    else:
+        # normalize in NUMPY: dividing with jnp inside a jit trace would
+        # turn the taps into trace constants that older paths saw as
+        # Tracers, demoting every jitted IIR's FIR stage to the XLA conv
+        # lowering (~265 ms/call vs sub-ms Toeplitz matmul, fir.py notes)
+        a_np = np.asarray(
+            jax.device_get(a) if hasattr(a, "device") else a, np.float32
+        )
+        b_np = np.asarray(
+            jax.device_get(b) if hasattr(b, "device") else b, np.float32
+        )
+        if a_np.shape[0] < 1:
+            raise ValueError("a must have at least a[0]")
+        # keep the taps as NUMPY: jnp.asarray inside a jit trace wraps
+        # them as trace constants that _concrete_taps cannot see
+        b = b_np / a_np[0]
+        a = a_np / a_np[0]
     p = a.shape[0] - 1
 
     if state is None:
@@ -109,10 +129,17 @@ def _hist_from(y: jax.Array, old_hist: jax.Array, p: int) -> jax.Array:
 
 def biquad_apply(x, b0, b1, b2, a1, a2, state=None):
     """Single biquad section (direct form via the general path)."""
-    b = jnp.stack([jnp.asarray(b0), jnp.asarray(b1), jnp.asarray(b2)])
-    a = jnp.stack(
-        [jnp.ones((), dtype=jnp.float32), jnp.asarray(a1), jnp.asarray(a2)]
-    )
+    coeffs = (b0, b1, b2, a1, a2)
+    if any(isinstance(c, jax.core.Tracer) for c in coeffs):
+        b = jnp.stack([jnp.asarray(b0), jnp.asarray(b1), jnp.asarray(b2)])
+        a = jnp.stack(
+            [jnp.ones((), dtype=jnp.float32), jnp.asarray(a1), jnp.asarray(a2)]
+        )
+    else:
+        # numpy taps keep the FIR stage on the Toeplitz-matmul path when
+        # this runs inside a jit trace (see iir_apply)
+        b = np.array([b0, b1, b2], np.float32)
+        a = np.array([1.0, a1, a2], np.float32)
     return iir_apply(x, b, a, state)
 
 

@@ -23,7 +23,7 @@ Parity anchors: ``src/blocks/pfb/channelizer.rs:71-224`` (analysis bank),
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -71,18 +71,12 @@ def _atan2_poly(y, x):
     return jnp.where(y < 0, -r, r)
 
 
-@lru_cache(maxsize=None)
 def _dft_bf16_np(n: int):
-    """[n, n] DFT matrix as NumPy bf16 — cached host-side (never cache
-    jnp arrays under lru: inside a trace they'd be leaked tracers)."""
-    import ml_dtypes
+    """[n, n] DFT matrix as NumPy bf16 (one shared lru-cached builder —
+    ops/pfb._dft_const_bf16 — so the two banks can never drift)."""
+    from futuresdr_tpu.ops.pfb import _dft_const_bf16
 
-    k = np.arange(n, dtype=np.float64)
-    ang = -2.0 * np.pi * np.outer(k, k) / n
-    return (
-        np.cos(ang).astype(ml_dtypes.bfloat16),
-        np.sin(ang).astype(ml_dtypes.bfloat16),
-    )
+    return _dft_const_bf16(n)
 
 
 def _bank_kernel(
@@ -164,7 +158,7 @@ def _bank_kernel(
 
 
 @partial(
-    jax.jit, static_argnames=("n_ch", "L", "tile_rows", "gain", "interpret")
+    jax.jit, static_argnames=("L", "tile_rows", "gain", "interpret")
 )
 def fused_bank_demod(
     xt_re,  # [R, M] f32
@@ -177,7 +171,6 @@ def fused_bank_demod(
     dft_re,  # [M, M] bf16
     dft_im,
     *,
-    n_ch: int,
     L: int,
     tile_rows: int = 128,
     gain: float = 1.0,

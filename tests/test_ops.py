@@ -564,3 +564,28 @@ def test_conv1d_valid_concrete_taps_take_matmul_path_under_jit():
     before = dict(fir_ops.path_stats)
     np.asarray(f_traced(x))
     assert fir_ops.path_stats["conv"] == before["conv"] + 1
+
+
+def test_iir_taps_stay_on_matmul_path_under_jit():
+    """Normalizing IIR taps must happen in numpy: jnp arithmetic inside a
+    jit trace turned the taps into trace constants the FIR dispatcher saw
+    as non-concrete, demoting every jitted IIR to the XLA conv lowering
+    (fir.py documents ~265 ms/call there vs sub-ms Toeplitz matmul)."""
+    import jax
+
+    from futuresdr_tpu.ops import fir as fir_mod
+    from futuresdr_tpu.ops.iir import biquad_apply, iir_apply
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(512).astype(np.float32)
+    )
+    b = np.array([0.2, 0.3], np.float32)
+    a = np.array([1.0, -0.5], np.float32)
+
+    before = dict(fir_mod.path_stats)
+    jax.jit(lambda x: iir_apply(x, b, a))(x)
+    jax.jit(lambda x: biquad_apply(x, 0.2, 0.3, 0.1, -0.4, 0.05))(x)
+    assert fir_mod.path_stats["conv"] == before["conv"], (
+        "jitted IIR took the conv lowering"
+    )
+    assert fir_mod.path_stats["matmul"] >= before["matmul"] + 2

@@ -68,14 +68,16 @@ class FakeRtlTcpServer:
             # though the drain thread still holds the socket in recv()
             # (CPython defers the real close while a recv is in flight)
             conn.shutdown(socket.SHUT_WR)
-            deadline = threading.Event()
-            deadline.wait(0.3)
+            # stay alive until the CLIENT closes (drain sees EOF) — a
+            # fixed grace period raced slow jit compiles under full-suite
+            # load and closed the socket mid-read
+            t.join(timeout=30)
 
     def join(self) -> None:
         self._thread.join(timeout=5)
 
 
-def _wait_for(pred, timeout=2.0):
+def _wait_for(pred, timeout=10.0):
     deadline = threading.Event()
     for _ in range(int(timeout / 0.01)):
         if pred():
@@ -116,11 +118,13 @@ def test_rtl_tcp_source_flowgraph_and_retune():
         .sample_rate(1e6)
         .build_source()
     )
-    # initial config hit the wire at construction
-    assert _wait_for(lambda: (0x01, 868_000_000) in srv.commands)
+    # initial config hit the wire at construction; the gain/AGC pair is
+    # sent LAST, so wait on it (freq alone raced the drain thread)
+    assert _wait_for(lambda: (0x08, 1) in srv.commands)
+    assert (0x01, 868_000_000) in srv.commands
     assert (0x02, 1_000_000) in srv.commands
-    # gain 0.0 -> hardware AGC (gain_mode auto + agc on)
-    assert (0x03, 0) in srv.commands and (0x08, 1) in srv.commands
+    # gain None -> hardware AGC (gain_mode auto + agc on)
+    assert (0x03, 0) in srv.commands
 
     src.call_handler("freq", Pmt.from_py(915e6))
     assert _wait_for(lambda: (0x01, 915_000_000) in srv.commands)
