@@ -286,6 +286,33 @@ def try_repair(
     return bits, -1
 
 
+def _build_frame(
+    bits: np.ndarray,
+    crc_ok: bool,
+    start: int,
+    snr: float,
+    corrected: int = 0,
+) -> "AdsbFrame":
+    """Shared frame constructor: df/icao extraction + field decode —
+    the single site both the RF receiver tail (:meth:`AdsbReceiver.
+    _demod_soft`) and the message-plane entry (:func:`frame_from_bits`)
+    build frames through, so the two decodes can never drift."""
+    df = int(bits[:5] @ (1 << np.arange(4, -1, -1)))
+    icao = int(bits[8:32] @ (1 << np.arange(23, -1, -1)))
+    f = AdsbFrame(
+        bits=bits,
+        df=df,
+        icao=icao,
+        crc_passed=bool(crc_ok),
+        start=int(start),
+        snr=float(snr),
+        corrected=int(corrected),
+    )
+    if f.crc_passed:
+        _decode_fields(f)
+    return f
+
+
 def frame_from_bits(
     bits: np.ndarray, start: int = 0, snr: float = 0.0
 ) -> "AdsbFrame":
@@ -296,19 +323,7 @@ def frame_from_bits(
     bits = np.asarray(bits, dtype=np.uint8).reshape(-1)
     if bits.size != N_BITS:
         raise ValueError(f"expected {N_BITS} bits, got {bits.size}")
-    df = int(bits[:5] @ (1 << np.arange(4, -1, -1)))
-    icao = int(bits[8:32] @ (1 << np.arange(23, -1, -1)))
-    f = AdsbFrame(
-        bits=bits,
-        df=df,
-        icao=icao,
-        crc_passed=_crc_remainder(bits) == 0,
-        start=int(start),
-        snr=float(snr),
-    )
-    if f.crc_passed:
-        _decode_fields(f)
-    return f
+    return _build_frame(bits, _crc_remainder(bits) == 0, start, snr)
 
 
 @dataclass
@@ -460,23 +475,10 @@ class AdsbReceiver:
         if not crc_ok:
             bits, corrected = try_repair(bits, np.abs(soft))
             crc_ok = corrected > 0
-        df = int(bits[:5] @ (1 << np.arange(4, -1, -1)))
-        icao = int(bits[8:32] @ (1 << np.arange(23, -1, -1)))
         snr = float(
             10.0
             * np.log10(
                 (np.abs(soft).mean() + 1e-12) / (nf_start + 1e-12)
             )
         )
-        f = AdsbFrame(
-            bits=bits,
-            df=df,
-            icao=icao,
-            crc_passed=crc_ok,
-            start=start,
-            snr=snr,
-            corrected=max(corrected, 0),
-        )
-        if crc_ok:
-            _decode_fields(f)
-        return f
+        return _build_frame(bits, crc_ok, start, snr, max(corrected, 0))

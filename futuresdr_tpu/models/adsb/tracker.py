@@ -194,6 +194,8 @@ class Tracker:
         # the reference keeps unbounded Vec<...> histories (lib.rs:89-90);
         # a long-running live graph needs a bound — the map only draws a
         # trail, and every ctrl_port poll serializes the whole register
+        if int(max_history) < 1:
+            raise ValueError("max_history must be >= 1 (latest kept)")
         self.max_history = int(max_history)
 
     def _rec(self, icao: int) -> AircraftRecord:
@@ -235,13 +237,20 @@ class Tracker:
                                 "time": now,
                             }
                         )
-                        del rec.positions[: -self.max_history]
+                        if len(rec.positions) > self.max_history:
+                            del rec.positions[
+                                : len(rec.positions)
+                                - self.max_history
+                            ]
         vel = parse_velocity_me(frame.bits)
         if vel is not None:
             vel = dict(vel)
             vel["time"] = now
             rec.velocities.append(vel)
-            del rec.velocities[: -self.max_history]
+            if len(rec.velocities) > self.max_history:
+                del rec.velocities[
+                    : len(rec.velocities) - self.max_history
+                ]
         return rec
 
     def prune(self, max_age: float) -> int:
@@ -312,57 +321,61 @@ def _register_json(tracker: Tracker) -> str:
     return json.dumps({"register": reg})
 
 
-def _make_tracker_block():
-    """Deferred Block import (this module stays importable standalone)."""
-    from futuresdr_tpu.runtime.block import Block, message_handler
-    from futuresdr_tpu.types.pmt import Pmt, PmtKind
+from futuresdr_tpu.runtime.block import Block, message_handler  # noqa: E402
+from futuresdr_tpu.types.pmt import Pmt, PmtKind  # noqa: E402
 
-    class TrackerBlock(Block):
-        """The tracker as a message-plane flowgraph block
-        (parity: ``tracker.rs:13-96`` — ``#[message_inputs(in, ctrl_port)]``).
 
-        ``in`` accepts decoded frames: an :class:`AdsbFrame` (in-process
-        Pmt.Any, what :class:`~futuresdr_tpu.blocks.FramedReceiverSink`
-        posts with a custom emit) or a packed 14-byte blob of the raw
-        112 bits (serializable across process boundaries).  ``ctrl_port``
-        with Pmt.Null replies Pmt.String(JSON register) — the route the
-        aircraft-map page polls, exactly the reference's handler contract
-        (``tracker.rs:42-56``)."""
+class TrackerBlock(Block):
+    """The tracker as a message-plane flowgraph block
+    (parity: ``tracker.rs:13-96`` — ``#[message_inputs(in, ctrl_port)]``).
 
-        def __init__(
-            self,
-            prune_after: Optional[float] = None,
-            cpr_window: float = 10.0,
-            name: Optional[str] = None,
-        ):
-            super().__init__(name)
-            self.tracker = Tracker(cpr_window=cpr_window)
-            self.prune_after = prune_after
+    ``in`` accepts decoded frames: an :class:`AdsbFrame` (in-process
+    Pmt.Any, what :class:`~futuresdr_tpu.blocks.FramedReceiverSink`
+    posts with a custom emit) or a packed 14-byte blob of the raw
+    112 bits (serializable across process boundaries; malformed blobs
+    are counted in ``n_malformed`` and dropped — a bad frame must not
+    kill a live flowgraph).  ``ctrl_port`` with Pmt.Null replies
+    Pmt.String(JSON register) — the route the aircraft-map page polls,
+    exactly the reference's handler contract (``tracker.rs:42-56``).
 
-        @message_handler("in")
-        def _in(self, pmt: "Pmt") -> "Pmt":
-            if pmt.is_finished():
-                return Pmt.ok()
-            v = pmt.to_py()
-            frame = v
-            if isinstance(v, (bytes, bytearray)):
-                from futuresdr_tpu.models.adsb.adsb import frame_from_bits
+    Uses wall-clock time (``time.time``): register timestamps are an
+    external artifact serialized as ``secs_since_epoch`` (the map UI
+    ages aircraft against ``Date.now()``)."""
 
+    def __init__(
+        self,
+        prune_after: Optional[float] = None,
+        cpr_window: float = 10.0,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.tracker = Tracker(cpr_window=cpr_window, clock=time.time)
+        self.prune_after = prune_after
+        self.n_malformed = 0
+
+    @message_handler("in")
+    def _in(self, pmt: "Pmt") -> "Pmt":
+        if pmt.is_finished():
+            return Pmt.ok()
+        v = pmt.to_py()
+        frame = v
+        if isinstance(v, (bytes, bytearray)):
+            from futuresdr_tpu.models.adsb.adsb import frame_from_bits
+
+            try:
                 bits = np.unpackbits(np.frombuffer(bytes(v), np.uint8))
                 frame = frame_from_bits(bits)
-            if frame is not None:
-                self.tracker.update(frame)
-            if self.prune_after is not None:
-                self.tracker.prune(self.prune_after)
-            return Pmt.ok()
-
-        @message_handler("ctrl_port")
-        def _ctrl(self, pmt: "Pmt") -> "Pmt":
-            if pmt.is_finished():
+            except ValueError:
+                self.n_malformed += 1
                 return Pmt.ok()
-            return Pmt(PmtKind.STRING, _register_json(self.tracker))
+        if frame is not None:
+            self.tracker.update(frame)
+        if self.prune_after is not None:
+            self.tracker.prune(self.prune_after)
+        return Pmt.ok()
 
-    return TrackerBlock
-
-
-TrackerBlock = _make_tracker_block()
+    @message_handler("ctrl_port")
+    def _ctrl(self, pmt: "Pmt") -> "Pmt":
+        if pmt.is_finished():
+            return Pmt.ok()
+        return Pmt(PmtKind.STRING, _register_json(self.tracker))

@@ -137,7 +137,10 @@ def detect_candidates(
     )
     idx = jnp.where(key_s < EMPTY, key_s + 1, -1)
     f_off = -jnp.arctan2(aim_s, are_s) / 16.0
-    return idx, f_off
+    # true leader count: lets the caller detect kmax overflow (leaders
+    # past the first kmax are sort-truncated) and re-run loss-free
+    n_lead = leader.sum().astype(jnp.int32)
+    return idx, f_off, n_lead
 
 
 def _span(n_syms: int) -> int:
@@ -329,7 +332,7 @@ def _detect_program(kmax: int, max_frames: int):
     def fn(x: CArray, n_real: jnp.ndarray):
         bucket = x.shape[-1] - FRAME_WIN
         a, cor = sync_metrics(x[..., :bucket])
-        idx, f_off = detect_candidates(a, cor, kmax)
+        idx, f_off, n_lead = detect_candidates(a, cor, kmax)
 
         # MIN_GAP resync walk: accept leaders ≥ MIN_GAP apart, window
         # must fit before the valid-sample end, stop at max_frames
@@ -352,7 +355,7 @@ def _detect_program(kmax: int, max_frames: int):
         init = (jnp.int32(-(10**9)), jnp.int32(0))
         _, valid = jax.lax.scan(walk, init, (idx, f_off))
         starts = jnp.where(valid, idx + 47, 0).astype(jnp.int32)
-        return starts, valid, f_off
+        return starts, valid, f_off, n_lead
 
     return jax.jit(fn)
 
@@ -610,14 +613,33 @@ class WlanReceiver:
         # phase A: two device programs (detect, then SIGNAL — fusing them
         # provoked a 13x-slower XLA schedule, see _detect_program), ONE
         # combined small D2H sync for the whole chunk
+        # adaptive loss-free candidate budget: run with the cheap
+        # frames-derived kmax first, but fetch the TRUE leader count —
+        # if leaders overflowed kmax (junk crossings >=_DETECT_BLK quiet
+        # after an STF would sort-truncate REAL tail frames before the
+        # resync walk), re-run with the next pow2 budget that fits. The
+        # common case pays nothing; a hostile capture pays one re-run
+        # (its program caches per pow2 bucket). A sizing-from-max_frames-
+        # only kmax silently dropped tail frames; the always-loss-free
+        # bucket//_DETECT_BLK budget measured ~30% slower at 1000-frame
+        # captures.
         kmax = max(16, self.max_frames)
-        starts_d, valid_d, foff_d = _detect_program(kmax, self.max_frames)(
-            x, jnp.int32(n_real)
-        )
-        dec_d, snr_d = _signal_program(kmax)(x, starts_d, foff_d)
-        starts_a, valid_a, foff_a, dec_a, snr_a = jax.device_get(
-            (starts_d, valid_d, foff_d, dec_d, snr_d)
-        )
+        hard_cap = bucket // _DETECT_BLK + 2
+        while True:
+            starts_d, valid_d, foff_d, nlead_d = _detect_program(
+                kmax, self.max_frames
+            )(x, jnp.int32(n_real))
+            dec_d, snr_d = _signal_program(kmax)(x, starts_d, foff_d)
+            starts_a, valid_a, foff_a, dec_a, snr_a, nlead_a = (
+                jax.device_get(
+                    (starts_d, valid_d, foff_d, dec_d, snr_d, nlead_d)
+                )
+            )
+            if int(nlead_a) <= kmax or kmax >= hard_cap:
+                break
+            kmax = min(
+                1 << int(nlead_a - 1).bit_length(), hard_cap
+            )
         rate_f, parity, length_f = unpack_signal_fields(dec_a)
         out: List[RxFrame] = []
         cands: List[int] = []

@@ -4,8 +4,9 @@ The full-rate stages of the receiver (sync metrics, candidate detection,
 SIGNAL decode — the work that touches EVERY sample) scale across chips by
 sharding the capture along time: each device owns a contiguous shard plus
 
-* a LEFT halo of ``MIN_GAP + 64`` samples (the leader filter counts hits
-  over the preceding MIN_GAP window; the moving sums look back 64), and
+* a LEFT halo of ``MIN_GAP + 64`` samples (the leader filter looks back
+  ``_DETECT_BLK`` = 256 samples and the moving sums 64; MIN_GAP + 64
+  over-covers both with margin), and
 * a RIGHT halo of ~600 samples — the SIGNAL decode window (a frame
   starting near the shard end is SIGNAL-decoded by the shard that OWNS
   its start from neighbor samples; the full-frame window belongs to the
@@ -84,7 +85,7 @@ def _sharded_phase1(mesh: Mesh, shard_len: int, kmax_loc: int):
         cor = jnp.where(
             (jnp.arange(cor.shape[-1]) < HALO_L) & (me == 0), 0.0, cor
         )
-        idx, f_off = detect_candidates(
+        idx, f_off, _ = detect_candidates(
             a, cor, kmax_loc, lo=HALO_L, hi=HALO_L + shard_len
         )
         starts_loc = jnp.where(idx >= 0, idx + 47, 0).astype(jnp.int32)
@@ -114,8 +115,15 @@ def _shard_len(n_real: int, ndev: int) -> int:
 
 
 def auto_kmax(shard_len: int) -> int:
-    """Candidates a shard can hold: leaders are >= MIN_GAP apart."""
-    return shard_len // MIN_GAP + 2
+    """Candidates a shard can hold — the loss-free bound.
+
+    The leader quiet-window is ``_DETECT_BLK`` (rx.py — narrower than
+    MIN_GAP so SIFS-close frames are admitted), so leaders can be as
+    close as ``_DETECT_BLK + 1`` samples; size kmax for that, not for
+    MIN_GAP, or tail candidates would be sort-truncated mid-capture."""
+    from futuresdr_tpu.models.wlan.rx import _DETECT_BLK
+
+    return shard_len // _DETECT_BLK + 2
 
 
 def sharded_phase1(
@@ -128,7 +136,7 @@ def sharded_phase1(
     time order — the exact phase-1 contract of ``WlanReceiver.process``.
 
     ``kmax_per_shard`` defaults to the loss-free bound (a leader every
-    MIN_GAP samples); passing a smaller value trades SIGNAL-stage work
+    ``_DETECT_BLK`` samples); passing a smaller value trades SIGNAL-stage work
     for a per-shard candidate cap, which on overflow drops frames from
     that shard's TAIL (unlike serial kmax truncation, the gap can sit
     mid-capture).
@@ -250,7 +258,7 @@ def check_sharded_vs_serial(
 
     xD, nr, _ = prepare_device_iq(sig)
     kk = max(16, n_frames + 4)
-    s_d, v_d, _f = _rx._detect_program(kk, kk)(xD, jnp.int32(nr))
+    s_d, v_d, _f, _nl = _rx._detect_program(kk, kk)(xD, jnp.int32(nr))
     s_a, v_a = jax.device_get((s_d, v_d))
     serial_starts = [int(s_a[j]) for j in range(kk) if v_a[j]]
     got_starts = [g[0] for g in got]

@@ -196,7 +196,10 @@ def test_tracker_block_and_map_route():
         v = rec["velocities"][-1]["velocity"]
         assert abs(v["ground_speed"] - np.hypot(-120, 300)) < 1.5
         assert v["vertical_rate"] == -640
-        assert "secs_since_epoch" in rec["last_seen"]
+        # wall-clock epoch, not monotonic: the map UI ages aircraft
+        # against Date.now()
+        assert rec["last_seen"]["secs_since_epoch"] > 1.5e9
+        assert rec["positions"][-1]["time"]["secs_since_epoch"] > 1.5e9
 
         # the map page itself is served next to the main GUI
         html = urllib.request.urlopen(f"{base}/adsb.html", timeout=10).read()

@@ -413,7 +413,7 @@ def test_sharded_phase1_matches_serial():
     # serial ground truth (the receiver's phase A)
     x, n_real, _ = prepare_device_iq(sig)
     kk = 16
-    s_d, v_d, f_d = R._detect_program(kk, kk)(x, jnp.int32(n_real))
+    s_d, v_d, f_d, _ = R._detect_program(kk, kk)(x, jnp.int32(n_real))
     dec_d, snr_d = R._signal_program(kk)(x, s_d, f_d)
     s_a, v_a, f_a, dec_a, snr_a = jax.device_get(
         (s_d, v_d, f_d, dec_d, snr_d)
@@ -471,3 +471,42 @@ def test_loopback_nearly_back_to_back_frames():
     assert len(frames) == 2
     assert frames[0].psdu == p1 and frames[0].crc_ok
     assert frames[1].psdu == p2 and frames[1].crc_ok
+
+
+def test_kmax_overflow_rerun_keeps_tail_frames():
+    """More leaders than the frames-derived kmax must NOT silently drop
+    tail frames: junk STF-fragment bursts (double-crossings the resync
+    walk rejects or wastes slots on) ahead of the real frames overflow
+    kmax; the receiver detects the overflow via the true leader count
+    and re-runs with a bigger budget (loss-free adaptive kmax)."""
+    rng = np.random.default_rng(9)
+    psdus = [make_mac_frame(bytes([i]) * 8, seq=i) for i in range(12)]
+    frames_iq = [encode_frame(p, "qam16_12") for p in psdus]
+    stf_frag = frames_iq[0][:80]  # 16-periodic STF fragment: a junk leader
+
+    parts = [np.zeros(600, np.complex64)]
+    # 10 junk PAIRS: the pair's second burst starts 380 samples after the
+    # first — quiet span past the first burst's hit run exceeds the
+    # 256-sample leader window (so it IS a leader) while the start
+    # spacing stays < MIN_GAP (so the walk rejects it): each pair costs
+    # TWO kmax slots but at most ONE walk slot. 20 junk + 12 frame
+    # leaders = 32 > the frames-derived kmax of 28.
+    for _ in range(10):
+        parts.append(stf_frag)
+        parts.append(np.zeros(380 - len(stf_frag), np.complex64))
+        parts.append(stf_frag)
+        parts.append(np.zeros(900, np.complex64))
+    for iq in frames_iq:
+        parts.append(iq)
+        parts.append(np.zeros(1200, np.complex64))
+    parts.append(np.zeros(2000, np.complex64))
+    sig = np.concatenate(parts).astype(np.complex64)
+    sig += 0.005 * (
+        rng.standard_normal(len(sig)) + 1j * rng.standard_normal(len(sig))
+    ).astype(np.complex64)
+
+    # walk capacity covers junk + frames; kmax (= max_frames = 28) does
+    # not cover the ~28+12 leaders -> the adaptive re-run must kick in
+    rx = WlanReceiver(max_frames_per_chunk=28)
+    got = {f.psdu for f in rx.process(sig) if f.crc_ok}
+    assert got == set(psdus), f"lost {len(set(psdus) - got)} tail frames"
