@@ -29,15 +29,12 @@ BASELINE_PER_CHIP_GSPS = 0.625  # 10 GS/s / 16 chips (v5e-16 north star)
 
 
 def _sync(audio) -> None:
-    """Force completion with a data-dependent fetch: block_until_ready
-    through the dev tunnel can return WITHOUT waiting (measured 0.2 ms
-    "block" vs 422 ms fetch for one program), so only a device_get is
-    trustworthy. The state-donation chain makes the last step's audio
-    transitively depend on every prior step, so one tiny tail fetch
-    settles the whole timed window (~1 RTT ≈ 7% worst-case inflation on
-    a >=0.5 s loop — conservative, never optimistic)."""
-    leaf = jax.tree.leaves(audio)[0]
-    np.asarray(leaf[(Ellipsis,) + (slice(-1, None),) * 1])
+    """One shared trusted settle (~1 RTT ≈ 7% worst-case inflation on a
+    >=0.5 s loop — conservative, never optimistic); see utils/sync.py
+    for why block_until_ready cannot be used here."""
+    from futuresdr_tpu.utils.sync import settle
+
+    settle(audio)
 
 
 def _bench_median(step_j, state, x, n_samples: int, label: str, reps: int = 5):

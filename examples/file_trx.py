@@ -24,10 +24,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("message", nargs="?", default="hello from file-trx")
     ap.add_argument("--modem", choices=["wlan", "lora"], default="wlan")
-    ap.add_argument("--file", default=None, help="IQ capture path (cf64)")
+    ap.add_argument("--file", default=None, help="IQ capture path (cf32)")
     args = ap.parse_args()
 
-    path = args.file or tempfile.mktemp(suffix=".cf64")
+    path = args.file or tempfile.mktemp(suffix=".cf32")
     msg = args.message.encode()
 
     if args.modem == "wlan":

@@ -30,7 +30,7 @@ def main() -> None:
     n = 3 * FS  # 3 s, one second per tone
     t = np.arange(n, dtype=np.float64)
     freq = np.where(
-        (t % FS) < FS / 3, TONES[0], np.where((t % FS) < 2 * FS / 3, TONES[1], TONES[2])
+        t < FS, TONES[0], np.where(t < 2 * FS, TONES[1], TONES[2])
     )
     sig = np.sin(2 * np.pi * np.cumsum(freq) / FS).astype(np.float32)
 

@@ -33,7 +33,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from futuresdr_tpu import Flowgraph, Runtime, config, connect  # noqa: E402
 from futuresdr_tpu.blocks import (  # noqa: E402
     Apply,
-    Combine,
     Fft,
     SignalSource,
     Throttle,

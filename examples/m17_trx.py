@@ -27,9 +27,10 @@ def main() -> None:
     dst = sys.argv[1] if len(sys.argv) > 1 else "N0CALL"
     src = sys.argv[2] if len(sys.argv) > 2 else "W1AW"
     text = sys.argv[3] if len(sys.argv) > 3 else "hello m17"
+    data = text.encode()
     payloads = [
-        text.encode()[i : i + 16].ljust(16, b"\x00")
-        for i in range(0, max(len(text), 1), 16)
+        data[i : i + 16].ljust(16, b"\x00")
+        for i in range(0, max(len(data), 1), 16)
     ]
     lsf = make_lsf(dst, src)
     iq = modulate_transmission(lsf, payloads)

@@ -4,7 +4,7 @@ audio → band-limit FIR (I) ∥ Hilbert FIR (Q) → I ± jQ (USB/LSB) →
 rational resampler audio_rate → file_rate → NCO mix to the channel →
 complex64 IQ file.
 
-Run:  python examples/ssb_tx.py out.cf64 [--mode usb] [--tone 700]
+Run:  python examples/ssb_tx.py out.cf32 [--mode usb] [--tone 700]
 """
 
 from __future__ import annotations

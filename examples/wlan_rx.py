@@ -4,7 +4,7 @@ Parity: ``examples/wlan/src/bin/rx.rs`` — IQ in (file or UDP instead of
 seify hardware), decoded MAC frames printed and forwarded as UDP blobs +
 WebSocket Pmts.
 
-Run:  python examples/wlan_rx.py capture.cf64 [--udp 127.0.0.1:55555]
+Run:  python examples/wlan_rx.py capture.cf32 [--udp 127.0.0.1:55555]
 """
 
 from __future__ import annotations

@@ -3,7 +3,7 @@
 Parity: ``examples/wlan/src/bin/tx.rs`` — encodes MAC frames to a
 complex64 IQ file (20 MS/s) instead of a seify hardware sink.
 
-Run:  python examples/wlan_tx.py out.cf64 --mcs qpsk12 --count 10
+Run:  python examples/wlan_tx.py out.cf32 --mcs qpsk12 --count 10
 """
 
 from __future__ import annotations

@@ -44,11 +44,7 @@ def bench_block(make_block, chunk: int, complex_in: bool = True):
 
     step_j = jax.jit(step)
 
-    def sync(out) -> None:
-        # data-dependent fetch: block_until_ready through the dev tunnel
-        # can return without waiting — only device_get is trustworthy
-        leaf = jax.tree.leaves(out)[0]
-        np.asarray(leaf[..., -1:])
+    from futuresdr_tpu.utils.sync import settle as sync
 
     st, ys, _aux = step_j(state, x)
     sync(ys)

@@ -68,7 +68,7 @@ def main() -> None:
     for rep in range(args.reps):
         # --- phase 1: detect + SIGNAL dispatch, one combined fetch
         t0 = time.perf_counter()
-        starts_d, valid_d, foff_d = det(x, jnp.int32(n_real))
+        starts_d, valid_d, foff_d, _nlead = det(x, jnp.int32(n_real))
         t_disp = time.perf_counter() - t0
         dec_d, snr_d = sig_p(x, starts_d, foff_d)
         jax.block_until_ready((starts_d, dec_d))
