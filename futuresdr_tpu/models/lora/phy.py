@@ -189,6 +189,12 @@ class LoraConfig:
     # to sf-2 bits/symbol (same reduced-rate trick as the header) so long
     # symbols tolerate clock drift; both ends must agree, as in hardware
     ldro: bool = False
+    # implicit header mode (encoder.rs:13, header_decoder.rs:162): the
+    # 5 PHY-header nibbles are omitted; the first (still reduced-rate,
+    # CR 4/8) block carries payload nibbles directly, and the receiver
+    # takes payload_len / cr / has_crc from this shared config
+    implicit_header: bool = False
+    payload_len: int = 0  # required at RX when implicit_header
 
     @property
     def n(self) -> int:
@@ -228,8 +234,12 @@ def _header_nibbles(cfg: LoraConfig, payload_len: int) -> np.ndarray:
 def encode_symbols(cfg: LoraConfig, payload: bytes) -> np.ndarray:
     """Payload → data symbol values (header block + payload blocks)."""
     sf = cfg.sf
-    # --- header block: sf_app = sf-2, CR 4/8 always ---------------------
-    hdr = _header_nibbles(cfg, len(payload))
+    # --- first block: sf_app = sf-2, CR 4/8 always (carries the explicit
+    # header, or payload nibbles directly in implicit mode) --------------
+    if cfg.implicit_header:
+        hdr = np.zeros(0, dtype=np.uint8)
+    else:
+        hdr = _header_nibbles(cfg, len(payload))
     # --- payload (+ CRC16), whitened ------------------------------------
     wh = whitening_sequence(len(payload))
     body = bytes(np.frombuffer(payload, np.uint8) ^ wh[: len(payload)])
@@ -239,9 +249,9 @@ def encode_symbols(cfg: LoraConfig, payload: bytes) -> np.ndarray:
     nibbles = _bytes_to_nibbles(body)
 
     sf_app_hdr = sf - 2
-    # header block holds sf-2 codewords: 5 header nibbles + first payload
+    # first block holds sf-2 codewords: (0 or 5) header nibbles + payload
     # nibbles fill the rest
-    n_hdr_payload = sf_app_hdr - 5
+    n_hdr_payload = sf_app_hdr - len(hdr)
     if n_hdr_payload < 0:
         raise ValueError("sf must be ≥ 7 for explicit header")
     first = np.concatenate([hdr, nibbles[:n_hdr_payload]])
@@ -477,6 +487,11 @@ class LoraReceiver:
         # soft-decision decoding (build_lora_rx_soft_decoding parity):
         # per-bit max-log LLRs from the full dechirp spectrum + ML
         # Hamming decoding; hard argmax-bin path kept for A/B
+        if cfg.implicit_header and cfg.payload_len <= 0:
+            raise ValueError(
+                "implicit_header RX needs cfg.payload_len > 0 (both ends "
+                "preconfigure the frame format, header_decoder.rs:162)"
+            )
         self.cfg = cfg
         self.soft = bool(soft)
         self.frames: List[LoraFrame] = []
@@ -588,13 +603,19 @@ class LoraReceiver:
             hdr_syms = gray_encode((syms[:8] >> 2).astype(np.int64))
             hdr_cws = deinterleave_block(hdr_syms, sf_app_hdr, 8)
             hdr_nib = hamming_decode(hdr_cws, 4)
-        length = int((hdr_nib[0] << 4) | hdr_nib[1])
-        cr = int(hdr_nib[2] >> 1) & 0x7
-        has_crc = bool(hdr_nib[2] & 1)
-        chk = (hdr_nib[0] ^ hdr_nib[1] ^ hdr_nib[2]) & 0xF
-        if chk != hdr_nib[3] or not (1 <= cr <= 4) or length == 0:
-            return None
-        payload_nib_in_hdr = hdr_nib[5:sf_app_hdr]
+        if cfg.implicit_header:
+            # header fields come from the shared config; the whole first
+            # block is payload nibbles (header_decoder.rs:162)
+            length, cr, has_crc = cfg.payload_len, cfg.cr, cfg.has_crc
+            payload_nib_in_hdr = hdr_nib[:sf_app_hdr]
+        else:
+            length = int((hdr_nib[0] << 4) | hdr_nib[1])
+            cr = int(hdr_nib[2] >> 1) & 0x7
+            has_crc = bool(hdr_nib[2] & 1)
+            chk = (hdr_nib[0] ^ hdr_nib[1] ^ hdr_nib[2]) & 0xF
+            if chk != hdr_nib[3] or not (1 <= cr <= 4) or length == 0:
+                return None
+            payload_nib_in_hdr = hdr_nib[5:sf_app_hdr]
 
         # --- payload blocks ----------------------------------------------
         n_body = length + (2 if has_crc else 0)
@@ -757,6 +778,11 @@ class LoraReceiver:
                 for b in range(sf_app_hdr):
                     llr_cw[b, j] = llrH[i, j, (b + j) % sf_app_hdr]
             nibs = hamming_soft_decode(llr_cw, 4)
+            if cfg.implicit_header:
+                hdr.append(
+                    (cfg.payload_len, cfg.cr, cfg.has_crc, nibs[:sf_app_hdr])
+                )
+                continue
             length = int((nibs[0] << 4) | nibs[1])
             cr = int(nibs[2] >> 1) & 0x7
             has_crc = bool(nibs[2] & 1)

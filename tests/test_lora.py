@@ -176,3 +176,53 @@ def test_device_resident_ingest():
     x = np.concatenate([sig, np.zeros(bucket - len(sig), np.complex64)])
     frames = LoraReceiver(cfg).process(cplx.from_numpy(x))
     assert len(frames) == 1 and frames[0].payload == p and frames[0].crc_ok
+
+
+@pytest.mark.parametrize("soft", [True, False])
+def test_implicit_header_loopback(soft):
+    """Implicit-header mode (encoder.rs:13, header_decoder.rs:162): no
+    PHY header on air; RX takes length/cr/crc from the shared config."""
+    payload = b"implicit mode frame"
+    cfg = LoraConfig(
+        sf=8, cr=2, implicit_header=True, payload_len=len(payload)
+    )
+    iq = modulate_frame(cfg, payload)
+    sig = np.concatenate(
+        [np.zeros(2 * cfg.n + 9, np.complex64), iq,
+         np.zeros(4 * cfg.n, np.complex64)]
+    )
+    frames = LoraReceiver(cfg, soft=soft).process(sig)
+    assert len(frames) == 1
+    assert frames[0].crc_ok
+    assert frames[0].payload == payload
+
+
+def test_implicit_header_shorter_than_explicit():
+    """Implicit frames save air time: 5 fewer nibbles to carry."""
+    payload = b"x" * 20
+    imp = LoraConfig(sf=7, cr=4, implicit_header=True,
+                     payload_len=len(payload))
+    exp = LoraConfig(sf=7, cr=4)
+    assert len(modulate_frame(imp, payload)) < len(
+        modulate_frame(exp, payload)
+    )
+
+
+def test_implicit_header_wrong_length_fails_crc():
+    payload = b"implicit mode frame"
+    tx = LoraConfig(sf=8, cr=2, implicit_header=True,
+                    payload_len=len(payload))
+    rx = LoraConfig(sf=8, cr=2, implicit_header=True,
+                    payload_len=len(payload) - 3)
+    iq = modulate_frame(tx, payload)
+    sig = np.concatenate(
+        [np.zeros(2 * tx.n, np.complex64), iq,
+         np.zeros(4 * tx.n, np.complex64)]
+    )
+    frames = LoraReceiver(rx).process(sig)
+    assert all(not f.crc_ok for f in frames)
+
+
+def test_implicit_header_rx_requires_payload_len():
+    with pytest.raises(ValueError):
+        LoraReceiver(LoraConfig(sf=7, implicit_header=True))
