@@ -195,50 +195,118 @@ class StreamDuplicator(Block):
         return state, [inputs[0]] * len(self.stream_outputs), {}
 
 
+class DropPolicy:
+    """What a :class:`Selector` does with unselected inputs
+    (parity: ``src/blocks/selector.rs:10-23``)."""
+
+    DROP_ALL = "DropAll"
+    SAME_RATE = "SameRate"
+    NO_DROP = "NoDrop"
+
+    _ALIASES = {
+        "same": SAME_RATE,
+        "same-rate": SAME_RATE,
+        "same_rate": SAME_RATE,
+        "samerate": SAME_RATE,
+        "none": NO_DROP,
+        "nodrop": NO_DROP,
+        "no-drop": NO_DROP,
+        "no_drop": NO_DROP,
+        "all": DROP_ALL,
+        "dropall": DROP_ALL,
+        "drop-all": DROP_ALL,
+        "drop_all": DROP_ALL,
+    }
+
+    @classmethod
+    def parse(cls, s: str) -> str:
+        """String forms accepted by the reference (selector.rs:25-49)."""
+        v = cls._ALIASES.get(str(s).lower())
+        if v is None:
+            raise ValueError(f"unknown DropPolicy {s!r}")
+        return v
+
+
 class Selector(Block):
     """N×M switch: routes input ``input_index`` to output ``output_index``
-    (parity: selector.rs:218 — message handlers retune the route; here the
-    indices are device params so switching never recompiles).
+    (parity: selector.rs:29-60, 180-217 — message handlers retune the
+    route; here the indices are device params so switching never
+    recompiles).
 
-    Non-selected outputs emit zeros; all ports run at the same rate (the
-    reference's ``DropPolicy::SameRate``; other policies are dynamic-rate
-    and handled host-side by downstream sinks)."""
+    Non-selected outputs emit zeros; all ports run at the same static rate.
+
+    Drop policies (reference ``DropPolicy``), restated for the static SDF
+    executor where every input presents exactly one chunk per step:
+
+    - ``SameRate`` (default): unselected chunks are consumed and dropped
+      each step — identical to the reference's steady state.
+    - ``DropAll``: in the reference this drains any unselected backlog;
+      lockstep chunking means no backlog can form, so it coincides with
+      ``SameRate`` here (both consume one chunk/step from every input).
+    - ``NoDrop``: unselected inputs are NOT lost — each input carries a
+      device-resident ring of ``hold_chunks`` whole chunks. While
+      unselected, live chunks append to the ring (newest dropped once the
+      ring is full — the bounded-memory stand-in for the reference's
+      upstream backpressure); while selected with a backlog, the oldest
+      buffered chunk is emitted and the live chunk re-queued, so samples
+      come out in arrival order after a switch."""
 
     def __init__(
         self,
         n_in: int,
         n_out: int,
         dtype=np.complex64,
+        drop_policy: str = DropPolicy.SAME_RATE,
+        hold_chunks: int = 8,
         name: Optional[str] = None,
     ):
         super().__init__(name)
+        if drop_policy not in (
+            DropPolicy.SAME_RATE,
+            DropPolicy.DROP_ALL,
+            DropPolicy.NO_DROP,
+        ):
+            drop_policy = DropPolicy.parse(drop_policy)
+        self.drop_policy = drop_policy
+        self.hold_chunks = int(hold_chunks)
         self.stream_inputs = [PortSpec(f"in{i}", dtype) for i in range(n_in)]
         self.stream_outputs = [PortSpec(f"out{i}", dtype) for i in range(n_out)]
         self.rate_in = (1,) * n_in
         self.rate_out = (1,) * n_out
+        self._complex = np.dtype(dtype) == np.complex64
         self._params["input_index"] = np.int32(0)
         self._params["output_index"] = np.int32(0)
 
     @message_handler("input_index")
     def _set_in(self, pmt: Pmt) -> Pmt:
-        self.set_param("input_index", np.int32(int(pmt.to_py())))
-        return Pmt.ok()
+        v = pmt.to_py()
+        if v is not None:  # Finished/Ok = query only (selector.rs:141-144)
+            n = len(self.stream_inputs)
+            self.set_param("input_index", np.int32(int(v) % n))
+        return Pmt.u32(int(self._params["input_index"]))
 
     @message_handler("output_index")
     def _set_out(self, pmt: Pmt) -> Pmt:
-        self.set_param("output_index", np.int32(int(pmt.to_py())))
-        return Pmt.ok()
+        v = pmt.to_py()
+        if v is not None:
+            m = len(self.stream_outputs)
+            self.set_param("output_index", np.int32(int(v) % m))
+        return Pmt.u32(int(self._params["output_index"]))
 
-    def apply(self, state, inputs, params):
-        import jax
-
-        stacked = cplx.stack(inputs, axis=0)  # [N, C]
-        sel = cplx.apply1(
-            lambda t: jax.lax.dynamic_index_in_dim(
-                t, params["input_index"], 0, keepdims=False
-            ),
-            stacked,
+    def make_state(self, in_sizes, out_sizes):
+        if self.drop_policy != DropPolicy.NO_DROP:
+            return None
+        n, k, r = len(self.stream_inputs), self.hold_chunks, in_sizes[0]
+        buf = (
+            cplx.czeros((n, k, r))
+            if self._complex
+            else jnp.zeros((n, k, r), jnp.float32)
         )
+        head = jnp.zeros((n,), jnp.int32)
+        count = jnp.zeros((n,), jnp.int32)
+        return (buf, head, count)
+
+    def _route(self, emit, params):
         outs = []
         for m in range(len(self.stream_outputs)):
             outs.append(
@@ -246,10 +314,75 @@ class Selector(Block):
                     lambda t: jnp.where(
                         params["output_index"] == m, t, jnp.zeros_like(t)
                     ),
-                    sel,
+                    emit,
                 )
             )
-        return state, outs, {}
+        return outs
+
+    def apply(self, state, inputs, params):
+        import jax
+
+        if self.drop_policy != DropPolicy.NO_DROP:
+            # SameRate / DropAll: unselected chunks dropped, ring-free
+            stacked = cplx.stack(inputs, axis=0)  # [N, C]
+            emit = cplx.apply1(
+                lambda t: jax.lax.dynamic_index_in_dim(
+                    t, params["input_index"], 0, keepdims=False
+                ),
+                stacked,
+            )
+            return state, self._route(emit, params), {}
+
+        buf, head, count = state
+        k = self.hold_chunks
+        idx = params["input_index"]
+        emit = None
+        new_bufs, new_heads, new_counts = [], [], []
+        for i, live in enumerate(inputs):
+            buf_i = buf[i]  # [K, R]
+            h_i, c_i = head[i], count[i]
+            sel = idx == i
+            has = c_i > 0
+            pop = sel & has
+            push = pop | (~sel & (c_i < k))
+            oldest = cplx.apply1(
+                lambda t: jax.lax.dynamic_index_in_dim(
+                    t, h_i, 0, keepdims=False
+                ),
+                buf_i,
+            )
+            cand = jax.tree_util.tree_map(
+                lambda o, v: jnp.where(has, o, v), oldest, cplx.asarray(live)
+            )
+            part = cplx.apply1(
+                lambda t: jnp.where(sel, t, jnp.zeros_like(t)), cand
+            )
+            emit = part if emit is None else jax.tree_util.tree_map(
+                jnp.add, emit, part
+            )
+            tail = (h_i + c_i) % k
+            pushed = jax.tree_util.tree_map(
+                lambda b, v: jax.lax.dynamic_update_slice_in_dim(
+                    b, v[None], tail, 0
+                ),
+                buf_i,
+                cplx.asarray(live),
+            )
+            new_bufs.append(
+                jax.tree_util.tree_map(
+                    lambda p, b: jnp.where(push, p, b), pushed, buf_i
+                )
+            )
+            new_heads.append(jnp.where(pop, (h_i + 1) % k, h_i))
+            new_counts.append(
+                c_i - pop.astype(jnp.int32) + push.astype(jnp.int32)
+            )
+        new_state = (
+            cplx.stack(new_bufs, axis=0),
+            jnp.stack(new_heads),
+            jnp.stack(new_counts),
+        )
+        return new_state, self._route(emit, params), {}
 
 
 class TagDebug(Block):

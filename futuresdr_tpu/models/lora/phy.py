@@ -193,6 +193,10 @@ class LoraConfig:
     # 5 PHY-header nibbles are omitted; the first (still reduced-rate,
     # CR 4/8) block carries payload nibbles directly, and the receiver
     # takes payload_len / cr / has_crc from this shared config
+    # CAUTION: implicit mode with has_crc=False has ZERO integrity gating —
+    # no header checksum and no payload CRC, so any false sync that
+    # survives the sync-word check emits a garbage LoraFrame whose
+    # crc_ok=True is vacuous (protocol-inherent; hardware behaves the same)
     implicit_header: bool = False
     payload_len: int = 0  # required at RX when implicit_header
 
@@ -237,6 +241,14 @@ def encode_symbols(cfg: LoraConfig, payload: bytes) -> np.ndarray:
     # --- first block: sf_app = sf-2, CR 4/8 always (carries the explicit
     # header, or payload nibbles directly in implicit mode) --------------
     if cfg.implicit_header:
+        if cfg.payload_len > 0 and len(payload) != cfg.payload_len:
+            # implicit mode has no on-air length field — the receiver is
+            # preconfigured with cfg.payload_len, so a mismatch would be
+            # silently encoded and mis-decoded on every frame
+            raise ValueError(
+                f"implicit-header payload length {len(payload)} != "
+                f"configured cfg.payload_len {cfg.payload_len}"
+            )
         hdr = np.zeros(0, dtype=np.uint8)
     else:
         hdr = _header_nibbles(cfg, len(payload))
@@ -309,6 +321,10 @@ def modulate_frame(
 @dataclass
 class LoraFrame:
     payload: bytes
+    # True when the payload CRC16 verified. NOTE: when the frame carried no
+    # CRC (implicit-header configs with has_crc=False) this is vacuously
+    # True — there is no integrity information at all in that mode; see
+    # LoraConfig.implicit_header
     crc_ok: bool
     snr: float
     start: int

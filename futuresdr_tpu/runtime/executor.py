@@ -381,10 +381,17 @@ class Executor:
                     )
                     tags[cfg.pkey(bid, p)] = out_t[p]
                 else:
-                    n_in = cfg.in_chunks[bid][0]
-                    tags[cfg.pkey(bid, p)] = rescale_tags(
-                        in_tags[0], n_in, n_out
-                    )
+                    # PROPAGATE merges tags from EVERY input port, each
+                    # rescaled by its own port's rate (the reference
+                    # propagates per-port: blocks/apply.rs:116-121 pattern
+                    # generalized to Combine/ApplyNM). Port order is kept
+                    # stable so equal-index tags arrive input-0 first.
+                    merged: List[ItemTag] = []
+                    for e, port_tags in zip(in_edges, in_tags):
+                        n_in = cfg.in_chunks[bid][e.dst_port]
+                        merged.extend(rescale_tags(port_tags, n_in, n_out))
+                    merged.sort(key=lambda t: t.index)
+                    tags[cfg.pkey(bid, p)] = merged
         sink_valid: Dict[str, int] = {}
         sink_tags: Dict[str, List[ItemTag]] = {}
         any_valid = False

@@ -81,7 +81,12 @@ class Mocker:
         in_tags = [self._in_tags.get(p, []) for p in range(n_in)]
         if b.tag_propagation == TagPropagation.PROPAGATE and n_in:
             for p in range(len(outs)):
-                ts = rescale_tags(in_tags[0], in_sizes[0], out_sizes[p])
+                ts: List[ItemTag] = []
+                for q in range(n_in):
+                    ts.extend(
+                        rescale_tags(in_tags[q], in_sizes[q], out_sizes[p])
+                    )
+                ts.sort(key=lambda t: t.index)
                 self._out_tags[p].extend(
                     t.shifted(self._out_offsets[p]) for t in ts
                 )

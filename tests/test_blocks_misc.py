@@ -108,6 +108,128 @@ def test_selector_routes_and_retunes():
     assert np.all(s1.data() == 0.0)  # unselected output is zeros
 
 
+def test_drop_policy_parse_parity():
+    # string forms the reference accepts (selector.rs:25-49)
+    from futuresdr_tpu.blocks.stream import DropPolicy
+
+    for s in ("same", "same-rate", "SAME", "SAME_RATE", "sameRate"):
+        assert DropPolicy.parse(s) == DropPolicy.SAME_RATE
+    for s in ("none", "NoDrop", "NO_DROP", "no-drop"):
+        assert DropPolicy.parse(s) == DropPolicy.NO_DROP
+    for s in ("all", "DropAll", "drop-all", "DROP_ALL"):
+        assert DropPolicy.parse(s) == DropPolicy.DROP_ALL
+    try:
+        DropPolicy.parse("bogus")
+        assert False
+    except ValueError:
+        pass
+
+
+def _sel_step(m, sel, a_chunk, b_chunk):
+    m.input(0, a_chunk).input(1, b_chunk).run()
+
+
+def test_selector_same_rate_drops_unselected():
+    # semantics of selector.rs DropPolicy::SameRate: while input 0 is
+    # selected, input 1's samples are consumed and lost; after a switch
+    # only NEW input-1 samples appear
+    from futuresdr_tpu.blocks.stream import DropPolicy
+    from futuresdr_tpu.runtime.mocker import Mocker
+
+    sel = Selector(2, 1, np.float32, drop_policy=DropPolicy.SAME_RATE)
+    m = Mocker(sel)
+    a = [np.full(16, 10.0 + i, np.float32) for i in range(4)]
+    b = [np.full(16, 20.0 + i, np.float32) for i in range(4)]
+    _sel_step(m, sel, a[0], b[0])
+    _sel_step(m, sel, a[1], b[1])
+    m.post("input_index", 1)
+    _sel_step(m, sel, a[2], b[2])
+    _sel_step(m, sel, a[3], b[3])
+    out = m.output(0).reshape(4, 16)
+    assert np.all(out[0] == 10.0) and np.all(out[1] == 11.0)
+    # b[0], b[1] were dropped; switch shows b[2] onward
+    assert np.all(out[2] == 22.0) and np.all(out[3] == 23.0)
+
+
+def test_selector_drop_all_matches_same_rate_in_lockstep():
+    # in the static SDF executor every input presents exactly one chunk
+    # per step, so DropAll's "drain the backlog" degenerates to SameRate
+    # (documented in the Selector docstring)
+    from futuresdr_tpu.blocks.stream import DropPolicy
+    from futuresdr_tpu.runtime.mocker import Mocker
+
+    sel = Selector(2, 1, np.float32, drop_policy=DropPolicy.DROP_ALL)
+    m = Mocker(sel)
+    _sel_step(m, sel, np.full(16, 1.0, np.float32), np.full(16, 5.0, np.float32))
+    m.post("input_index", 1)
+    _sel_step(m, sel, np.full(16, 2.0, np.float32), np.full(16, 6.0, np.float32))
+    out = m.output(0).reshape(2, 16)
+    assert np.all(out[0] == 1.0) and np.all(out[1] == 6.0)
+
+
+def test_selector_no_drop_holds_unselected_samples():
+    # semantics of selector.rs DropPolicy::NoDrop: unselected samples are
+    # NOT lost — after switching, buffered chunks come out in arrival
+    # order before live ones
+    from futuresdr_tpu.blocks.stream import DropPolicy
+    from futuresdr_tpu.runtime.mocker import Mocker
+
+    sel = Selector(2, 1, np.float32, drop_policy=DropPolicy.NO_DROP,
+                   hold_chunks=4)
+    m = Mocker(sel)
+    a = [np.full(16, 10.0 + i, np.float32) for i in range(5)]
+    b = [np.full(16, 20.0 + i, np.float32) for i in range(5)]
+    _sel_step(m, sel, a[0], b[0])  # emit a0; hold b0
+    _sel_step(m, sel, a[1], b[1])  # emit a1; hold b1
+    m.post("input_index", 1)
+    _sel_step(m, sel, a[2], b[2])  # emit b0 (oldest); hold b2, a2
+    _sel_step(m, sel, a[3], b[3])  # emit b1; hold b3, a3
+    _sel_step(m, sel, a[4], b[4])  # emit b2; hold b4, a4
+    out = m.output(0).reshape(5, 16)
+    assert np.all(out[0] == 10.0) and np.all(out[1] == 11.0)
+    assert np.all(out[2] == 20.0)  # b0 survived while unselected
+    assert np.all(out[3] == 21.0)
+    assert np.all(out[4] == 22.0)
+
+
+def test_selector_no_drop_ring_overflow_drops_newest():
+    # bounded-memory stand-in for reference backpressure: once the hold
+    # ring is full, new unselected chunks are dropped (oldest kept)
+    from futuresdr_tpu.blocks.stream import DropPolicy
+    from futuresdr_tpu.runtime.mocker import Mocker
+
+    sel = Selector(2, 1, np.float32, drop_policy=DropPolicy.NO_DROP,
+                   hold_chunks=2)
+    m = Mocker(sel)
+    a = np.full(8, 1.0, np.float32)
+    for i in range(4):  # b0..b3 offered; ring keeps b0, b1
+        _sel_step(m, sel, a, np.full(8, 20.0 + i, np.float32))
+    m.post("input_index", 1)
+    _sel_step(m, sel, a, np.full(8, 30.0, np.float32))  # emit b0
+    _sel_step(m, sel, a, np.full(8, 31.0, np.float32))  # emit b1
+    _sel_step(m, sel, a, np.full(8, 32.0, np.float32))  # emit live-queued 30
+    out = m.output(0).reshape(7, 8)
+    assert np.all(out[4] == 20.0) and np.all(out[5] == 21.0)
+    assert np.all(out[6] == 30.0)
+
+
+def test_selector_no_drop_complex_roundtrip():
+    from futuresdr_tpu.blocks.stream import DropPolicy
+    from futuresdr_tpu.runtime.mocker import Mocker
+
+    sel = Selector(2, 1, np.complex64, drop_policy=DropPolicy.NO_DROP,
+                   hold_chunks=2)
+    m = Mocker(sel)
+    a = np.full(8, 1 + 1j, np.complex64)
+    b = np.full(8, 2 - 3j, np.complex64)
+    _sel_step(m, sel, a, b)
+    m.post("input_index", 1)
+    _sel_step(m, sel, a, b)
+    out = m.output(0).reshape(2, 8)
+    assert np.allclose(out[0], 1 + 1j)
+    assert np.allclose(out[1], 2 - 3j)  # held b chunk emitted after switch
+
+
 # ---- network ---------------------------------------------------------------
 
 

@@ -226,3 +226,12 @@ def test_implicit_header_wrong_length_fails_crc():
 def test_implicit_header_rx_requires_payload_len():
     with pytest.raises(ValueError):
         LoraReceiver(LoraConfig(sf=7, implicit_header=True))
+
+
+def test_implicit_header_tx_rejects_length_mismatch():
+    # a TX/config length mismatch in implicit mode would be silently
+    # encoded and guarantee the preconfigured RX mis-decodes every frame
+    cfg = LoraConfig(sf=8, cr=2, implicit_header=True, payload_len=10)
+    with pytest.raises(ValueError):
+        modulate_frame(cfg, b"only 7 b")
+    assert len(modulate_frame(cfg, b"10 bytes!!")) > 0

@@ -334,6 +334,27 @@ def test_tags_pass_through():
     ]
 
 
+def test_tags_from_both_combine_inputs_survive():
+    # PROPAGATE must merge tags from EVERY input port (reference behavior:
+    # blocks/apply.rs:116-121 generalized) — a Combine used to silently
+    # drop port-1 tags.
+    a = np.zeros(6000, dtype=np.float32)
+    b = np.zeros(6000, dtype=np.float32)
+    ta = [ItemTag(100, Tag.string("a"))]
+    tb = [ItemTag(200, Tag.string("b")), ItemTag(100, Tag.string("b100"))]
+    fg = Flowgraph()
+    sa, sb = VectorSource(a, tags=ta), VectorSource(b, tags=tb)
+    add = Combine(lambda x, y: x + y, np.float32)
+    snk = VectorSink(np.float32)
+    fg.stream(sa, add, dst_port=0)
+    fg.stream(sb, add, dst_port=1)
+    fg.stream(add, snk)
+    run(fg, chunk=1024)
+    got = [(t.index, t.tag.value) for t in snk.tags()]
+    # sorted by index; equal indices keep input-port order (port 0 first)
+    assert got == [(100, "a"), (100, "b100"), (200, "b")]
+
+
 def test_tags_rescale_across_decimation():
     data = np.zeros(8000, dtype=np.float32)
     tags = [ItemTag(4000, Tag.id(1))]
