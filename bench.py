@@ -117,7 +117,28 @@ def main() -> None:
 
     _rung("fused_pallas", "fused pallas channelizer+demod", _build_fused)
 
+    # the north-star SHARDED config on a mesh of 1 (the one real chip):
+    # same fused kernel inside shard_map + packed-ppermute halo machinery —
+    # bounds the sharding-wrapper cost vs the rung above (VERDICT r2 #1)
+    def _build_fused_sharded():
+        from futuresdr_tpu.models.pfb_fm_bank import (
+            make_sharded_bank_step_fused,
+        )
+        from futuresdr_tpu.parallel import make_mesh
+
+        mesh = make_mesh((1,), ("time",), devices=jax.devices()[:1])
+        init_c, step = make_sharded_bank_step_fused(
+            cfg, mesh, tile_rows=128, interpret=False
+        )
+        _, x = example_args(cfg, r=r_fused)
+        return jax.jit(step, donate_argnums=(0,)), init_c(), x
+
     if ladder:
+        _rung(
+            "fused_sharded_mesh1",
+            "fused kernel sharded (shard_map, 1-device mesh)",
+            _build_fused_sharded,
+        )
 
         def _build_einsum(fir_dtype, fft):
             def build():

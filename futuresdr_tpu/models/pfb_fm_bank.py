@@ -6,16 +6,24 @@ parity), every channel is FM-demodulated in parallel
 (``examples/fm-receiver`` math), and each audio stream is low-pass
 decimated. On TPU this is three batched kernels per chunk — branch-FIR
 matmul + batched matmul-FFT, vectorized quadrature demod, batched
-decimating FIR — everything on the MXU/VPU.
+decimating FIR — everything on the MXU/VPU; the fused Pallas variant
+(:mod:`futuresdr_tpu.ops.pallas_bank`) keeps all three stages in VMEM.
 
-Multi-chip: the chunk is **time-sharded** over a mesh axis; every filter
-stage pulls its lookback halo from the left neighbor via ``ppermute``
-(:mod:`futuresdr_tpu.parallel.halo`), so D chips process one stream with
-exactly the serial semantics.
+Multi-chip: the chunk is **time-sharded** over a mesh axis with exactly
+serial semantics. All of a step's overlap-save halos (PFB branch history,
+demod continuity, audio-FIR history) ride ONE wrap-around ``ppermute``
+(:func:`futuresdr_tpu.parallel.halo.packed_stream_halo`): each shard
+recomputes its boundary tail samples locally from its own data, packs them
+into a single buffer, and the collective's ``n-1 → 0`` wrap edge doubles
+as the cross-chunk stream carry — no ``psum`` ring carries at all. The
+demod-continuity halo is eliminated outright: the previous channelized
+sample is re-derived on the receiving shard from L wideband halo rows
+(one [1, M] DFT — cheaper than a second collective).
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from functools import lru_cache
 
@@ -28,9 +36,13 @@ from futuresdr_tpu.dsp import firdes
 from futuresdr_tpu.ops import cplx
 from futuresdr_tpu.ops.cplx import CArray
 from futuresdr_tpu.ops.demod import quadrature_demod
-from futuresdr_tpu.ops.fir import fir_decimate
-from futuresdr_tpu.ops.pfb import analysis_branch_taps, pfb_channelize
-from futuresdr_tpu.parallel.halo import halo_left, ring_carry
+from futuresdr_tpu.ops.fir import conv1d_valid_branches, fir_decimate
+from futuresdr_tpu.ops.pfb import (
+    _branch_fft,
+    analysis_branch_taps,
+    pfb_channelize,
+)
+from futuresdr_tpu.parallel.halo import packed_stream_halo
 
 
 @dataclass(frozen=True)
@@ -62,6 +74,10 @@ def _design(cfg: BankConfig):
     return branch, audio
 
 
+def _audio_ha(cfg: BankConfig) -> int:
+    return -(-(cfg.audio_taps - 1) // cfg.audio_decim) * cfg.audio_decim
+
+
 def make_bank_step(cfg: BankConfig = BankConfig()):
     """Single-chip step.
 
@@ -72,8 +88,7 @@ def make_bank_step(cfg: BankConfig = BankConfig()):
     """
     branch_taps, audio_taps = _design(cfg)
     M, L = cfg.n_ch, int(branch_taps.shape[-1])
-    Ta = cfg.audio_taps
-    Ha = -(-(Ta - 1) // cfg.audio_decim) * cfg.audio_decim
+    Ha = _audio_ha(cfg)
 
     def init_state():
         return (
@@ -93,6 +108,53 @@ def make_bank_step(cfg: BankConfig = BankConfig()):
     return init_state, step
 
 
+# ---------------------------------------------------------------------------
+# Sharded variants — boundary-tail recompute + ONE packed ppermute per step
+# ---------------------------------------------------------------------------
+
+
+def _validate_shard_chunk(n_loc: int, M: int, decim: int, min_rows: int):
+    r_loc = n_loc // M
+    if n_loc % M or r_loc % decim:
+        raise ValueError(
+            f"per-shard chunk of {n_loc} samples must be a multiple of "
+            f"n_ch·audio_decim = {M * decim} (otherwise decimation grids "
+            "silently desync across shards)"
+        )
+    if r_loc < min_rows:
+        raise ValueError(
+            f"per-shard chunk of {r_loc} channelized rows is too small: "
+            f"the boundary-tail recompute window needs Ha+L = {min_rows} "
+            "rows of local data (use a larger chunk or fewer time shards)"
+        )
+    return r_loc
+
+
+def _boundary_tails_einsum(x: CArray, branch_taps, M, L, Ha, gain):
+    """This shard's boundary tails, recomputed locally with the einsum
+    pipeline's exact ops: the last ``L`` wideband rows (flat ``[L·M]``
+    CArray) and the last ``Ha`` demod samples per channel ``[M, Ha]``."""
+    n = x.shape[-1]
+    tail = x[..., n - (Ha + L) * M :]
+    tb = cplx.apply1(lambda t: t.reshape(Ha + L, M).T, tail)  # [M, Ha+L]
+    v_b = conv1d_valid_branches(tb, branch_taps)  # [M, Ha+1]
+    y_b = _branch_fft(cplx.apply1(lambda t: t.T, v_b), M)  # [Ha+1, M]
+    z_b = cplx.apply1(lambda t: t.T, y_b)  # [M, Ha+1]
+    _, a_b = quadrature_demod(z_b[..., 1:], z_b[..., :1], gain)  # [M, Ha]
+    return x[..., n - L * M :], a_b, v_b
+
+
+def _halo_front_einsum(hw: CArray, branch_taps, M, L):
+    """Receiver-side: PFB branch history ``[M, L-1]`` and the previous
+    channelized sample ``[M, 1]`` from ``L`` wideband halo rows."""
+    hb = cplx.apply1(lambda t: t.reshape(L, M).T, hw)  # [M, L]
+    hist = hb[..., 1:]  # rows g0-L+1 .. g0-1
+    v_prev = conv1d_valid_branches(hb, branch_taps)  # [M, 1]
+    y_prev = _branch_fft(cplx.apply1(lambda t: t.T, v_prev), M)  # [1, M]
+    z_prev = cplx.apply1(lambda t: t.T, y_prev)  # [M, 1]
+    return hist, z_prev, v_prev
+
+
 def make_sharded_bank_step(
     cfg: BankConfig,
     mesh,
@@ -101,74 +163,49 @@ def make_sharded_bank_step(
     """Time-sharded step over ``mesh[axis]``.
 
     ``step(carry, x)``: ``x`` is the full wideband chunk, sharded on its
-    (only) sample axis; ``carry`` holds replicated cross-step stream tails.
-    Audio comes back sharded on the channel-time axis. Halos:
+    (only) sample axis; ``carry`` is the ``[n_shards, K]`` packed-halo
+    buffer (opaque — initialize with ``init_carry()``). Audio comes back
+    sharded on the channel-time axis.
 
-    * PFB branch history — ``(L-1)·n_ch`` wideband samples from the left
-      neighbor,
-    * demod — 1 channelized sample per channel,
-    * audio FIR — ``Ha`` demodulated samples per channel,
-
-    each one ``ppermute`` (the "overlap-save exchange" the BASELINE metric
-    tracks).
-
-    Per-shard chunks must also be at least ``Ha = ceil((audio_taps-1)/
-    audio_decim)·audio_decim`` audio samples long — a single ppermute hop
-    only reaches the immediate neighbor, so a halo cannot span shards
-    (``halo_left`` raises if it would).
+    One ``ppermute`` per step carries every halo (see module docstring);
+    its wrap edge is the cross-chunk carry. Per-shard chunks must be at
+    least ``Ha + L`` channelized rows so each shard can recompute its
+    boundary tails locally.
     """
-    from jax.sharding import PartitionSpec as P
     from jax import shard_map
+    from jax.sharding import PartitionSpec as P
 
     branch_taps, audio_taps = _design(cfg)
     M, L = cfg.n_ch, int(branch_taps.shape[-1])
-    Ta = cfg.audio_taps
-    Ha = -(-(Ta - 1) // cfg.audio_decim) * cfg.audio_decim
-    Hw = (L - 1) * M  # wideband halo
+    Ha = _audio_ha(cfg)
+    n_t = mesh.shape[axis]
+    K = 2 * L * M + M * Ha
 
     def init_carry():
-        return (
-            cplx.czeros((Hw,)),  # wideband tail (for PFB history)
-            cplx.czeros((M, 1)),  # channelized tail (for demod)
-            jnp.zeros((M, Ha), jnp.float32),  # demod-audio tail
-        )
+        return jnp.zeros((n_t, K), jnp.float32)
 
     def shard_fn(carry, x):
-        cw, cz, ca = carry
-        r_loc = x.shape[-1] // M
-        if x.shape[-1] % M or r_loc % cfg.audio_decim:
-            raise ValueError(
-                f"per-shard chunk of {x.shape[-1]} samples must be a "
-                f"multiple of n_ch·audio_decim = {M * cfg.audio_decim} "
-                "(otherwise decimation grids silently desync across shards)"
-            )
-        # PFB with halo-derived branch history ([Hw] wideband → [M, L-1])
-        hist = halo_left(x, Hw, axis, carry=cw)[..., :Hw]
-        st = cplx.apply1(lambda t: t.reshape(L - 1, M).T, hist)
-        _, y = pfb_channelize(x, branch_taps, M, st)  # [R_loc, M]
-        z = cplx.apply1(lambda t: t.T, y)  # [M, R_loc]
-        # demod with 1-sample halo
-        zprev = halo_left(z, 1, axis, carry=cz)[..., :1]
-        _, a = quadrature_demod(z, zprev, cfg.demod_gain)  # [M, R_loc]
-        # audio FIR with Ha-sample halo
-        ast = halo_left(a, Ha, axis, carry=ca)[..., :Ha]
-        _, audio = fir_decimate(a, audio_taps, cfg.audio_decim, ast)
-        # next-step carries (replicated)
-        new_carry = (
-            ring_carry(x, Hw, axis),
-            ring_carry(z, 1, axis),
-            ring_carry(a, Ha, axis),
+        _validate_shard_chunk(x.shape[-1], M, cfg.audio_decim, Ha + L)
+        w_tail, a_b, _ = _boundary_tails_einsum(
+            x, branch_taps, M, L, Ha, cfg.demod_gain
         )
-        return new_carry, audio
+        (hw_re, hw_im, a_halo), new_carry = packed_stream_halo(
+            [w_tail.re, w_tail.im, a_b], axis, carry.reshape(-1)
+        )
+        hist, z_prev, _ = _halo_front_einsum(
+            CArray(hw_re, hw_im), branch_taps, M, L
+        )
+        _, y = pfb_channelize(x, branch_taps, M, hist)  # [R_loc, M]
+        z = cplx.apply1(lambda t: t.T, y)  # [M, R_loc]
+        _, a = quadrature_demod(z, z_prev, cfg.demod_gain)
+        _, audio = fir_decimate(a, audio_taps, cfg.audio_decim, a_halo)
+        return new_carry.reshape(1, K), audio
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(
-            (P(), P(), P()),  # carry replicated (prefix covers CArray leaves)
-            P(axis),  # x time-sharded on its sample axis
-        ),
-        out_specs=((P(), P(), P()), P(None, axis)),
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(None, axis)),
         check_vma=False,
     )
     return init_carry, fn
@@ -185,72 +222,61 @@ def make_sharded_bank_step_2d(
 
     Layout: the wideband chunk is sharded over ``time`` and replicated
     over ``ch``; each device channelizes its time slice (replicated over
-    the channel axis — zero-communication redundancy, see NOTES_ROUND2 for
-    the partial-DFT sharding that removes it) and then keeps only its
-    ``n_ch / C`` channels for the per-channel demod + audio FIR, whose
-    lookback halos ride ``ppermute`` over the time axis exactly as in the
-    1D variant. Audio returns sharded over (ch, time)."""
-    from jax.sharding import PartitionSpec as P
+    the channel axis — zero-communication redundancy, see the partial-DFT
+    variant for the sharding that removes it) and then keeps only its
+    ``n_ch / C`` channels for the per-channel demod + audio FIR. All halos
+    ride one packed ``ppermute`` over the time axis; the audio tail each
+    device sends is pre-sliced to its receiver's channels (same ``ch``
+    coordinate along a time ring). Audio returns sharded over (ch, time).
+    """
     from jax import shard_map
+    from jax.sharding import PartitionSpec as P
 
     branch_taps, audio_taps = _design(cfg)
     M, L = cfg.n_ch, int(branch_taps.shape[-1])
-    Ta = cfg.audio_taps
-    Ha = -(-(Ta - 1) // cfg.audio_decim) * cfg.audio_decim
-    Hw = (L - 1) * M
-    n_ch_dev = mesh.shape[ch_axis]
-    Mc = M // n_ch_dev
+    Ha = _audio_ha(cfg)
+    C = mesh.shape[ch_axis]
+    n_t = mesh.shape[time_axis]
+    if M % C:
+        raise ValueError(f"n_ch {M} not divisible by {C} channel shards")
+    Mc = M // C
+    K = 2 * L * M + Mc * Ha
 
     def init_carry():
-        # GLOBAL shapes (shard_map splits the channel-sharded tails)
-        return (
-            cplx.czeros((Hw,)),
-            cplx.czeros((M, 1)),
-            jnp.zeros((M, Ha), jnp.float32),
-        )
+        return jnp.zeros((C, n_t, K), jnp.float32)
 
     def shard_fn(carry, x):
-        cw, cz, ca = carry  # cz/ca arrive as the local (Mc, ·) slices
-        r_loc = x.shape[-1] // M
-        if x.shape[-1] % M or r_loc % cfg.audio_decim:
-            raise ValueError(
-                f"per-shard chunk of {x.shape[-1]} samples must be a "
-                f"multiple of n_ch·audio_decim = {M * cfg.audio_decim} "
-                "(otherwise decimation grids silently desync across shards)"
-            )
+        _validate_shard_chunk(x.shape[-1], M, cfg.audio_decim, Ha + L)
         ci = jax.lax.axis_index(ch_axis)
-        hist = halo_left(x, Hw, time_axis, carry=cw)[..., :Hw]
-        st = cplx.apply1(lambda t: t.reshape(L - 1, M).T, hist)
-        _, y = pfb_channelize(x, branch_taps, M, st)  # [R_loc, M]
-        # keep this device's channel slice
+        w_tail, a_b_full, _ = _boundary_tails_einsum(
+            x, branch_taps, M, L, Ha, cfg.demod_gain
+        )
+        a_b = jax.lax.dynamic_slice_in_dim(a_b_full, ci * Mc, Mc, axis=0)
+        (hw_re, hw_im, a_halo), new_carry = packed_stream_halo(
+            [w_tail.re, w_tail.im, a_b], time_axis, carry.reshape(-1)
+        )
+        hist, z_prev_full, _ = _halo_front_einsum(
+            CArray(hw_re, hw_im), branch_taps, M, L
+        )
+        z_prev = cplx.apply1(
+            lambda t: jax.lax.dynamic_slice_in_dim(t, ci * Mc, Mc, axis=0),
+            z_prev_full,
+        )
+        _, y = pfb_channelize(x, branch_taps, M, hist)  # [R_loc, M]
         yc = cplx.apply1(
             lambda t: jax.lax.dynamic_slice_in_dim(t, ci * Mc, Mc, axis=1),
             y,
         )
         z = cplx.apply1(lambda t: t.T, yc)  # [Mc, R_loc]
-        zprev = halo_left(z, 1, time_axis, carry=cz)[..., :1]
-        _, a = quadrature_demod(z, zprev, cfg.demod_gain)
-        ast = halo_left(a, Ha, time_axis, carry=ca)[..., :Ha]
-        _, audio = fir_decimate(a, audio_taps, cfg.audio_decim, ast)
-        new_carry = (
-            ring_carry(x, Hw, time_axis),
-            ring_carry(z, 1, time_axis),
-            ring_carry(a, Ha, time_axis),
-        )
-        return new_carry, audio
+        _, a = quadrature_demod(z, z_prev, cfg.demod_gain)
+        _, audio = fir_decimate(a, audio_taps, cfg.audio_decim, a_halo)
+        return new_carry.reshape(1, 1, K), audio
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(
-            (P(), P(ch_axis), P(ch_axis)),  # carries: wideband replicated;
-            # channelized/audio tails sharded by channel
-            P(time_axis),
-        ),
-        out_specs=(
-            (P(), P(ch_axis), P(ch_axis)),
-            P(ch_axis, time_axis),
-        ),
+        in_specs=(P(ch_axis, time_axis, None), P(time_axis)),
+        out_specs=(P(ch_axis, time_axis, None), P(ch_axis, time_axis)),
         check_vma=False,
     )
     return init_carry, fn
@@ -271,23 +297,25 @@ def make_sharded_bank_step_2d_partial(
     length-M FFT is replaced by that device's ``[M/C, M]`` row-slice of
     the DFT matrix — one dense MXU matmul producing exactly the local
     channels. Per-device channelizer FLOPs drop by C on the branch FIR;
-    the DFT becomes M²/C MACs/step (MXU-dense, beats a replicated
-    full FFT for moderate C). Time halos ride ``ppermute`` exactly as in
-    the 1D variant."""
-    from jax.sharding import PartitionSpec as P
+    the DFT becomes M²/C MACs/step. Time halos ride one packed
+    ``ppermute`` exactly as in the 1D variant (boundary demod tails are
+    re-derived with this variant's own DFT-row math so the audio FIR
+    state matches what the neighbor itself would compute)."""
     from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
     from futuresdr_tpu.ops.fft import _PREC
     from futuresdr_tpu.ops.fir import conv1d_valid_branches_w
 
     branch_taps, audio_taps = _design(cfg)
     M, L = cfg.n_ch, int(branch_taps.shape[-1])
-    Ta = cfg.audio_taps
-    Ha = -(-(Ta - 1) // cfg.audio_decim) * cfg.audio_decim
-    Hw = (L - 1) * M
+    Ha = _audio_ha(cfg)
     C = mesh.shape[ch_axis]
+    n_t = mesh.shape[time_axis]
     if M % C:
         raise ValueError(f"n_ch {M} not divisible by {C} channel shards")
     Mc = M // C
+    K = 2 * L * M + Mc * Ha
 
     # host-built operands, sharded by the channel mesh axis via in_specs
     bt = np.asarray(branch_taps)
@@ -299,26 +327,47 @@ def make_sharded_bank_step_2d_partial(
     d_im = jnp.asarray(np.sin(ang).astype(np.float32))
 
     def init_carry():
-        return (
-            cplx.czeros((Hw,)),
-            cplx.czeros((M, 1)),
-            jnp.zeros((M, Ha), jnp.float32),
+        return jnp.zeros((C, n_t, K), jnp.float32)
+
+    def _zrows(v: CArray, dre, dim):
+        """This device's channel rows of the DFT: [Mc, M] @ [M, R]."""
+        prec = _PREC()
+        zre = jnp.matmul(dre, v.re, precision=prec) - jnp.matmul(
+            dim, v.im, precision=prec
         )
+        zim = jnp.matmul(dre, v.im, precision=prec) + jnp.matmul(
+            dim, v.re, precision=prec
+        )
+        return CArray(zre, zim)
 
     def shard_fn(carry, x, w_loc, dre, dim):
-        cw, cz, ca = carry  # cz/ca arrive as the local (Mc, ·) slices
-        r_loc = x.shape[-1] // M
-        if x.shape[-1] % M or r_loc % cfg.audio_decim:
-            raise ValueError(
-                f"per-shard chunk of {x.shape[-1]} samples must be a "
-                f"multiple of n_ch·audio_decim = {M * cfg.audio_decim} "
-                "(otherwise decimation grids silently desync across shards)"
-            )
+        r_loc = _validate_shard_chunk(
+            x.shape[-1], M, cfg.audio_decim, Ha + L
+        )
         ci = jax.lax.axis_index(ch_axis)
-        hist = halo_left(x, Hw, time_axis, carry=cw)[..., :Hw]
-        st = cplx.apply1(lambda t: t.reshape(L - 1, M).T, hist)  # [M, L-1]
+        n = x.shape[-1]
+        # boundary tails: full-branch conv on the (Ha+L)-row window (the
+        # full taps are a tiny embedded constant), then THIS variant's
+        # DFT-row slice + demod — matching its own steady-state numerics
+        tail = x[..., n - (Ha + L) * M :]
+        tb = cplx.apply1(lambda t: t.reshape(Ha + L, M).T, tail)  # [M,Ha+L]
+        v_b = conv1d_valid_branches(tb, branch_taps)  # [M, Ha+1]
+        z_b = _zrows(v_b, dre, dim)  # [Mc, Ha+1]
+        _, a_b = quadrature_demod(
+            z_b[..., 1:], z_b[..., :1], cfg.demod_gain
+        )  # [Mc, Ha]
+        w_tail = x[..., n - L * M :]
+        (hw_re, hw_im, a_halo), new_carry = packed_stream_halo(
+            [w_tail.re, w_tail.im, a_b], time_axis, carry.reshape(-1)
+        )
+        hw = CArray(hw_re, hw_im)
+        hb = cplx.apply1(lambda t: t.reshape(L, M).T, hw)  # [M, L]
+        hist = hb[..., 1:]  # [M, L-1]
+        v_prev = conv1d_valid_branches(hb, branch_taps)  # [M, 1]
+        z_prev = _zrows(v_prev, dre, dim)  # [Mc, 1]
+        # main pipeline: branch-sharded FIR + all_gather + DFT row-slice
         xb = cplx.apply1(lambda t: t.reshape(r_loc, M).T, x)  # [M, R_loc]
-        ext = cplx.concat([st, xb], axis=-1)  # [M, L-1+R_loc]
+        ext = cplx.concat([hist, xb], axis=-1)  # [M, L-1+R_loc]
         ext_loc = cplx.apply1(
             lambda t: jax.lax.dynamic_slice_in_dim(t, ci * Mc, Mc, axis=0),
             ext,
@@ -328,38 +377,23 @@ def make_sharded_bank_step_2d_partial(
         both = jax.lax.all_gather(
             jnp.stack([v_loc.re, v_loc.im]), ch_axis, axis=1, tiled=True
         )  # [2, M, R_loc]
-        # partial DFT: this device's channel rows only ([Mc, M] @ [M, R])
-        prec = _PREC()
-        zre = jnp.matmul(dre, both[0], precision=prec) - jnp.matmul(
-            dim, both[1], precision=prec
-        )
-        zim = jnp.matmul(dre, both[1], precision=prec) + jnp.matmul(
-            dim, both[0], precision=prec
-        )
-        z = CArray(zre, zim)  # [Mc, R_loc] channel-major
-        zprev = halo_left(z, 1, time_axis, carry=cz)[..., :1]
-        _, a = quadrature_demod(z, zprev, cfg.demod_gain)
-        ast = halo_left(a, Ha, time_axis, carry=ca)[..., :Ha]
-        _, audio = fir_decimate(a, audio_taps, cfg.audio_decim, ast)
-        new_carry = (
-            ring_carry(x, Hw, time_axis),
-            ring_carry(z, 1, time_axis),
-            ring_carry(a, Ha, time_axis),
-        )
-        return new_carry, audio
+        z = _zrows(CArray(both[0], both[1]), dre, dim)  # [Mc, R_loc]
+        _, a = quadrature_demod(z, z_prev, cfg.demod_gain)
+        _, audio = fir_decimate(a, audio_taps, cfg.audio_decim, a_halo)
+        return new_carry.reshape(1, 1, K), audio
 
     sharded = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(
-            (P(), P(ch_axis), P(ch_axis)),
+            P(ch_axis, time_axis, None),
             P(time_axis),
             P(ch_axis, None),  # branch-tap rows
             P(ch_axis, None),  # DFT rows (re)
             P(ch_axis, None),  # DFT rows (im)
         ),
         out_specs=(
-            (P(), P(ch_axis), P(ch_axis)),
+            P(ch_axis, time_axis, None),
             P(ch_axis, time_axis),
         ),
         check_vma=False,
@@ -389,23 +423,18 @@ def example_args(cfg: BankConfig = BankConfig(), r: int = 256):
     return init_state(), x
 
 
-def make_bank_step_fused(cfg: BankConfig = BankConfig(), tile_rows: int = 128,
-                         interpret: bool = False):
-    """Single-chip step on the fused Pallas channelizer+demod kernel
-    (:mod:`futuresdr_tpu.ops.pallas_bank`): branch FIR + DFT + quadrature
-    demod never leave VMEM; only the audio decimating FIR remains a
-    separate (4%-of-step) stage.
+# ---------------------------------------------------------------------------
+# Fused Pallas variants (single-chip and sharded)
+# ---------------------------------------------------------------------------
 
-    Same signature/semantics as :func:`make_bank_step` (bf16 DFT rung:
-    matches ``channelizer_fft=dft_bf16`` + ``fir_dtype=float32``).
-    """
-    from futuresdr_tpu.ops.pallas_bank import _dft_bf16_np, fused_bank_demod
+
+def _fused_constants(cfg: BankConfig):
+    """(w_rev_rows [L, M] f32, dre/dim [M, M] bf16, audio-W builder)."""
+    from futuresdr_tpu.ops.pallas_bank import _dft_bf16_np
 
     branch_taps, audio_taps = _design(cfg)
     M, L = cfg.n_ch, int(branch_taps.shape[-1])
-    Ta = cfg.audio_taps
-    Ha = -(-(Ta - 1) // cfg.audio_decim) * cfg.audio_decim
-    # w_rev[s, p] multiplies ext[r+s, p]  (= taps reversed per branch)
+    Ha = _audio_ha(cfg)
     w_rev = jnp.asarray(
         np.ascontiguousarray(np.asarray(branch_taps)[:, ::-1].T).astype(
             np.float32
@@ -421,12 +450,12 @@ def make_bank_step_fused(cfg: BankConfig = BankConfig(), tile_rows: int = 128,
     # runtime (bisect: kernel ~200 µs, old audio tail ~370 µs).
     taps_np = np.asarray(audio_taps, np.float64)
     T = len(taps_np)
+    D = cfg.audio_decim
 
     @lru_cache(maxsize=None)
-    def _audio_w(R: int) -> np.ndarray:
+    def audio_w(R: int) -> np.ndarray:
         # cached as NumPy (called at trace time — a cached jnp array
         # would be a leaked tracer; the constant embeds directly)
-        D = cfg.audio_decim
         n_out = R // D
         W = np.zeros((n_out, Ha + R), np.float32)
         off = Ha - (T - 1)
@@ -435,6 +464,74 @@ def make_bank_step_fused(cfg: BankConfig = BankConfig(), tile_rows: int = 128,
                 T - 1 - t
             ]
         return W
+
+    return M, L, Ha, w_rev, dre, dim, audio_w
+
+
+def _fused_rows_dft(v_r, v_i, dre, dim):
+    """bf16 MXU DFT of demod rows — numerics-identical to the in-kernel
+    stage (same bf16 cast + f32-accumulating dot on the same operands)."""
+    vr16 = v_r.astype(jnp.bfloat16)
+    vi16 = v_i.astype(jnp.bfloat16)
+    y_r = jnp.dot(vr16, dre, preferred_element_type=jnp.float32) - jnp.dot(
+        vi16, dim, preferred_element_type=jnp.float32
+    )
+    y_i = jnp.dot(vr16, dim, preferred_element_type=jnp.float32) + jnp.dot(
+        vi16, dre, preferred_element_type=jnp.float32
+    )
+    return y_r, y_i
+
+
+def _fused_boundary_tails(xt_re, xt_im, w_rev, dre, dim, L, Ha, gain):
+    """Last ``Ha`` demod rows ``[Ha, M]`` of this shard, recomputed with
+    the fused kernel's exact math (f32 VPU branch FIR in tap order, bf16
+    DFT, polynomial atan2)."""
+    from futuresdr_tpu.ops.pallas_bank import _atan2_poly
+
+    R = xt_re.shape[0]
+    ext_r = xt_re[R - (Ha + L) :]  # [Ha+L, M]
+    ext_i = xt_im[R - (Ha + L) :]
+    n = Ha + 1
+    v_r = w_rev[0, :] * ext_r[0:n, :]
+    v_i = w_rev[0, :] * ext_i[0:n, :]
+    for s in range(1, L):
+        v_r = v_r + w_rev[s, :] * ext_r[s : s + n, :]
+        v_i = v_i + w_rev[s, :] * ext_i[s : s + n, :]
+    y_r, y_i = _fused_rows_dft(v_r, v_i, dre, dim)  # [Ha+1, M]
+    d_r = y_r[1:] * y_r[:-1] + y_i[1:] * y_i[:-1]
+    d_i = y_i[1:] * y_r[:-1] - y_r[1:] * y_i[:-1]
+    return jnp.float32(gain) * _atan2_poly(d_i, d_r)  # [Ha, M]
+
+
+def _fused_halo_front(hw_r, hw_i, w_rev, dre, dim, L):
+    """Receiver-side: (hist rows [L-1, M]×2, yprev [1, M]×2) from the L
+    wideband halo rows."""
+    v_r = w_rev[0, :] * hw_r[0:1, :]
+    v_i = w_rev[0, :] * hw_i[0:1, :]
+    for s in range(1, L):
+        v_r = v_r + w_rev[s, :] * hw_r[s : s + 1, :]
+        v_i = v_i + w_rev[s, :] * hw_i[s : s + 1, :]
+    yp_r, yp_i = _fused_rows_dft(v_r, v_i, dre, dim)  # [1, M]
+    return hw_r[1:], hw_i[1:], yp_r, yp_i
+
+
+def _pick_tile_rows(r_loc: int, tile_rows: int) -> int:
+    return tile_rows if r_loc % tile_rows == 0 else math.gcd(r_loc, tile_rows)
+
+
+def make_bank_step_fused(cfg: BankConfig = BankConfig(), tile_rows: int = 128,
+                         interpret: bool = False):
+    """Single-chip step on the fused Pallas channelizer+demod kernel
+    (:mod:`futuresdr_tpu.ops.pallas_bank`): branch FIR + DFT + quadrature
+    demod never leave VMEM; only the audio decimating FIR remains a
+    separate (4%-of-step) stage.
+
+    Same signature/semantics as :func:`make_bank_step` (bf16 DFT rung:
+    matches ``channelizer_fft=dft_bf16`` + ``fir_dtype=float32``).
+    """
+    from futuresdr_tpu.ops.pallas_bank import fused_bank_demod
+
+    M, L, Ha, w_rev, dre, dim, audio_w = _fused_constants(cfg)
 
     def init_state():
         return (
@@ -452,13 +549,152 @@ def make_bank_step_fused(cfg: BankConfig = BankConfig(), tile_rows: int = 128,
         xt_im = x.im.reshape(R, M)
         a, hr, hi, ypr, ypi = fused_bank_demod(
             xt_re, xt_im, hr, hi, ypr, ypi, w_rev, dre, dim,
-            L=L, tile_rows=tile_rows, gain=float(cfg.demod_gain),
-            interpret=interpret,
+            L=L, tile_rows=_pick_tile_rows(R, tile_rows),
+            gain=float(cfg.demod_gain), interpret=interpret,
         )
         ext = jnp.concatenate([ah, a], axis=0)  # [Ha+R, M]
         audio_rows = jnp.matmul(
-            _audio_w(R), ext, preferred_element_type=jnp.float32
+            audio_w(R), ext, preferred_element_type=jnp.float32
         )
         return (hr, hi, ypr, ypi, ext[-Ha:]), audio_rows.T
 
     return init_state, step
+
+
+def make_sharded_bank_step_fused(
+    cfg: BankConfig,
+    mesh,
+    axis: str = "time",
+    tile_rows: int = 128,
+    interpret=None,
+):
+    """Time-sharded step running the **fused Pallas kernel** on every
+    shard — the north-star multi-chip config at the single-chip rung's
+    per-chip rate (VERDICT r2 item 1).
+
+    Identical halo design to :func:`make_sharded_bank_step` (one packed
+    ``ppermute``, boundary tails recomputed locally with the kernel's own
+    math); the kernel's ``hist``/``yprev`` chunk-state operands are fed
+    from the halo instead of chunk state. ``interpret=None`` auto-selects
+    Pallas interpret mode off-TPU (CPU dryruns/tests).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from futuresdr_tpu.ops.pallas_bank import fused_bank_demod
+
+    M, L, Ha, w_rev, dre, dim, audio_w = _fused_constants(cfg)
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+    n_t = mesh.shape[axis]
+    K = (2 * L + Ha) * M
+
+    def init_carry():
+        return jnp.zeros((n_t, K), jnp.float32)
+
+    def shard_fn(carry, x):
+        r_loc = _validate_shard_chunk(
+            x.shape[-1], M, cfg.audio_decim, Ha + L
+        )
+        xt_re = x.re.reshape(r_loc, M)
+        xt_im = x.im.reshape(r_loc, M)
+        a_b = _fused_boundary_tails(
+            xt_re, xt_im, w_rev, dre, dim, L, Ha, cfg.demod_gain
+        )
+        (hw_r, hw_i, a_halo), new_carry = packed_stream_halo(
+            [xt_re[r_loc - L :], xt_im[r_loc - L :], a_b],
+            axis,
+            carry.reshape(-1),
+        )
+        hr, hi, ypr, ypi = _fused_halo_front(hw_r, hw_i, w_rev, dre, dim, L)
+        a, *_ = fused_bank_demod(
+            xt_re, xt_im, hr, hi, ypr, ypi, w_rev, dre, dim,
+            L=L, tile_rows=_pick_tile_rows(r_loc, tile_rows),
+            gain=float(cfg.demod_gain), interpret=interpret,
+        )
+        ext = jnp.concatenate([a_halo, a], axis=0)  # [Ha+R_loc, M]
+        audio_rows = jnp.matmul(
+            audio_w(r_loc), ext, preferred_element_type=jnp.float32
+        )
+        return new_carry.reshape(1, K), audio_rows.T
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(None, axis)),
+        check_vma=False,
+    )
+    return init_carry, fn
+
+
+def make_sharded_bank_step_2d_fused(
+    cfg: BankConfig,
+    mesh,
+    ch_axis: str = "ch",
+    time_axis: str = "time",
+    tile_rows: int = 128,
+    interpret=None,
+):
+    """Channels × time 2D-mesh step on the fused Pallas kernel.
+
+    Kernel replicated over the channel axis (each device channelizes its
+    time slice in full — zero-communication redundancy, the 2D einsum
+    variant's layout); the demod output is then column-sliced to the
+    device's ``n_ch/C`` channels for the audio FIR. Halos: one packed
+    ``ppermute`` over time, audio tails pre-sliced per receiver."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from futuresdr_tpu.ops.pallas_bank import fused_bank_demod
+
+    M, L, Ha, w_rev, dre, dim, audio_w = _fused_constants(cfg)
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+    C = mesh.shape[ch_axis]
+    n_t = mesh.shape[time_axis]
+    if M % C:
+        raise ValueError(f"n_ch {M} not divisible by {C} channel shards")
+    Mc = M // C
+    K = 2 * L * M + Ha * Mc
+
+    def init_carry():
+        return jnp.zeros((C, n_t, K), jnp.float32)
+
+    def shard_fn(carry, x):
+        r_loc = _validate_shard_chunk(
+            x.shape[-1], M, cfg.audio_decim, Ha + L
+        )
+        ci = jax.lax.axis_index(ch_axis)
+        xt_re = x.re.reshape(r_loc, M)
+        xt_im = x.im.reshape(r_loc, M)
+        a_b_full = _fused_boundary_tails(
+            xt_re, xt_im, w_rev, dre, dim, L, Ha, cfg.demod_gain
+        )
+        a_b = jax.lax.dynamic_slice_in_dim(a_b_full, ci * Mc, Mc, axis=1)
+        (hw_r, hw_i, a_halo), new_carry = packed_stream_halo(
+            [xt_re[r_loc - L :], xt_im[r_loc - L :], a_b],
+            time_axis,
+            carry.reshape(-1),
+        )
+        hr, hi, ypr, ypi = _fused_halo_front(hw_r, hw_i, w_rev, dre, dim, L)
+        a, *_ = fused_bank_demod(
+            xt_re, xt_im, hr, hi, ypr, ypi, w_rev, dre, dim,
+            L=L, tile_rows=_pick_tile_rows(r_loc, tile_rows),
+            gain=float(cfg.demod_gain), interpret=interpret,
+        )
+        a_c = jax.lax.dynamic_slice_in_dim(a, ci * Mc, Mc, axis=1)
+        ext = jnp.concatenate([a_halo, a_c], axis=0)  # [Ha+R_loc, Mc]
+        audio_rows = jnp.matmul(
+            audio_w(r_loc), ext, preferred_element_type=jnp.float32
+        )
+        return new_carry.reshape(1, 1, K), audio_rows.T
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(ch_axis, time_axis, None), P(time_axis)),
+        out_specs=(P(ch_axis, time_axis, None), P(ch_axis, time_axis)),
+        check_vma=False,
+    )
+    return init_carry, fn

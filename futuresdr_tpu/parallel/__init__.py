@@ -8,7 +8,11 @@ boundary samples via ``ppermute``, regroup channelizer outputs via
 ``all_gather``; ICI carries the halos.
 """
 
-from futuresdr_tpu.parallel.halo import halo_left, ring_carry
+from futuresdr_tpu.parallel.halo import (
+    halo_left,
+    packed_stream_halo,
+    ring_carry,
+)
 from futuresdr_tpu.parallel.mesh import make_mesh
 
-__all__ = ["halo_left", "ring_carry", "make_mesh"]
+__all__ = ["halo_left", "packed_stream_halo", "ring_carry", "make_mesh"]

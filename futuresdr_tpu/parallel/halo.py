@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from futuresdr_tpu.ops import cplx
 from futuresdr_tpu.ops.cplx import ArrayLike
@@ -87,6 +88,53 @@ def ring_carry(x: ArrayLike, h: int, axis_name: str) -> ArrayLike:
         )
         return cplx.CArray(both[0], both[1])
     return jax.lax.psum(masked, axis_name)
+
+
+def packed_stream_halo(tails, axis_name: str, carry):
+    """ONE wrap-around ``ppermute`` for ALL of a step's overlap-save halos.
+
+    The bank pipelines need several lookback halos per step (wideband FIR
+    history, demod continuity, audio-FIR history). Exchanging each with its
+    own :func:`halo_left` + a ``psum``-based :func:`ring_carry` costs 6
+    collectives/step. This primitive collapses all of it into a single
+    ppermute by exploiting two facts:
+
+    * every halo a shard must *send* is computable from its **own** data
+      (boundary tails), so they can be packed into one buffer up front;
+    * the wrap-around edge ``n-1 → 0`` of the ppermute already delivers the
+      global stream tail to shard 0 — which is exactly shard 0's halo for
+      the **next** step. Storing the raw received buffer as the carry
+      replaces every ``ring_carry`` psum with free state.
+
+    Args:
+      tails: list of same-dtype real arrays — this shard's boundary tails.
+      carry: flat ``[K]`` array (K = total packed size) — the previous
+        step's raw receive (only shard 0's local value is ever consumed;
+        initialize with zeros = "stream starts from silence").
+
+    Returns ``(received, new_carry)`` where ``received[i]`` has
+    ``tails[i]``'s shape and holds the LEFT neighbor's tail (shard 0: the
+    previous step's global tail from ``carry``), and ``new_carry`` is this
+    step's raw ``[K]`` receive to feed back next step.
+    """
+    shapes = [t.shape for t in tails]
+    sizes = [int(np.prod(s)) for s in shapes]
+    buf = jnp.concatenate([t.reshape(-1) for t in tails])
+    if carry.shape != buf.shape:
+        raise ValueError(
+            f"carry shape {carry.shape} != packed tails {buf.shape}"
+        )
+    n = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    recv = jax.lax.ppermute(buf, axis_name, perm=perm)
+    idx = jax.lax.axis_index(axis_name)
+    used = jnp.where(idx == 0, carry, recv)
+    received = []
+    off = 0
+    for s, sz in zip(shapes, sizes):
+        received.append(used[off : off + sz].reshape(s))
+        off += sz
+    return received, recv
 
 
 def halo_right(x: ArrayLike, h: int, axis_name: str) -> ArrayLike:

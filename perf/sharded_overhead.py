@@ -1,15 +1,21 @@
 """Overlap-save exchange overhead % — the BASELINE.json metric.
 
 Runs the 1024-ch PFB + FM bank step twice on an N-device mesh: once with
-the real ppermute halo exchanges and once with the halos replaced by
-local zeros (same compute, no communication), and reports the step-time
-difference as exchange overhead %.
+the real packed-ppermute halo exchange and once with the exchange replaced
+by local zeros (same compute including the boundary-tail recompute, no
+communication), and reports the step-time difference as exchange
+overhead %.
+
+All bank variants now move EVERY halo through one wrap-around ppermute
+per step (``parallel.halo.packed_stream_halo``) — the r2 design used
+3 ppermutes + 3 psums per step and measured 19.9–31.7%.
 
 On this container only a virtual CPU mesh is available
 (--xla_force_host_platform_device_count); run on a real slice for ICI
 numbers — the harness is mesh-agnostic.
 
-Run:  python perf/sharded_overhead.py [--devices 8] [--r 512]
+Run:  python perf/sharded_overhead.py [--devices 8] [--r 2048]
+      [--variant 1d|2d|partial|fused|fused2d]
 """
 
 from __future__ import annotations
@@ -27,12 +33,12 @@ import numpy as np  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=8)
-    ap.add_argument("--r", type=int, default=512, help="channelized steps")
+    ap.add_argument("--r", type=int, default=2048, help="channelized steps")
     ap.add_argument(
         "--variant",
-        choices=["1d", "2d", "partial"],
+        choices=["1d", "2d", "partial", "fused", "fused2d"],
         default="1d",
-        help="1d time mesh, 2d ch-x-time, or partial-DFT 2d",
+        help="mesh layout / kernel variant",
     )
     ap.add_argument(
         "--real",
@@ -66,22 +72,29 @@ def main() -> None:
         BankConfig,
         make_sharded_bank_step,
         make_sharded_bank_step_2d,
+        make_sharded_bank_step_2d_fused,
         make_sharded_bank_step_2d_partial,
+        make_sharded_bank_step_fused,
     )
     from futuresdr_tpu.ops import cplx
     from futuresdr_tpu.parallel import make_mesh
 
     cfg = BankConfig()
-    if args.variant == "1d":
+    if args.variant in ("1d", "fused"):
         mesh = make_mesh((args.devices,), ("time",))
-        builder = lambda: make_sharded_bank_step(cfg, mesh)  # noqa: E731
+        mk = (
+            make_sharded_bank_step_fused
+            if args.variant == "fused"
+            else make_sharded_bank_step
+        )
+        builder = lambda: mk(cfg, mesh)  # noqa: E731
     else:
         mesh = make_mesh((2, args.devices // 2), ("ch", "time"))
-        mk = (
-            make_sharded_bank_step_2d_partial
-            if args.variant == "partial"
-            else make_sharded_bank_step_2d
-        )
+        mk = {
+            "2d": make_sharded_bank_step_2d,
+            "partial": make_sharded_bank_step_2d_partial,
+            "fused2d": make_sharded_bank_step_2d_fused,
+        }[args.variant]
         builder = lambda: mk(cfg, mesh)  # noqa: E731
     n = args.r * cfg.n_ch
     rng = np.random.default_rng(0)
@@ -91,6 +104,7 @@ def main() -> None:
         )
     )
 
+    import futuresdr_tpu.models.pfb_fm_bank as bank_mod
     import futuresdr_tpu.parallel.halo as halo_mod
 
     def timed(step, carry):
@@ -107,34 +121,33 @@ def main() -> None:
     init, step = builder()
     t_real = timed(step, init())
 
-    # no-comm variant: halos filled locally (monkeypatched)
-    orig_halo, orig_ring = halo_mod.halo_left, halo_mod.ring_carry
+    # no-comm variant: identical pack/unpack compute (each shard "receives"
+    # its OWN tails — keeps the boundary-tail recompute live so XLA cannot
+    # dead-code-eliminate it from the baseline), only the ppermute removed
+    import jax.numpy as jnp
+
+    orig = halo_mod.packed_stream_halo
     try:
-        def fake_halo(x_, h, axis_name, carry=None):
-            if h == 0:
-                return x_
-            zeros = cplx.zeros_like_shape(x_, x_.shape[:-1] + (h,))
-            return cplx.concat([zeros, x_], axis=-1)
 
-        def fake_ring(x_, h, axis_name):
-            return cplx.apply1(lambda t: t[..., t.shape[-1] - h :], x_)
+        def fake_packed(tails, axis_name, carry):
+            shapes = [t.shape for t in tails]
+            sizes = [int(np.prod(s)) for s in shapes]
+            buf = jnp.concatenate([t.reshape(-1) for t in tails])
+            idx = jax.lax.axis_index(axis_name)
+            used = jnp.where(idx == 0, carry, buf)
+            received, off = [], 0
+            for s, sz in zip(shapes, sizes):
+                received.append(used[off : off + sz].reshape(s))
+                off += sz
+            return received, buf
 
-        halo_mod.halo_left = fake_halo
-        halo_mod.ring_carry = fake_ring
-        # rebuild with the patched collectives
-        import futuresdr_tpu.models.pfb_fm_bank as bank_mod
-
-        bank_mod.halo_left = fake_halo
-        bank_mod.ring_carry = fake_ring
+        halo_mod.packed_stream_halo = fake_packed
+        bank_mod.packed_stream_halo = fake_packed
         init2, step2 = builder()
         t_local = timed(step2, init2())
     finally:
-        halo_mod.halo_left = orig_halo
-        halo_mod.ring_carry = orig_ring
-        import futuresdr_tpu.models.pfb_fm_bank as bank_mod
-
-        bank_mod.halo_left = orig_halo
-        bank_mod.ring_carry = orig_ring
+        halo_mod.packed_stream_halo = orig
+        bank_mod.packed_stream_halo = orig
 
     overhead = (t_real - t_local) / t_real * 100.0
     plat = jax.devices()[0].platform

@@ -69,9 +69,43 @@ def test_ring_carry_replicates_last_tail():
         np.testing.assert_array_equal(row, [124, 125, 126, 127])
 
 
+def test_packed_stream_halo_roundtrip():
+    """One ppermute carries several tails; the wrap edge is the carry."""
+    mesh = make_mesh(axis_names=("t",))
+    a = jnp.arange(8 * 6, dtype=jnp.float32).reshape(8, 6)
+    b = -jnp.arange(8 * 4, dtype=jnp.float32).reshape(8, 4)
+    carry0 = jnp.full((8, 10), 99.0, jnp.float32)
+
+    from futuresdr_tpu.parallel import packed_stream_halo
+
+    def fn(carry, aa, bb):
+        (ra, rb), new_carry = packed_stream_halo(
+            [aa.reshape(-1), bb.reshape(-1)], "t", carry.reshape(-1)
+        )
+        return new_carry.reshape(1, -1), ra.reshape(1, -1), rb.reshape(1, -1)
+
+    out = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("t", None), P("t"), P("t")),
+        out_specs=(P("t", None), P("t", None), P("t", None)),
+        check_vma=False,
+    )(carry0, a.reshape(-1), b.reshape(-1))
+    new_carry, ra, rb = (np.asarray(o) for o in out)
+    # shard 0 used the carry, shards i>0 the left neighbor's tails
+    np.testing.assert_array_equal(ra[0], [99.0] * 6)
+    np.testing.assert_array_equal(rb[0], [99.0] * 4)
+    for i in range(1, 8):
+        np.testing.assert_array_equal(ra[i], np.asarray(a)[i - 1])
+        np.testing.assert_array_equal(rb[i], np.asarray(b)[i - 1])
+    # every shard's new carry = its raw receive; shard 0's is the wrap
+    np.testing.assert_array_equal(new_carry[0, :6], np.asarray(a)[7])
+    np.testing.assert_array_equal(new_carry[0, 6:], np.asarray(b)[7])
+
+
 def test_sharded_bank_matches_serial_two_steps():
     cfg = BankConfig(n_ch=8, taps_per_ch=4, audio_decim=4, audio_taps=16)
-    N = 8 * 8 * 16
+    N = 8 * 32 * 8  # 32 channelized rows per shard (>= Ha + L = 21)
     xc = cplx.from_numpy(_rand_c64(N))
 
     init, step = make_bank_step(cfg)
@@ -176,3 +210,65 @@ def test_sharded_bank_2d_partial_dft_matches_serial():
 
     np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-5)
+
+
+def test_sharded_fused_bank_matches_serial_fused():
+    """The fused Pallas kernel inside shard_map (interpret mode on the
+    CPU mesh) == the serial fused step, two steps (carry continuity)."""
+    from futuresdr_tpu.models.pfb_fm_bank import (
+        make_bank_step_fused,
+        make_sharded_bank_step_fused,
+    )
+
+    cfg = BankConfig(n_ch=8, taps_per_ch=4, audio_decim=4, audio_taps=16)
+    N = 8 * 32 * 8
+    xc = cplx.from_numpy(_rand_c64(N, seed=3))
+
+    init, step = make_bank_step_fused(cfg, interpret=True)
+    st = init()
+    st, a1 = jax.jit(step)(st, xc)
+    st, a2 = jax.jit(step)(st, xc)
+
+    mesh = make_mesh(axis_names=("time",))
+    initc, sstep = make_sharded_bank_step_fused(cfg, mesh)
+    carry = initc()
+    carry, b1 = jax.jit(sstep)(carry, xc)
+    carry, b2 = jax.jit(sstep)(carry, xc)
+
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-5)
+
+
+def test_sharded_fused_bank_2d_matches_serial_fused():
+    from futuresdr_tpu.models.pfb_fm_bank import (
+        make_bank_step_fused,
+        make_sharded_bank_step_2d_fused,
+    )
+
+    cfg = BankConfig(n_ch=8, taps_per_ch=4, audio_decim=4, audio_taps=16)
+    N = 4 * 32 * 8
+    xc = cplx.from_numpy(_rand_c64(N, seed=5))
+
+    init, step = make_bank_step_fused(cfg, interpret=True)
+    st = init()
+    st, a1 = jax.jit(step)(st, xc)
+    st, a2 = jax.jit(step)(st, xc)
+
+    mesh = make_mesh((2, 4), ("ch", "time"))
+    initc, sstep = make_sharded_bank_step_2d_fused(cfg, mesh)
+    carry = initc()
+    carry, b1 = jax.jit(sstep)(carry, xc)
+    carry, b2 = jax.jit(sstep)(carry, xc)
+
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-5)
+
+
+def test_sharded_bank_rejects_small_shards():
+    """Shards smaller than the boundary-recompute window must raise."""
+    cfg = BankConfig(n_ch=8, taps_per_ch=4, audio_decim=4, audio_taps=16)
+    mesh = make_mesh(axis_names=("time",))
+    initc, sstep = make_sharded_bank_step(cfg, mesh)
+    xc = cplx.from_numpy(_rand_c64(8 * 16 * 8))  # 16 rows < Ha+L=21
+    with pytest.raises(ValueError, match="boundary-tail"):
+        jax.jit(sstep)(initc(), xc)
