@@ -206,6 +206,199 @@ def sharded_phase1_global(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Full sharded receiver: frame-parallel equalize + decode
+# ---------------------------------------------------------------------------
+#
+# Past the sync front, the receiver's work is PER-FRAME (symbol FFTs,
+# pilot tracking, equalization, demap, soft Viterbi — frame_equalizer.rs
+# + decoder.rs) and frames are embarrassingly parallel. The TPU-native
+# distribution is data parallelism over the frame batch axis: per-frame
+# IQ windows are scattered evenly across the mesh (perfect load balance
+# regardless of where frames landed in time) and the batched front-end +
+# decode-tail programs run under ``shard_map`` with ZERO collectives —
+# each device decodes kb/ndev frames with the exact serial math.
+
+
+@lru_cache(maxsize=None)
+def _sharded_frame_front_fn(mesh: Mesh, n_syms: int):
+    """Frame-sharded batched front-end: windows [kb, win] (+ coarse CFO
+    per frame) → equalized data symbols [kb, n_syms-1, 48] (SIGNAL row
+    dropped). kb must be a multiple of the mesh size."""
+    from futuresdr_tpu.models.wlan.rx import _frame_front_body
+
+    axis = mesh.axis_names[0]
+    win = SEARCH_WINDOW + _span(n_syms)
+
+    def local(wre, wim, fsh):
+        n = jnp.arange(win, dtype=jnp.float32)
+
+        def one(re_row, im_row, f_short):
+            w = CArray(re_row, im_row) * cplx.exp_j(f_short * n)
+            eq, _h, _snr, _off, _ff = _frame_front_body(w, n_syms)
+            return eq.re, eq.im
+
+        eq_re, eq_im = jax.vmap(one)(wre, wim, fsh)
+        return eq_re[:, 1:], eq_im[:, 1:]  # data symbols only
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis)),
+            out_specs=(P(axis, None, None), P(axis, None, None)),
+            check_vma=False,
+        )
+    )
+
+
+@lru_cache(maxsize=None)
+def _sharded_decode_tail_fn(mesh: Mesh, mcs_name: str, nf: int):
+    """Frame-sharded decode tail (demap → deinterleave → depuncture →
+    batched soft Viterbi → descramble → bytes), one MCS group per call —
+    the serial ``_device_decode_tail`` program under ``shard_map``."""
+    from futuresdr_tpu.models.wlan.rx import _device_decode_tail
+
+    axis = mesh.axis_names[0]
+    tail = _device_decode_tail(mcs_name, nf)  # factory OUTSIDE the trace
+
+    def local(eq_re, eq_im, nbits):
+        return tail(CArray(eq_re, eq_im), nbits)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(axis, None, None),
+                P(axis, None, None),
+                P(axis),
+            ),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+
+
+def sharded_rx(
+    iq: np.ndarray, mesh: Mesh, kmax_per_shard: Optional[int] = None
+):
+    """The FULL WLAN receiver over a device mesh: time-sharded sync front
+    (:func:`sharded_phase1`) then frame-parallel equalize + Viterbi
+    decode. Returns the serial receiver's ``List[RxFrame]`` contract.
+
+    Frame scatter is host-mediated: phase 1 already returns the (tiny)
+    candidate list to the host for the global MIN_GAP walk, so the host
+    slices each frame's IQ window from the capture and device_puts the
+    window batch sharded over the frame axis — even distribution no
+    matter how frames cluster in time (a time-sharded phase B would give
+    a shard every frame of a bursty capture). Windows are ~``win``
+    samples/frame; the capture itself never needs to be replicated.
+    """
+    import zlib
+
+    from futuresdr_tpu.models.wlan.rx import (
+        CRC32_RESIDUE,
+        MAX_SYMS,
+        RxFrame,
+    )
+
+    axis = mesh.axis_names[0]
+    ndev = mesh.shape[axis]
+    cands = sharded_phase1(iq, mesh, kmax_per_shard)
+    dec = [
+        (s, f, p, snr)
+        for (s, f, p, snr) in cands
+        if p is not None and p.n_symbols <= MAX_SYMS
+    ]
+    if not dec:
+        return []
+    nmax = max(p.n_symbols for (_s, _f, p, _r) in dec)
+    nf = min(MAX_SYMS, -(-nmax // 16) * 16)  # serial's pow-of-16 bucket
+    win = SEARCH_WINDOW + _span(nf + 1)
+    k = len(dec)
+    kb_loc = 1 << max(0, (-(-k // ndev)) - 1).bit_length()
+    kb = kb_loc * ndev
+
+    x = np.asarray(iq, np.complex64)
+    xpad = np.concatenate([x, np.zeros(win, np.complex64)])
+    wre = np.zeros((kb, win), np.float32)
+    wim = np.zeros((kb, win), np.float32)
+    fsh = np.zeros(kb, np.float32)
+    for i, (s, f, _p, _r) in enumerate(dec):
+        seg = xpad[s : s + win]
+        wre[i] = seg.real
+        wim[i] = seg.imag
+        fsh[i] = f
+    spec2 = NamedSharding(mesh, P(axis, None))
+    spec1 = NamedSharding(mesh, P(axis))
+    eq_re, eq_im = _sharded_frame_front_fn(mesh, nf + 1)(
+        jax.device_put(wre, spec2),
+        jax.device_put(wim, spec2),
+        jax.device_put(fsh, spec1),
+    )
+
+    results = [None] * k
+    groups = {}
+    for i, (_s, _f, p, _r) in enumerate(dec):
+        groups.setdefault(p.mcs.name, []).append(i)
+    for name, idxs in sorted(groups.items()):
+        nbits = np.zeros(kb, np.int32)
+        for i in idxs:
+            nbits[i] = dec[i][2].n_data_bits
+        by_dev = _sharded_decode_tail_fn(mesh, name, nf)(
+            eq_re, eq_im, jax.device_put(nbits, spec1)
+        )
+        by = np.asarray(by_dev)
+        for i in idxs:
+            s, _f, p, snr = dec[i]
+            psdu = bytes(by[i, 2 : p.psdu_size + 2])
+            crc_ok = (zlib.crc32(psdu) & 0xFFFFFFFF) == CRC32_RESIDUE
+            results[i] = RxFrame(
+                mcs=p.mcs.name,
+                psdu=psdu,
+                snr=float(snr),
+                crc_ok=crc_ok,
+                start=s,
+            )
+    return [r for r in results if r is not None]
+
+
+def check_sharded_rx_vs_serial(
+    mesh: Mesh, n_frames: int = 4, gap: int = 2000, seed: int = 2
+) -> None:
+    """Dryrun helper: the full sharded receiver must reproduce the serial
+    ``WlanReceiver`` byte-for-byte (PSDU, CRC, start) on a mixed-MCS
+    capture. Raises AssertionError on mismatch."""
+    from futuresdr_tpu.models.wlan import (
+        WlanReceiver,
+        encode_frame,
+        make_mac_frame,
+    )
+
+    rng = np.random.default_rng(seed)
+    parts = []
+    mcss = ["qpsk12", "bpsk12"]
+    for i in range(n_frames):
+        psdu = make_mac_frame(
+            rng.integers(0, 256, 64, dtype=np.uint8).tobytes(), seq=i
+        )
+        parts.append(
+            encode_frame(psdu, mcss[i % 2], scrambler_seed=1 + i)
+        )
+        parts.append(np.zeros(gap, np.complex64))
+    sig = np.concatenate(parts).astype(np.complex64)
+
+    got = sharded_rx(sig, mesh)
+    want = WlanReceiver(max_frames_per_chunk=n_frames + 4).process(sig)
+    got_t = [(f.start, f.mcs, f.crc_ok, f.psdu) for f in got]
+    want_t = [(f.start, f.mcs, f.crc_ok, f.psdu) for f in want]
+    assert got_t == want_t and len(got) == n_frames, (
+        [t[:3] for t in got_t],
+        [t[:3] for t in want_t],
+    )
+
+
 def check_sharded_vs_serial(
     mesh: Mesh,
     n_frames: int = 4,

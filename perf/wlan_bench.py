@@ -27,6 +27,53 @@ from futuresdr_tpu.models.wlan import (  # noqa: E402
 )
 
 
+def sharded_scaling(args) -> None:
+    """Frame-throughput scaling of the full sharded receiver over mesh
+    sizes 1/2/4/8 (virtual CPU mesh unless the backend has 8 devices)."""
+    import jax
+
+    # force the virtual CPU mesh BEFORE any backend init (the container's
+    # sitecustomize pins a 1-chip TPU backend at interpreter start)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    print("# 8-device virtual CPU mesh", file=sys.stderr)
+
+    from futuresdr_tpu.models.wlan.sharded import sharded_rx
+    from futuresdr_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    chunks = []
+    for i in range(args.frames):
+        psdu = make_mac_frame(
+            rng.integers(0, 256, args.bytes, dtype=np.uint8).tobytes(), seq=i
+        )
+        chunks.append(encode_frame(psdu, args.mcs, scrambler_seed=1 + i % 127))
+        chunks.append(np.zeros(args.gap, np.complex64))
+    sig = np.concatenate(chunks).astype(np.complex64)
+
+    print("devices,frames,ok,elapsed_s,frames_per_s,msps,speedup_vs_1")
+    base = None
+    for ndev in (1, 2, 4, 8):
+        if ndev > len(jax.devices()):
+            break
+        mesh = make_mesh((ndev,), ("t",), devices=jax.devices()[:ndev])
+        sharded_rx(sig, mesh)  # warm the compile caches for this mesh
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            frames = sharded_rx(sig, mesh)
+            best = min(best, time.perf_counter() - t0)
+        ok = sum(1 for f in frames if f.crc_ok)
+        fps = len(frames) / best
+        if base is None:
+            base = fps
+        print(
+            f"{ndev},{len(frames)},{ok},{best:.3f},{fps:.1f},"
+            f"{len(sig)/best/1e6:.2f},{fps/base:.2f}"
+        )
+        assert ok == args.frames, f"only {ok}/{args.frames} decoded"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=40)
@@ -53,7 +100,17 @@ def main() -> None:
         "(the deployable number on tunnel-limited dev hosts, where H2D "
         "at ~10-20 MB/s otherwise bounds the measurement)",
     )
+    ap.add_argument(
+        "--sharded",
+        action="store_true",
+        help="run the FULL sharded receiver (time-sharded sync front + "
+        "frame-parallel decode) on 1/2/4/8-device meshes of the virtual "
+        "CPU mesh and report frame-throughput scaling",
+    )
     args = ap.parse_args()
+
+    if args.sharded:
+        return sharded_scaling(args)
 
     rng = np.random.default_rng(0)
     chunks = []

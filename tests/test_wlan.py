@@ -510,3 +510,13 @@ def test_kmax_overflow_rerun_keeps_tail_frames():
     rx = WlanReceiver(max_frames_per_chunk=28)
     got = {f.psdu for f in rx.process(sig) if f.crc_ok}
     assert got == set(psdus), f"lost {len(set(psdus) - got)} tail frames"
+
+
+def test_sharded_full_rx_matches_serial():
+    """The FULL sharded receiver (frame-parallel equalize+Viterbi on the
+    8-device mesh) reproduces the serial WlanReceiver byte-for-byte on a
+    mixed-MCS capture (VERDICT r2 item 4)."""
+    from futuresdr_tpu.models.wlan.sharded import check_sharded_rx_vs_serial
+    from futuresdr_tpu.parallel import make_mesh
+
+    check_sharded_rx_vs_serial(make_mesh(axis_names=("t",)), n_frames=6)
