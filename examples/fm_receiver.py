@@ -103,16 +103,43 @@ def build_fm_receiver(
     return fg, resamp
 
 
-def main(out_path: str = "fm_out.wav") -> None:
+def main(out_path: str = "fm_out.wav", profile: str = "") -> None:
     sample_rate = 1_000_000.0
     offset = 100e3
     audio_rate = 50e3
-    iq, _ = synthesize_fm(sample_rate, duration=2.0, offset=offset)
-    src = VectorSource(iq)
+    want_profile = profile == "--profile" or out_path == "--profile"
+    if out_path == "--profile":
+        out_path = "fm_out.wav"
+    duration = 20.0 if want_profile else 2.0  # profiling needs a window
+    iq, _ = synthesize_fm(sample_rate, duration=duration, offset=offset)
+    src = VectorSource(iq, repeat=want_profile)
     fg, tail = build_fm_receiver(src, sample_rate, offset, audio_rate=audio_rate)
     wav = WavSink(out_path, int(audio_rate))
     fg.stream(tail, wav)
-    Runtime(chunk_size=1 << 18).run(fg)
+    rt = Runtime(chunk_size=1 << 18)
+    if not want_profile:
+        rt.run(fg)
+        print(f"wrote {out_path}")
+        return
+    # --profile: per-block device-cost attribution from a live trace
+    # (the reference's LTTng sample-path tracing, TPU-native: named
+    # scopes in the fused step + one jax.profiler capture)
+    import time as _time
+
+    handle = rt.start(fg)
+    # wait for steady state: compile through shared TPU frontends can
+    # take tens of seconds, and tracing mid-compile captures nothing
+    deadline = _time.monotonic() + 300.0
+    while handle.stats()["steps"] < 8:
+        if _time.monotonic() > deadline:
+            raise TimeoutError("flowgraph never reached steady state")
+        _time.sleep(0.25)
+    costs = handle.profile_blocks(duration_s=2.0)
+    print("block device-time attribution (profile window):")
+    for name, pct in costs.items():
+        print(f"  {pct:6.2f}%  {name}")
+    handle.stop()
+    handle.wait()
     print(f"wrote {out_path}")
 
 

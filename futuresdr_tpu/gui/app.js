@@ -43,10 +43,19 @@ async function pollStats() {
   try {
     const s = await api(`/api/fg/${FGID}/stats/`);
     const gs = s.samples_per_s ? (s.samples_per_s / 1e9).toFixed(3) : null;
+    // per-block device-cost attribution (handle.profile_blocks result)
+    let costs = "";
+    if (s.block_cost_pct) {
+      costs = " · " + Object.entries(s.block_cost_pct)
+        .filter(([k, _]) => k !== "(unattributed)")
+        .slice(0, 3)
+        .map(([k, v]) => `${k} ${v.toFixed(0)}%`)
+        .join(" ");
+    }
     $("stats").textContent =
       `steps ${s.steps ?? "?"} · ` +
       (gs ? `${gs} GS/s · ` : "") +
-      `up ${s.elapsed_s ? s.elapsed_s.toFixed(1) : "?"} s`;
+      `up ${s.elapsed_s ? s.elapsed_s.toFixed(1) : "?"} s` + costs;
   } catch (e) { /* stats optional */ }
 }
 

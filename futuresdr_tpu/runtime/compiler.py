@@ -418,9 +418,14 @@ class CompiledFlowgraph:
                     inputs.append(jtu.tree_map(lambda a: a[:G], buf))
                 else:
                     inputs.append(vals[self.pkey(e.src, e.src_port)])
-            st, outs, aux = b.apply(
-                member_states[self.bkey(bid)], inputs, params[self.bkey(bid)]
-            )
+            # named_scope → HLO op metadata (tf_op) → per-block device-time
+            # attribution from profiler traces (utils/xplane.py)
+            with jax.named_scope(b.instance_name):
+                st, outs, aux = b.apply(
+                    member_states[self.bkey(bid)],
+                    inputs,
+                    params[self.bkey(bid)],
+                )
             new_sts[self.bkey(bid)] = st
             if aux:
                 aux_l[self.bkey(bid)] = aux
@@ -525,7 +530,14 @@ class CompiledFlowgraph:
             inputs = [
                 vals[self.pkey(e.src, e.src_port)] for e in fg.in_edges(bid)
             ]
-            st, outs, aux = b.apply(states[self.bkey(bid)], inputs, params[self.bkey(bid)])
+            # named_scope → HLO op metadata (tf_op) → per-block device-time
+            # attribution from profiler traces (utils/xplane.py; the TPU
+            # answer to the reference's pervasive `tracing` spans +
+            # LTTng tracepoints, perf/perf/src/lttng_sink.rs:6-18)
+            with jax.named_scope(b.instance_name):
+                st, outs, aux = b.apply(
+                    states[self.bkey(bid)], inputs, params[self.bkey(bid)]
+                )
             new_states[self.bkey(bid)] = st
             if aux:
                 aux_all[self.bkey(bid)] = aux

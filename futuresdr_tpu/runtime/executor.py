@@ -109,6 +109,11 @@ class FlowgraphHandle:
         """Checkpoint the live flowgraph (see :meth:`Executor.snapshot`)."""
         return self._ex.snapshot(path, timeout=timeout)
 
+    def profile_blocks(self, duration_s: float = 1.0) -> Dict[str, float]:
+        """Per-block device-time % from a live profiler capture
+        (see :meth:`Executor.profile_blocks`)."""
+        return self._ex.profile_blocks(duration_s)
+
     def wait(self, timeout: Optional[float] = None) -> Flowgraph:
         return self._ex.join(timeout)
 
@@ -158,6 +163,7 @@ class Executor:
         self._snap_lock = threading.Lock()
         self._nofetch_steps = 0
         self._probes: "deque" = deque()  # rolling dispatch-queue bound
+        self._block_costs: Dict[str, float] = {}  # profile_blocks result
         self._wire_message_ports()
 
     # ---- checkpoint/resume ------------------------------------------------
@@ -583,7 +589,7 @@ class Executor:
         t1 = self._t_stop or now
         elapsed = max(t1 - t0, 1e-9)
         total_items = sum(self.items_delivered.values())
-        return {
+        out = {
             "steps": self.steps_run,
             "steps_total": self.steps_total,
             "elapsed_s": elapsed,
@@ -594,6 +600,56 @@ class Executor:
                 str(k): v for k, v in self.cfg.edge_items.items()
             },
         }
+        if self._block_costs:
+            out["block_cost_pct"] = dict(self._block_costs)
+        return out
+
+    def profile_blocks(
+        self, duration_s: float = 1.0, trace_dir: Optional[str] = None
+    ) -> Dict[str, float]:
+        """Attribute device time to flowgraph blocks from a live profile.
+
+        Captures a ``jax.profiler`` trace of the running loop for
+        ``duration_s``, parses the device plane's op events
+        (:mod:`futuresdr_tpu.utils.xplane` — no TensorFlow needed), and
+        groups real post-fusion op durations by the ``jax.named_scope``
+        the graph compiler wraps around every block's ``apply``.
+
+        Returns ``{block_name: device_time_pct}`` sorted descending;
+        also exposed via ``stats()["block_cost_pct"]`` and the REST
+        stats route / GUI header. Ops XLA fused across blocks follow
+        their representative op (XProf's own convention); scope-less ops
+        (donation copies, infeed) land in ``"(unattributed)"``.
+
+        TPU parity note: this is the reference's LTTng sample-path
+        tracing (``perf/perf/src/lttng_sink.rs:6-18``) re-imagined for a
+        fused-program runtime — the trace is captured by the compiler
+        stack, not by instrumented blocks. CPU backends emit no per-op
+        plane; run on device."""
+        import tempfile
+
+        from futuresdr_tpu.utils.xplane import block_time_ps
+
+        td = trace_dir or tempfile.mkdtemp(prefix="futuresdr_prof_")
+        jax.profiler.start_trace(td)
+        try:
+            time.sleep(duration_s)
+        finally:
+            jax.profiler.stop_trace()
+        names = [b.instance_name for b in self.fg.blocks]
+        ps = block_time_ps(td, names)
+        total = sum(ps.values())
+        if not total:
+            raise RuntimeError(
+                "trace contains no attributable device ops (CPU backends "
+                "emit no per-op plane — profile on TPU, and make sure the "
+                "flowgraph was stepping during the capture window)"
+            )
+        self._block_costs = {
+            k: round(100.0 * v / total, 2)
+            for k, v in sorted(ps.items(), key=lambda kv: -kv[1])
+        }
+        return dict(self._block_costs)
 
     # ---- the loop --------------------------------------------------------
     def run_loop(self) -> None:
