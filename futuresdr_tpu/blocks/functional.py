@@ -125,6 +125,12 @@ class Filter(Block):
         y = cplx.apply1(lambda t: jnp.where(mask, t, jnp.zeros_like(t)), x)
         return state, [y], {"mask": mask}
 
+    @staticmethod
+    def host_compact(chunk: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """Drop the zeroed slots on host: the chunk + its aux ``mask``
+        → only the items that passed ``pred``, in stream order."""
+        return np.asarray(chunk)[..., np.asarray(mask, bool)]
+
 
 class ApplyNM(Block):
     """N:M windowed map (parity: applynm.rs — ``&[A; N] → &[B; M]``).
@@ -163,11 +169,18 @@ class ApplyNM(Block):
 class ApplyIntoIter(Block):
     """1:N expansion (parity: applyintoiter.rs — per-item iterator).
 
-    XLA needs static rates, so the per-item expansion factor ``n`` is
+    XLA needs static rates, so the per-item expansion CAPACITY ``n`` is
     declared up front (covers the reference's dominant use: fixed
-    repetition/symbol-to-chips expansion). ``fn`` maps the chunk ``[k]`` →
-    ``[k, n]`` vectorized; truly data-dependent iterators belong in a host
-    source/sink."""
+    repetition/symbol-to-chips expansion). ``fn`` maps the chunk ``[k]``
+    → ``[k, n]`` vectorized.
+
+    Variable expansion (``variable=True``): ``fn`` returns ``([k, n],
+    counts[k])`` where ``counts[i] ≤ n`` is item ``i``'s true output
+    length. Slots past each count are zeroed on device and the counts
+    surface as the ``"counts"`` aux (the same valid-count pattern as
+    :class:`Filter`); a host consumer recovers the exact reference
+    stream with :meth:`host_compact` instead of eating worst-case
+    padding."""
 
     def __init__(
         self,
@@ -175,11 +188,13 @@ class ApplyIntoIter(Block):
         n: int,
         in_dtype=np.float32,
         out_dtype=None,
+        variable: bool = False,
         name: Optional[str] = None,
     ):
         super().__init__(name)
         self.fn = fn
         self.n = int(n)
+        self.variable = bool(variable)
         self.stream_inputs = [PortSpec("in", in_dtype)]
         self.stream_outputs = [PortSpec("out", out_dtype or in_dtype)]
         self.rate_in = (1,)
@@ -187,8 +202,31 @@ class ApplyIntoIter(Block):
 
     def apply(self, state, inputs, params):
         x = inputs[0]
-        y = self.fn(x)  # [k, n]
-        return state, [y.reshape(x.shape[-1] * self.n)], {}
+        k = x.shape[-1]
+        if not self.variable:
+            y = self.fn(x)  # [k, n]
+            return state, [y.reshape(k * self.n)], {}
+        import jax.numpy as jnp
+
+        from futuresdr_tpu.ops import cplx
+
+        y, counts = self.fn(x)  # [k, n], [k]
+        mask = jnp.arange(self.n)[None, :] < counts[:, None]
+        y = cplx.apply1(lambda t: jnp.where(mask, t, jnp.zeros_like(t)), y)
+        flat = cplx.apply1(lambda t: t.reshape(k * self.n), y)
+        return state, [flat], {"counts": counts}
+
+    @staticmethod
+    def host_compact(chunk: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Drop the per-item padding on host: the flattened ``[k·n]``
+        chunk + its ``counts`` aux → the concatenation of each item's
+        true outputs (exact applyintoiter.rs stream semantics)."""
+        counts = np.asarray(counts)
+        k = len(counts)
+        a = np.asarray(chunk).reshape(k, -1) if k else np.asarray(chunk)
+        n = a.shape[-1] if k else 0
+        mask = np.arange(n)[None, :] < counts[:, None]
+        return a[mask]
 
 
 class Source(Block):

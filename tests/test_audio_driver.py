@@ -103,3 +103,48 @@ def test_audio_source_requires_backend():
     assert audio_mod._sd is None  # container truth: no sounddevice
     with pytest.raises(RuntimeError, match="no audio capture backend"):
         audio_mod.AudioSource()
+
+
+def _write_exe(path, body: str) -> None:
+    path.write_text("#!/usr/bin/env python3\n" + body)
+    path.chmod(0o755)
+
+
+def test_audio_file_source_compressed_via_ffmpeg(tmp_path, monkeypatch):
+    """Compressed formats decode through the documented ffmpeg fallback
+    (parity: rodio's mp3 decode in audio/file_source.rs) — exercised
+    against stub ffmpeg/ffprobe binaries, the fake-driver pattern."""
+    import sys
+
+    samples = (np.arange(64, dtype=np.float32) - 32.0) / 64.0
+    pcm = tmp_path / "pcm.bin"
+    pcm.write_bytes(samples.tobytes())
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    _write_exe(
+        bindir / "ffmpeg",
+        "import sys\n"
+        f"sys.stdout.buffer.write(open({str(pcm)!r}, 'rb').read())\n",
+    )
+    _write_exe(
+        bindir / "ffprobe",
+        'print(\'{"streams": [{"sample_rate": "22050", "channels": 2}]}\')\n',
+    )
+    mp3 = tmp_path / "tone.mp3"
+    mp3.write_bytes(b"\xff\xfbnot really mp3")
+    monkeypatch.setenv("PATH", f"{bindir}:{sys.exec_prefix}/bin")
+    src = audio_mod.AudioFileSource(mp3)
+    assert src.sample_rate == 22050 and src.channels == 2
+    np.testing.assert_array_equal(src._data, samples)
+    out = src.host_produce(64)
+    np.testing.assert_array_equal(out, samples)
+
+
+def test_audio_file_source_compressed_without_ffmpeg(tmp_path, monkeypatch):
+    empty = tmp_path / "emptybin"
+    empty.mkdir()
+    monkeypatch.setenv("PATH", str(empty))
+    mp3 = tmp_path / "x.mp3"
+    mp3.write_bytes(b"\x00")
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        audio_mod.AudioFileSource(mp3)

@@ -437,3 +437,38 @@ def test_profiler_trace_writes_perfetto():
         Runtime().run(fg)
     produced = list(Path(d).rglob("*"))
     assert any(p.is_file() for p in produced), produced
+
+
+def test_apply_into_iter_variable_counts():
+    """Variable expansion: per-item counts aux + host_compact recover the
+    exact reference stream (applyintoiter.rs) without worst-case padding."""
+    import jax.numpy as jnp
+
+    from futuresdr_tpu.blocks import ApplyIntoIter
+    from futuresdr_tpu.runtime.mocker import Mocker
+
+    # item v expands to v copies of itself (v in 0..4), capacity n=4
+    def fn(x):
+        k = x.shape[-1]
+        y = jnp.broadcast_to(x[:, None], (k, 4))
+        return y, x.astype(jnp.int32)
+
+    blk = ApplyIntoIter(fn, n=4, in_dtype=np.float32, variable=True)
+    x = jnp.asarray(np.array([2, 0, 3, 1], np.float32))
+    _, outs, aux = blk.apply((), [x], blk.params())
+    out = np.asarray(outs[0])
+    np.testing.assert_array_equal(aux["counts"], [2, 0, 3, 1])
+    got = ApplyIntoIter.host_compact(out, aux["counts"])
+    np.testing.assert_array_equal(got, [2, 2, 3, 3, 3, 1])
+    # padding slots are zeroed on device
+    assert np.count_nonzero(out) == 6
+
+
+def test_filter_host_compact():
+    from futuresdr_tpu.blocks import Filter
+
+    chunk = np.array([1.0, 0.0, 3.0, 0.0], np.float32)
+    mask = np.array([True, False, True, False])
+    np.testing.assert_array_equal(
+        Filter.host_compact(chunk, mask), [1.0, 3.0]
+    )

@@ -520,3 +520,44 @@ def test_sharded_full_rx_matches_serial():
     from futuresdr_tpu.parallel import make_mesh
 
     check_sharded_rx_vs_serial(make_mesh(axis_names=("t",)), n_frames=6)
+
+
+def test_speculative_path_matches_classic():
+    """Second process() of a homogeneous capture takes the learned
+    single-fetch path and must reproduce the classic result exactly;
+    a traffic change (different MCS) must decode correctly via the
+    per-row fallback and un-learn."""
+    from futuresdr_tpu.models.wlan import (
+        WlanReceiver,
+        encode_frame,
+        make_mac_frame,
+    )
+
+    rng = np.random.default_rng(3)
+
+    def capture(mcs, n=10, seed0=0):
+        parts = []
+        for i in range(n):
+            psdu = make_mac_frame(
+                rng.integers(0, 256, 64, dtype=np.uint8).tobytes(), seq=i
+            )
+            parts.append(encode_frame(psdu, mcs, scrambler_seed=1 + i))
+            parts.append(np.zeros(1500, np.complex64))
+        return np.concatenate(parts).astype(np.complex64)
+
+    sig_q = capture("qpsk12")
+    rx = WlanReceiver(max_frames_per_chunk=16)
+    first = rx.process(sig_q)  # classic; learns (qpsk12, nf)
+    assert rx._spec is not None and rx._spec[0] == "qpsk12"
+    second = rx.process(sig_q)  # speculative single-fetch path
+    a = [(f.start, f.mcs, f.crc_ok, f.psdu) for f in first]
+    b = [(f.start, f.mcs, f.crc_ok, f.psdu) for f in second]
+    assert a == b and all(f.crc_ok for f in second)
+
+    # traffic switches MCS: every frame fails the gate, falls back
+    # per-row, still decodes, and the stale speculation is dropped
+    sig_b = capture("bpsk12")
+    third = rx.process(sig_b)
+    assert len(third) == 10 and all(f.crc_ok for f in third)
+    assert all(f.mcs == "bpsk12" for f in third)
+    assert rx._spec is None or rx._spec[0] == "bpsk12"
