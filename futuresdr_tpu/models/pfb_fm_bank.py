@@ -628,6 +628,125 @@ def make_sharded_bank_step_fused(
     return init_carry, fn
 
 
+def make_sharded_bank_step_2d_partial_fused(
+    cfg: BankConfig,
+    mesh,
+    ch_axis: str = "ch",
+    time_axis: str = "time",
+    tile_rows: int = 128,
+    interpret=None,
+):
+    """Partial-DFT 2D layout on the fused kernel family — the
+    zero-redundancy channels×time sharding with the DFT+demod in VMEM.
+
+    Each device branch-filters only its ``M/C`` wideband columns (f32
+    row-major shifted FMAs, the fused kernel's own FIR formula), ONE
+    ``all_gather`` re-assembles the filtered rows, and
+    :func:`~futuresdr_tpu.ops.pallas_bank.fused_dft_demod` applies that
+    device's ``[M, M/C]`` DFT column slice + quadrature demod without
+    leaving VMEM. Halos ride the same single packed ppermute as every
+    other variant. Matches :func:`make_bank_step_fused` numerics."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from futuresdr_tpu.ops.pallas_bank import _atan2_poly, fused_dft_demod
+
+    M, L, Ha, w_rev, dre, dim, audio_w = _fused_constants(cfg)
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+    C = mesh.shape[ch_axis]
+    n_t = mesh.shape[time_axis]
+    if M % C:
+        raise ValueError(f"n_ch {M} not divisible by {C} channel shards")
+    Mc = M // C
+    K = 2 * L * M + Ha * Mc
+
+    def init_carry():
+        return jnp.zeros((C, n_t, K), jnp.float32)
+
+    def _fir_rows(xr, xi, w):
+        """Row-major branch FIR over whatever columns xr/xi/w carry."""
+        n = xr.shape[0] - (L - 1)
+        v_r = w[0, :] * xr[0:n, :]
+        v_i = w[0, :] * xi[0:n, :]
+        for s in range(1, L):
+            v_r = v_r + w[s, :] * xr[s : s + n, :]
+            v_i = v_i + w[s, :] * xi[s : s + n, :]
+        return v_r, v_i
+
+    def shard_fn(carry, x, w_loc, dre_loc, dim_loc):
+        r_loc = _validate_shard_chunk(
+            x.shape[-1], M, cfg.audio_decim, Ha + L
+        )
+        ci = jax.lax.axis_index(ch_axis)
+        xt_re = x.re.reshape(r_loc, M)
+        xt_im = x.im.reshape(r_loc, M)
+        # boundary demod tail with THIS variant's math: full-branch FIR
+        # rows (x is replicated over ch), bf16 DFT column slice, poly
+        # atan2 — so the audio-FIR state a neighbor receives equals what
+        # it would compute itself
+        vb_r, vb_i = _fir_rows(
+            xt_re[r_loc - (Ha + L) :], xt_im[r_loc - (Ha + L) :], w_rev
+        )  # [Ha+1, M]
+        yb_r, yb_i = _fused_rows_dft(vb_r, vb_i, dre_loc, dim_loc)
+        d_r = yb_r[1:] * yb_r[:-1] + yb_i[1:] * yb_i[:-1]
+        d_i = yb_i[1:] * yb_r[:-1] - yb_r[1:] * yb_i[:-1]
+        a_b = jnp.float32(cfg.demod_gain) * _atan2_poly(d_i, d_r)
+        (hw_r, hw_i, a_halo), new_carry = packed_stream_halo(
+            [xt_re[r_loc - L :], xt_im[r_loc - L :], a_b],
+            time_axis,
+            carry.reshape(-1),
+        )
+        # yprev for the kernel: DFT row of the last pre-shard v row
+        vp_r, vp_i = _fir_rows(hw_r, hw_i, w_rev)  # [1, M]
+        yp_r, yp_i = _fused_rows_dft(vp_r, vp_i, dre_loc, dim_loc)
+        # branch-sharded FIR on this device's wideband columns
+        cols_r = jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([hw_r[1:], xt_re], axis=0), ci * Mc, Mc, axis=1
+        )
+        cols_i = jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([hw_i[1:], xt_im], axis=0), ci * Mc, Mc, axis=1
+        )
+        v_r, v_i = _fir_rows(cols_r, cols_i, w_loc)  # [R_loc, Mc]
+        both = jax.lax.all_gather(
+            jnp.stack([v_r, v_i]), ch_axis, axis=2, tiled=True
+        )  # [2, R_loc, M]
+        a = fused_dft_demod(
+            both[0], both[1], yp_r, yp_i, dre_loc, dim_loc,
+            tile_rows=_pick_tile_rows(r_loc, tile_rows),
+            gain=float(cfg.demod_gain), interpret=interpret,
+        )  # [R_loc, Mc]
+        ext = jnp.concatenate([a_halo, a], axis=0)
+        audio_rows = jnp.matmul(
+            audio_w(r_loc), ext, preferred_element_type=jnp.float32
+        )
+        return new_carry.reshape(1, 1, K), audio_rows.T
+
+    # slicing xt columns with dynamic_slice needs the [.., Mc] slice to
+    # match w_loc's columns: w_rev arrives column-sharded over ch
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(ch_axis, time_axis, None),
+            P(time_axis),
+            P(None, ch_axis),  # w_rev column slice [L, Mc]
+            P(None, ch_axis),  # DFT column slice (re)
+            P(None, ch_axis),  # DFT column slice (im)
+        ),
+        out_specs=(
+            P(ch_axis, time_axis, None),
+            P(ch_axis, time_axis),
+        ),
+        check_vma=False,
+    )
+
+    def fn(carry, x):
+        return sharded(carry, x, w_rev, dre, dim)
+
+    return init_carry, fn
+
+
 def make_sharded_bank_step_2d_fused(
     cfg: BankConfig,
     mesh,

@@ -157,6 +157,96 @@ def _bank_kernel(
         yoi_ref[:] = syi[:]
 
 
+def _dft_demod_kernel(
+    vr_ref,  # [TR, M] f32  branch-filtered rows (post all_gather)
+    vi_ref,
+    ypr_ref,  # [1, Mc] f32 previous DFT row (local channels)
+    ypi_ref,
+    dre_ref,  # [M, Mc] bf16 DFT column slice (this device's channels)
+    dim_ref,
+    a_ref,  # [TR, Mc] f32 demodulated out
+    syr,  # [1, Mc] carried DFT row between tiles
+    syi,
+    *,
+    TR: int,
+    gain: float,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        syr[:] = ypr_ref[:]
+        syi[:] = ypi_ref[:]
+
+    vr16 = vr_ref[:].astype(jnp.bfloat16)
+    vi16 = vi_ref[:].astype(jnp.bfloat16)
+    y_r = jnp.dot(
+        vr16, dre_ref[:], preferred_element_type=jnp.float32
+    ) - jnp.dot(vi16, dim_ref[:], preferred_element_type=jnp.float32)
+    y_i = jnp.dot(
+        vr16, dim_ref[:], preferred_element_type=jnp.float32
+    ) + jnp.dot(vi16, dre_ref[:], preferred_element_type=jnp.float32)
+    p_r = jnp.concatenate([syr[:], y_r[: TR - 1, :]], axis=0)
+    p_i = jnp.concatenate([syi[:], y_i[: TR - 1, :]], axis=0)
+    d_r = y_r * p_r + y_i * p_i
+    d_i = y_i * p_r - y_r * p_i
+    a_ref[:] = jnp.float32(gain) * _atan2_poly(d_i, d_r)
+    syr[:] = y_r[TR - 1 :, :]
+    syi[:] = y_i[TR - 1 :, :]
+
+
+@partial(jax.jit, static_argnames=("tile_rows", "gain", "interpret"))
+def fused_dft_demod(
+    v_re,  # [R, M] f32
+    v_im,
+    yprev_re,  # [1, Mc] f32
+    yprev_im,
+    dft_re,  # [M, Mc] bf16 column slice
+    dft_im,
+    *,
+    tile_rows: int = 128,
+    gain: float = 1.0,
+    interpret: bool = False,
+):
+    """DFT-row-slice + quadrature demod for the partial-DFT sharded bank:
+    the branch FIR runs branch-sharded outside (one all_gather
+    re-assembles v), then this kernel keeps the [TR,M]@[M,Mc] partial DFT
+    and the demod in VMEM. Returns ``a [R, Mc] f32``."""
+    R, M = v_re.shape
+    Mc = dft_re.shape[-1]
+    TR = tile_rows
+    if R % TR:
+        raise ValueError(f"R={R} must be a multiple of tile_rows={TR}")
+    kern = partial(_dft_demod_kernel, TR=TR, gain=float(gain))
+    full = lambda *_: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kern,
+        grid=(R // TR,),
+        in_specs=[
+            pl.BlockSpec((TR, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mc), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mc), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, Mc), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, Mc), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TR, Mc), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, Mc), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, Mc), jnp.float32),
+            pltpu.VMEM((1, Mc), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * R * M * Mc,
+            bytes_accessed=(2 * R * M + R * Mc) * 4 + 2 * M * Mc * 2,
+            transcendentals=R * Mc,
+        ),
+        interpret=interpret,
+    )(v_re, v_im, yprev_re, yprev_im, dft_re, dft_im)
+
+
 @partial(
     jax.jit, static_argnames=("L", "tile_rows", "gain", "interpret")
 )

@@ -770,16 +770,20 @@ class Executor:
         # control granularity — messages/tickers run once per batch.
         K = max(1, int(config.get("steps_per_call", 1)))
         widest = max(cfg.edge_items.values(), default=0)
-        if K > 1 and widest > 32768:
-            # Measured on-chip: scan batching wins only in the dispatch-bound
-            # small-chunk regime (+35% at 16k) and is ~3x SLOWER at 128k
-            # (the scan serializes what the async dispatch queue overlaps).
+        if K > 1 and widest > (1 << 18):
+            # r2 measured scan batching 3x slower at 128k — that was the
+            # broken pacing probe throttling the loop, not the scan
+            # (r3 re-measure after the fix: 4x FASTER at 128k, 9x at 4k).
+            # Above 256k chunks the regime is unmeasured (one step is
+            # already >= 1 ms of compute and scan compiles get heavy),
+            # so the gate stays there until proven.
             from futuresdr_tpu.utils.logging import logger
 
             logger.warning(
-                "steps_per_call=%d disabled: widest edge chunk %d > 32768 is "
-                "the regime where scan batching measured 3x slower; use "
-                "chunks <= 32768 items to enable it",
+                "steps_per_call=%d disabled: widest edge chunk %d > 262144 "
+                "— dispatch is already amortized at these sizes and scan "
+                "batching is unmeasured there; use smaller chunks or "
+                "re-benchmark before raising the gate",
                 K,
                 widest,
             )
@@ -889,12 +893,18 @@ class Executor:
                         for key in batch[0][0]
                     }
                     if not stacked:  # device-source-only graph: scan still
-                        # needs a leading-axis operand to infer its length
-                        stacked = {
-                            "__scan_len": np.zeros(
-                                (len(batch), 1), np.float32
+                        # needs a leading-axis operand to infer its length.
+                        # Cached per K as a DEVICE array: a fresh numpy
+                        # here would re-upload every dispatch (H2D through
+                        # the tunnel costs like a dispatch, ~200-600 µs)
+                        kb = len(batch)
+                        cache = getattr(self, "_scan_len_cache", {})
+                        if kb not in cache:
+                            cache[kb] = jax.device_put(
+                                np.zeros((kb, 1), np.float32)
                             )
-                        }
+                            self._scan_len_cache = cache
+                        stacked = {"__scan_len": cache[kb]}
                     states, sink_arrays, aux = scan_step(
                         states, params_cache, stacked
                     )

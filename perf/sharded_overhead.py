@@ -36,7 +36,7 @@ def main() -> None:
     ap.add_argument("--r", type=int, default=2048, help="channelized steps")
     ap.add_argument(
         "--variant",
-        choices=["1d", "2d", "partial", "fused", "fused2d"],
+        choices=["1d", "2d", "partial", "fused", "fused2d", "fusedpartial"],
         default="1d",
         help="mesh layout / kernel variant",
     )
@@ -90,10 +90,15 @@ def main() -> None:
         builder = lambda: mk(cfg, mesh)  # noqa: E731
     else:
         mesh = make_mesh((2, args.devices // 2), ("ch", "time"))
+        from futuresdr_tpu.models.pfb_fm_bank import (
+            make_sharded_bank_step_2d_partial_fused,
+        )
+
         mk = {
             "2d": make_sharded_bank_step_2d,
             "partial": make_sharded_bank_step_2d_partial,
             "fused2d": make_sharded_bank_step_2d_fused,
+            "fusedpartial": make_sharded_bank_step_2d_partial_fused,
         }[args.variant]
         builder = lambda: mk(cfg, mesh)  # noqa: E731
     n = args.r * cfg.n_ch

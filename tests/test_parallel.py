@@ -272,3 +272,30 @@ def test_sharded_bank_rejects_small_shards():
     xc = cplx.from_numpy(_rand_c64(8 * 16 * 8))  # 16 rows < Ha+L=21
     with pytest.raises(ValueError, match="boundary-tail"):
         jax.jit(sstep)(initc(), xc)
+
+
+def test_sharded_fused_bank_2d_partial_matches_serial_fused():
+    """Partial-DFT layout on the fused kernel family (branch-sharded FIR
+    + all_gather + in-VMEM DFT slice/demod) == serial fused, 2 steps."""
+    from futuresdr_tpu.models.pfb_fm_bank import (
+        make_bank_step_fused,
+        make_sharded_bank_step_2d_partial_fused,
+    )
+
+    cfg = BankConfig(n_ch=8, taps_per_ch=4, audio_decim=4, audio_taps=16)
+    N = 4 * 32 * 8
+    xc = cplx.from_numpy(_rand_c64(N, seed=9))
+
+    init, step = make_bank_step_fused(cfg, interpret=True)
+    st = init()
+    st, a1 = jax.jit(step)(st, xc)
+    st, a2 = jax.jit(step)(st, xc)
+
+    mesh = make_mesh((2, 4), ("ch", "time"))
+    initc, sstep = make_sharded_bank_step_2d_partial_fused(cfg, mesh)
+    carry = initc()
+    carry, b1 = jax.jit(sstep)(carry, xc)
+    carry, b2 = jax.jit(sstep)(carry, xc)
+
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-5)
