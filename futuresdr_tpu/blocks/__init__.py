@@ -39,6 +39,7 @@ from futuresdr_tpu.blocks.net import (
     BlobToUdp,
     TcpSink,
     TcpSource,
+    UdpIqSource,
     UdpSource,
     WebsocketPmtSink,
     WebsocketSink,
@@ -108,6 +109,7 @@ __all__ = [
     "BlobToUdp",
     "TcpSink",
     "TcpSource",
+    "UdpIqSource",
     "UdpSource",
     "WebsocketPmtSink",
     "WebsocketSink",

@@ -205,6 +205,94 @@ class UdpSource(Block):
             pass
 
 
+class UdpIqSource(Block):
+    """UDP IQ ingest on the NATIVE runtime path: a C++ reader thread
+    (``native/ringbuf.cpp``) drains datagrams into the lock-free SPSC
+    ring without the GIL, and ``host_produce`` converts SDR wire formats
+    (``cs8`` HackRF / ``cu8`` rtl_tcp / ``cs16`` USRP / ``cf32``) to
+    complex chunks with the native converters — the network-radio
+    equivalent of the reference's ``#[blocking]`` seify driver thread
+    feeding a vmcircbuffer ring (``seify/source.rs:53``,
+    ``buffer/circular.rs``).
+
+    Datagrams that arrive while the ring is full are dropped WHOLE (UDP
+    loss semantics — framing never tears mid-sample); ``stats()``
+    reports ``(datagrams, bytes, dropped)``.
+    """
+
+    _ITEM_BYTES = {"cs8": 2, "cu8": 2, "cs16": 4, "cf32": 8}
+
+    def __init__(
+        self,
+        bind: str = "127.0.0.1",
+        port: int = 0,
+        fmt: str = "cf32",
+        ring_bytes: int = 1 << 24,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        if fmt not in self._ITEM_BYTES:
+            raise ValueError(f"unknown IQ format {fmt!r}")
+        self.fmt = fmt
+        self.is_blocking = True
+        self.stream_outputs = [PortSpec("out", np.complex64)]
+        self.rate_out = (1,)
+        from futuresdr_tpu.native import (
+            NativeRing,
+            NativeUdpReader,
+            convert_iq,
+        )
+
+        self._convert = convert_iq
+        self._ring = NativeRing(ring_bytes)
+        self._reader = NativeUdpReader(self._ring, bind, port)
+        self._closed = False
+        self._pending = b""  # partial item straddling datagrams
+
+    @property
+    def bound_port(self) -> int:
+        return self._reader.port
+
+    def stats(self):
+        return self._reader.stats()
+
+    def close(self) -> None:
+        self._closed = True
+
+    @message_handler("stats")
+    def _h_stats(self, pmt: Pmt) -> Pmt:
+        d, b, drop = self._reader.stats()
+        return Pmt({"datagrams": d, "bytes": b, "dropped": drop})
+
+    def host_produce(self, n: int, port: int = 0):
+        if self._closed:
+            return None
+        item = self._ITEM_BYTES[self.fmt]
+        want = n * item
+        avail = len(self._pending) + self._ring.readable()
+        if avail < want:
+            return np.zeros((0,), np.complex64)  # live source: wait
+        raw = self._pending + self._ring.read(want - len(self._pending))
+        self._pending = b""
+        usable = len(raw) - len(raw) % item
+        if usable < len(raw):
+            self._pending = raw[usable:]
+            raw = raw[:usable]
+        import numpy as _np
+
+        scalar = {
+            "cs8": _np.int8,
+            "cu8": _np.uint8,
+            "cs16": _np.int16,
+            "cf32": _np.float32,
+        }[self.fmt]
+        re, im = self._convert(_np.frombuffer(raw, scalar), self.fmt)
+        return (re + 1j * im).astype(_np.complex64)
+
+    def on_finish(self) -> None:
+        self._reader.stop()
+
+
 class BlobToUdp(Block):
     """Message sink: send each received Pmt::Blob as a UDP datagram
     (parity: blob_to_udp.rs:85 — how WLAN RX frames reach wireshark)."""

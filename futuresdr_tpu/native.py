@@ -123,6 +123,14 @@ def _declare(m: ctypes.CDLL) -> None:
         i64,
         u8p,
     ]
+    m.udp_reader_start.restype = p
+    m.udp_reader_start.argtypes = [ctypes.c_char_p, ctypes.c_int, p, ctypes.c_int]
+    m.udp_reader_port.restype = ctypes.c_int
+    m.udp_reader_port.argtypes = [p]
+    m.udp_reader_stat.restype = u64
+    m.udp_reader_stat.argtypes = [p, ctypes.c_int]
+    m.udp_reader_stop.restype = None
+    m.udp_reader_stop.argtypes = [p]
 
 
 _IN_DTYPE = {
@@ -284,3 +292,85 @@ class NativeRing:
         if getattr(self, "_h", None) is not None and self._m is not None:
             self._m.ring_destroy(self._h)
             self._h = None
+
+
+class NativeUdpReader:
+    """Native UDP → SPSC-ring ingest thread (no GIL on the hot path).
+
+    A C++ thread drains datagrams straight into ``ring`` — the TPU-native
+    form of the reference's ``#[blocking]`` hardware-driver threads
+    (``seify/source.rs:53``) for network-attached radios. Whole-datagram
+    writes only (a packet that doesn't fit is dropped and counted), so
+    sample framing never tears mid-item. Falls back to a Python reader
+    thread when the native library is unavailable."""
+
+    def __init__(
+        self,
+        ring: NativeRing,
+        bind: str = "127.0.0.1",
+        port: int = 0,
+        rcvbuf: int = 1 << 22,
+    ):
+        self._m = lib()
+        self._ring = ring
+        self._thread = None
+        if self._m is not None and ring._h is not None:
+            self._h = self._m.udp_reader_start(
+                bind.encode(), int(port), ring._h, int(rcvbuf)
+            )
+            if not self._h:
+                raise OSError(f"udp_reader_start could not bind {bind}:{port}")
+            self.port = int(self._m.udp_reader_port(self._h))
+        else:
+            import socket as _socket
+
+            self._h = None
+            self._sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+            self._sock.bind((bind, port))
+            self._sock.settimeout(0.1)
+            self.port = self._sock.getsockname()[1]
+            self._stats = [0, 0, 0]
+            self._stop_ev = threading.Event()
+            self._thread = threading.Thread(target=self._py_reader, daemon=True)
+            self._thread.start()
+
+    def _py_reader(self) -> None:
+        import socket as _socket
+
+        while not self._stop_ev.is_set():
+            try:
+                data, _ = self._sock.recvfrom(1 << 16)
+            except _socket.timeout:
+                continue
+            except OSError:
+                break
+            self._stats[0] += 1
+            if self._ring.writable() < len(data):
+                self._stats[2] += 1
+                continue
+            self._ring.write(data)
+            self._stats[1] += len(data)
+
+    def stats(self):
+        """``(datagrams_received, bytes_ringed, datagrams_dropped)``."""
+        if self._h is not None:
+            return tuple(
+                int(self._m.udp_reader_stat(self._h, i)) for i in range(3)
+            )
+        return tuple(self._stats)
+
+    def stop(self) -> None:
+        if self._h is not None:
+            self._m.udp_reader_stop(self._h)
+            self._h = None
+        elif self._thread is not None:
+            self._stop_ev.set()
+            self._thread.join(timeout=5)
+            self._sock.close()
+            self._thread = None
+
+    def __del__(self):
+        try:
+            self.stop()
+        except Exception:
+            pass

@@ -319,3 +319,111 @@ void viterbi_r12(int k, uint32_t g0, uint32_t g1, const uint8_t* coded,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// UDP ingest: a native reader thread drains a socket straight into the
+// SPSC ring without touching the GIL — the TPU-native form of the
+// reference's #[blocking] hardware-driver threads (seify/source.rs:53)
+// for network-attached radios (rtl_tcp-style streamers, UDP IQ taps).
+// Whole datagrams only: a packet that doesn't fit is counted as dropped
+// (UDP loss semantics) so sample framing never tears mid-item.
+// ---------------------------------------------------------------------------
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <poll.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct UdpReader {
+    int fd = -1;
+    Ring* ring = nullptr;
+    std::thread th;
+    std::atomic<bool> stop{false};
+    std::atomic<uint64_t> packets{0};
+    std::atomic<uint64_t> bytes{0};
+    std::atomic<uint64_t> dropped{0};
+};
+
+}  // namespace
+
+extern "C" {
+
+void* udp_reader_start(const char* bind_ip, int port, void* ring,
+                       int rcvbuf_bytes) {
+    int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
+    if (fd < 0) return nullptr;
+    int one = 1;
+    ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    if (rcvbuf_bytes > 0) {
+        ::setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf_bytes,
+                     sizeof(rcvbuf_bytes));
+    }
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons(static_cast<uint16_t>(port));
+    addr.sin_addr.s_addr =
+        (bind_ip && *bind_ip) ? ::inet_addr(bind_ip) : INADDR_ANY;
+    if (::bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) < 0) {
+        ::close(fd);
+        return nullptr;
+    }
+    UdpReader* u = new UdpReader();
+    u->fd = fd;
+    u->ring = static_cast<Ring*>(ring);
+    u->th = std::thread([u] {
+        std::vector<uint8_t> buf(1 << 16);
+        pollfd p{u->fd, POLLIN, 0};
+        while (!u->stop.load(std::memory_order_relaxed)) {
+            int pr = ::poll(&p, 1, 100);  // 100 ms: cheap stop latency
+            if (pr <= 0) continue;
+            ssize_t n = ::recv(u->fd, buf.data(), buf.size(), 0);
+            if (n <= 0) continue;
+            u->packets.fetch_add(1, std::memory_order_relaxed);
+            uint64_t need = static_cast<uint64_t>(n);
+            if (ring_writable(u->ring) < need) {
+                u->dropped.fetch_add(1, std::memory_order_relaxed);
+                continue;  // drop the whole datagram, keep framing
+            }
+            ring_write(u->ring, buf.data(), need);
+            u->bytes.fetch_add(need, std::memory_order_relaxed);
+        }
+    });
+    return u;
+}
+
+int udp_reader_port(void* up) {
+    UdpReader* u = static_cast<UdpReader*>(up);
+    sockaddr_in addr{};
+    socklen_t len = sizeof(addr);
+    if (::getsockname(u->fd, reinterpret_cast<sockaddr*>(&addr), &len) < 0)
+        return -1;
+    return static_cast<int>(ntohs(addr.sin_port));
+}
+
+// which: 0 = packets received, 1 = bytes ringed, 2 = datagrams dropped
+uint64_t udp_reader_stat(void* up, int which) {
+    UdpReader* u = static_cast<UdpReader*>(up);
+    switch (which) {
+        case 0: return u->packets.load();
+        case 1: return u->bytes.load();
+        case 2: return u->dropped.load();
+    }
+    return 0;
+}
+
+void udp_reader_stop(void* up) {
+    UdpReader* u = static_cast<UdpReader*>(up);
+    if (!u) return;
+    u->stop.store(true);
+    if (u->th.joinable()) u->th.join();
+    ::close(u->fd);
+    delete u;
+}
+
+}  // extern "C"
