@@ -174,6 +174,7 @@ class SeifySource(Block):
         path: Optional[str] = None,
         host: Optional[str] = None,
         port: Optional[int] = None,
+        fmt: Optional[str] = None,
         tone_offset: float = 100e3,
         noise_power: float = 1e-4,
         name: Optional[str] = None,
@@ -195,6 +196,7 @@ class SeifySource(Block):
         self._rng = np.random.default_rng(0)
         self._file = None
         self._rtl: Optional[RtlTcpClient] = None
+        self._udp = None
         if driver == "file":
             if not path:
                 raise ValueError("driver=file needs path=...")
@@ -207,11 +209,25 @@ class SeifySource(Block):
             self._rtl.set_sample_rate(self.sample_rate)
             self._rtl.set_freq(self.frequency)
             self._rtl.set_gain(self.gain)
+        elif driver == "udp":
+            # network-attached streamer (UDP IQ tap): the native C++
+            # reader thread drains datagrams into the SPSC ring GIL-free
+            # (blocks/net.UdpIqSource machinery); fmt= selects the wire
+            # format (cf32/cs16/cs8/cu8). Control ports (freq/gain) are
+            # accepted but have no wire back-channel — a UDP tap is
+            # receive-only.
+            from futuresdr_tpu.blocks.net import UdpIqSource
+
+            self._udp = UdpIqSource(
+                bind=host or "127.0.0.1",
+                port=int(port or 0),
+                fmt=fmt or "cf32",
+            )
         elif driver != "dummy":
             raise ValueError(
                 f"driver {driver!r} not available on this platform — use "
-                "'dummy', 'file', 'rtl_tcp', or network ingest blocks "
-                "(Tcp/Udp/Zmq)"
+                "'dummy', 'file', 'rtl_tcp', 'udp', or network ingest "
+                "blocks (Tcp/Udp/Zmq)"
             )
 
     # ---- message handlers (seify/source.rs:126-210 ports) --------------
@@ -250,7 +266,14 @@ class SeifySource(Block):
                     self._rate(Pmt.from_py(v))
         return Pmt.ok()
 
+    @property
+    def bound_port(self) -> Optional[int]:
+        """The UDP driver's bound port (None for other drivers)."""
+        return self._udp.bound_port if self._udp is not None else None
+
     def host_produce(self, n: int, port: int = 0):
+        if self._udp is not None:
+            return self._udp.host_produce(n, port)
         if self._rtl is not None:
             return self._rtl.read(n)
         if self._file is not None:
@@ -275,9 +298,11 @@ class SeifySource(Block):
     def on_finish(self) -> None:
         if self._rtl is not None:
             self._rtl.close()
+        if self._udp is not None:
+            self._udp.on_finish()
 
     def host_state(self):
-        if self._rtl is not None:
+        if self._rtl is not None or self._udp is not None:
             return None  # live hardware: resume rejoins the live stream
         st = {"phase": self._phase, "rng": self._rng.bit_generator.state}
         if self._file is not None:
@@ -362,6 +387,7 @@ class Builder:
             path=self._cfg.get("path"),
             host=self._cfg.get("host"),
             port=int(self._cfg["port"]) if "port" in self._cfg else None,
+            fmt=self._cfg.get("fmt"),
         )
 
     def build_sink(self) -> SeifySink:

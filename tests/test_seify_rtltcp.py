@@ -139,3 +139,35 @@ def test_rtl_tcp_source_flowgraph_and_retune():
     expect = ((raw[0::2] - 127.5) + 1j * (raw[1::2] - 127.5)) / 127.5
     np.testing.assert_allclose(y, expect.astype(np.complex64), atol=1e-6)
     srv.join()
+
+
+def test_seify_udp_driver_streams_iq():
+    """driver=udp: the native UDP ingest behind the seify surface —
+    'Builder(\"driver=udp,...\")' streams converted IQ from a network tap."""
+    import socket
+    import time
+
+    from futuresdr_tpu.blocks.seify import Builder
+
+    src = Builder("driver=udp,host=127.0.0.1,port=0,fmt=cs16").build_source()
+    port = src.bound_port
+    assert port and port > 0
+    n = 256
+    iq = (np.arange(2 * n, dtype=np.int16) * 7).astype(np.int16)
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    tx.sendto(iq.tobytes(), ("127.0.0.1", port))
+    deadline = time.monotonic() + 5.0
+    got = np.zeros(0, np.complex64)
+    while len(got) < n and time.monotonic() < deadline:
+        out = src.host_produce(n - len(got))
+        if out is not None and len(out):
+            got = np.concatenate([got, out])
+        else:
+            time.sleep(0.01)
+    want = (
+        iq[0::2].astype(np.float32) + 1j * iq[1::2].astype(np.float32)
+    ) / 32768.0
+    np.testing.assert_allclose(got, want.astype(np.complex64), atol=1e-7)
+    # live drivers opt out of checkpoint state (resume rejoins the stream)
+    assert src.host_state() is None
+    src.on_finish()
