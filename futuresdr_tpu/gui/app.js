@@ -45,6 +45,11 @@ async function pollStats() {
     const gs = s.samples_per_s ? (s.samples_per_s / 1e9).toFixed(3) : null;
     // per-block device-cost attribution (handle.profile_blocks result)
     let costs = "";
+    if (s.block_cost_pct && FG &&
+        JSON.stringify(s.block_cost_pct) !== JSON.stringify(BLOCK_COSTS)) {
+      BLOCK_COSTS = s.block_cost_pct;
+      drawTable(FG);  // refresh the dev% column
+    }
     if (s.block_cost_pct) {
       costs = " · " + Object.entries(s.block_cost_pct)
         .filter(([k, _]) => k !== "(unattributed)")
@@ -133,16 +138,21 @@ function drawCanvas(fg) {
 }
 
 // ------------------------------------------------------ FlowgraphTable ----
+let BLOCK_COSTS = null;  // handle.profile_blocks() result, via /stats/
+
 function drawTable(fg) {
   const tb = $("blocktable").querySelector("tbody");
   tb.innerHTML = "";
   fg.blocks.forEach((b, i) => {
     const tr = document.createElement("tr");
+    const cost = BLOCK_COSTS && BLOCK_COSTS[b.instance_name] !== undefined
+      ? BLOCK_COSTS[b.instance_name].toFixed(1) : "";
     tr.innerHTML = `<td>${i}</td><td>${b.instance_name}</td>` +
       `<td>${b.type_name}</td>` +
       `<td>${b.stream_inputs.join(", ")}</td>` +
       `<td>${b.stream_outputs.join(", ")}</td>` +
-      `<td>${(b.message_inputs || []).join(", ")}</td>`;
+      `<td>${(b.message_inputs || []).join(", ")}</td>` +
+      `<td class="dim">${cost}</td>`;
     tr.onclick = () => selectBlock(i);
     tb.appendChild(tr);
   });

@@ -623,13 +623,9 @@ class WlanReceiver:
         # of small captures). Mismatched frames fall back per-row.
         self._spec: Optional[Tuple[str, int]] = None
 
-    def process(self, iq: np.ndarray) -> List[RxFrame]:
-        """Feed IQ; returns decoded frames.
-
-        ``iq`` may be complex64 OR interleaved-int16 I/Q (sc16 radio
-        format, length 2N): the int16 path uploads raw samples and
-        converts on device — 4x fewer H2D bytes, which matters on
-        PCIe/tunnel-limited hosts."""
+    @staticmethod
+    def _prepare(iq):
+        """Upload/validate IQ → (device CArray, n_real, bucket)."""
         if isinstance(iq, CArray):
             # device-resident ingest (streaming pipelines keep IQ on
             # device; dev tunnels move ~10-20 MB/s, so re-uploading would
@@ -642,15 +638,63 @@ class WlanReceiver:
                     "device IQ must come from prepare_device_iq() "
                     f"(got length {int(iq.shape[-1])})"
                 )
-            n_real = bucket
-            x = iq
-        else:
-            x, n_real, bucket = prepare_device_iq(iq)
+            return iq, bucket, bucket
+        return prepare_device_iq(iq)
+
+    def process(self, iq: np.ndarray) -> List[RxFrame]:
+        """Feed IQ; returns decoded frames.
+
+        ``iq`` may be complex64 OR interleaved-int16 I/Q (sc16 radio
+        format, length 2N): the int16 path uploads raw samples and
+        converts on device — 4x fewer H2D bytes, which matters on
+        PCIe/tunnel-limited hosts."""
+        x, n_real, bucket = self._prepare(iq)
         if self.soft and self._spec is not None:
             out = self._process_speculative(x, n_real, bucket)
             if out is not None:
                 self.frames.extend(out)
                 return out
+        out = self._process_classic(x, n_real, bucket)
+        self.frames.extend(out)
+        return out
+
+    def process_stream(self, chunks):
+        """Pipelined decode of an iterable of IQ chunks (the streaming
+        receiver loop). Yields one ``List[RxFrame]`` per chunk, in order.
+
+        Once the speculative gate is warm, chunk ``i+1``'s whole device
+        chain dispatches BEFORE chunk ``i``'s combined fetch — the fetch
+        round-trip (~28-40 ms through tunneled hosts) overlaps the next
+        chunk's compute, so steady state costs ``max(compute, fetch)``
+        instead of their sum. Chunks that trip the gate (traffic change,
+        leader overflow) re-decode classically without breaking order."""
+        pending = None  # (dispatched-device-refs, x, n_real, bucket)
+        for iq in chunks:
+            x, n_real, bucket = self._prepare(iq)
+            if self.soft and self._spec is not None:
+                d = self._spec_dispatch(x, n_real)
+                if pending is not None:
+                    yield self._stream_finish(pending)
+                pending = (d, x, n_real, bucket)
+            else:
+                if pending is not None:
+                    yield self._stream_finish(pending)
+                    pending = None
+                out = self._process_classic(x, n_real, bucket)
+                self.frames.extend(out)
+                yield out
+        if pending is not None:
+            yield self._stream_finish(pending)
+
+    def _stream_finish(self, pending) -> List[RxFrame]:
+        d, x, n_real, bucket = pending
+        out = self._spec_collect(d)
+        if out is None:  # leader overflow: classic adaptive re-run
+            out = self._process_classic(x, n_real, bucket)
+        self.frames.extend(out)
+        return out
+
+    def _process_classic(self, x, n_real, bucket) -> List[RxFrame]:
         # phase A: two device programs (detect, then SIGNAL — fusing them
         # provoked a 13x-slower XLA schedule, see _detect_program), ONE
         # combined small D2H sync for the whole chunk
@@ -706,7 +750,6 @@ class WlanReceiver:
         results = self._phase_b(x, cands, params, f_shorts, snr_list)
         out.extend(f for f in results if f is not None)
         self._learn(params)
-        self.frames.extend(out)
         return out
 
     def _phase_b(
@@ -848,8 +891,11 @@ class WlanReceiver:
         bucket) are re-decoded by :meth:`_phase_b`; leader overflow
         falls back to the classic adaptive path (returns ``None``).
         """
-        import zlib
+        return self._spec_collect(self._spec_dispatch(x, n_real))
 
+    def _spec_dispatch(self, x, n_real):
+        """Dispatch the full speculative device chain (no host sync) —
+        ``process_stream`` overlaps this with the previous chunk's fetch."""
         name, nf = self._spec
         mcs = C.MCS[name]
         rate_bits = next(
@@ -867,6 +913,15 @@ class WlanReceiver:
             x, starts_d, foff_d
         )
         by_d = _device_decode_tail(name, nf)(eq_b[:, 1 : 1 + nf], nbits_d)
+        dev = (starts_d, valid_d, foff_d, dec_d, snr_d, nlead_d, ok_d, by_d)
+        return dict(x=x, name=name, nf=nf, kmax=kmax, dev=dev)
+
+    def _spec_collect(self, d) -> Optional[List[RxFrame]]:
+        """ONE combined fetch + frame building for a dispatched chain;
+        ``None`` on leader overflow (caller re-runs the classic path)."""
+        import zlib
+
+        x, name, nf, kmax = d["x"], d["name"], d["nf"], d["kmax"]
         (
             starts_a,
             valid_a,
@@ -876,9 +931,7 @@ class WlanReceiver:
             nlead_a,
             ok_a,
             by,
-        ) = jax.device_get(
-            (starts_d, valid_d, foff_d, dec_d, snr_d, nlead_d, ok_d, by_d)
-        )
+        ) = jax.device_get(d["dev"])
         if int(nlead_a) > kmax:
             return None  # leader overflow — classic path re-runs adaptively
         rate_f, parity, length_f = unpack_signal_fields(dec_a)

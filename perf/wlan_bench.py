@@ -101,6 +101,15 @@ def main() -> None:
         "at ~10-20 MB/s otherwise bounds the measurement)",
     )
     ap.add_argument(
+        "--stream",
+        type=int,
+        default=0,
+        metavar="N",
+        help="decode N copies of the capture through process_stream "
+        "(pipelined: chunk i+1's dispatch overlaps chunk i's fetch) and "
+        "report steady-state MS/s",
+    )
+    ap.add_argument(
         "--sharded",
         action="store_true",
         help="run the FULL sharded receiver (time-sharded sync front + "
@@ -142,6 +151,22 @@ def main() -> None:
     rx = WlanReceiver(max_frames_per_chunk=kmax)
     rx.process(feed)
     rx.process(feed)  # compile the speculative programs too
+
+    if args.stream:
+        n_chunks = args.stream
+        t0 = time.perf_counter()
+        ok = 0
+        for out in rx.process_stream(feed for _ in range(n_chunks)):
+            ok += sum(1 for f in out if f.crc_ok)
+        dt = time.perf_counter() - t0
+        msps = len(sig) * n_chunks / dt / 1e6
+        print("chunks,frames_ok,samples,elapsed_s,msps,x_realtime_20msps")
+        print(
+            f"{n_chunks},{ok},{len(sig) * n_chunks},{dt:.3f},"
+            f"{msps:.2f},{msps/20:.2f}"
+        )
+        assert ok == args.frames * n_chunks
+        return
 
     print("rep,frames,ok,samples,elapsed_s,msps,x_realtime_20msps")
     best = 0.0

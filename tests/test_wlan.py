@@ -561,3 +561,45 @@ def test_speculative_path_matches_classic():
     assert len(third) == 10 and all(f.crc_ok for f in third)
     assert all(f.mcs == "bpsk12" for f in third)
     assert rx._spec is None or rx._spec[0] == "bpsk12"
+
+
+def test_process_stream_pipelined_matches_process():
+    """process_stream pipelines chunk i+1's dispatch past chunk i's fetch
+    but must yield exactly what per-chunk process() produces, in order —
+    including a mid-stream traffic change that trips the gate."""
+    from futuresdr_tpu.models.wlan import (
+        WlanReceiver,
+        encode_frame,
+        make_mac_frame,
+    )
+
+    rng = np.random.default_rng(4)
+
+    def capture(mcs, n=8):
+        parts = []
+        for i in range(n):
+            psdu = make_mac_frame(
+                rng.integers(0, 256, 64, dtype=np.uint8).tobytes(), seq=i
+            )
+            parts.append(encode_frame(psdu, mcs, scrambler_seed=1 + i))
+            parts.append(np.zeros(1500, np.complex64))
+        return np.concatenate(parts).astype(np.complex64)
+
+    sig_q = capture("qpsk12")
+    sig_b = capture("bpsk12")
+    chunks = [sig_q, sig_q, sig_q, sig_b, sig_b]
+
+    want = []
+    ref = WlanReceiver(max_frames_per_chunk=16)
+    for c in chunks:
+        want.append(
+            [(f.start, f.mcs, f.crc_ok, f.psdu) for f in ref.process(c)]
+        )
+
+    rx = WlanReceiver(max_frames_per_chunk=16)
+    got = [
+        [(f.start, f.mcs, f.crc_ok, f.psdu) for f in out]
+        for out in rx.process_stream(chunks)
+    ]
+    assert got == want
+    assert len(rx.frames) == 5 * 8
