@@ -134,29 +134,43 @@ def _decode_via_ffmpeg(path: Path):
             "(apt install ffmpeg) — the documented fallback for the "
             "reference's rodio-decoded formats"
         )
-    rate, channels = 48000, 1
+    rate, channels = None, None
     if ffprobe is not None:
-        probe = subprocess.run(
-            [
-                ffprobe, "-v", "error", "-select_streams", "a:0",
-                "-show_entries", "stream=sample_rate,channels",
-                "-of", "json", str(path),
-            ],
-            capture_output=True,
-            check=True,
-        )
-        st = json.loads(probe.stdout)["streams"][0]
-        rate = int(st.get("sample_rate", rate))
-        channels = int(st.get("channels", channels))
-    out = subprocess.run(
-        [
-            ffmpeg, "-v", "error", "-i", str(path),
-            "-f", "f32le", "-acodec", "pcm_f32le", "-",
-        ],
-        capture_output=True,
-        check=True,
-    )
+        try:
+            probe = subprocess.run(
+                [
+                    ffprobe, "-v", "error", "-select_streams", "a:0",
+                    "-show_entries", "stream=sample_rate,channels",
+                    "-of", "json", str(path),
+                ],
+                capture_output=True,
+                check=True,
+            )
+            st = json.loads(probe.stdout)["streams"][0]
+            rate = int(st["sample_rate"])
+            channels = int(st["channels"])
+        except (subprocess.CalledProcessError, KeyError, IndexError,
+                ValueError, json.JSONDecodeError):
+            rate = channels = None  # fall through to the forced-rate path
+    cmd = [ffmpeg, "-v", "error", "-i", str(path), "-f", "f32le",
+           "-acodec", "pcm_f32le"]
+    if rate is None:
+        # no trustworthy stream metadata: MAKE the assumed rate/layout
+        # true by resampling in the decoder, rather than mislabeling the
+        # stream (a silently wrong sample_rate pitch-shifts everything
+        # downstream)
+        rate, channels = 48000, 1
+        cmd += ["-ar", str(rate), "-ac", str(channels)]
+    try:
+        out = subprocess.run(cmd + ["-"], capture_output=True, check=True)
+    except subprocess.CalledProcessError as e:
+        raise RuntimeError(
+            f"ffmpeg could not decode {path}: "
+            f"{e.stderr.decode(errors='replace').strip()[:200]}"
+        ) from e
     data = np.frombuffer(out.stdout, np.float32)
+    if data.size == 0:
+        raise RuntimeError(f"{path} contains no decodable audio stream")
     return data, rate, channels
 
 

@@ -220,7 +220,7 @@ class IQFileSource(Block):
     to the planar float pairs the device wants without holding the GIL in
     the executor loop."""
 
-    _ITEM_BYTES = {"cs8": 2, "cs16": 4, "cf32": 8}
+    from futuresdr_tpu.native import IQ_ITEM_BYTES as _ITEM_BYTES  # + cu8
 
     def __init__(
         self,
@@ -304,12 +304,10 @@ class IQFileSource(Block):
         raw = self._ring.read(min(want, avail))
         if not raw:
             return None if self._eof.is_set() else _np.zeros(0, _np.complex64)
-        scalar = {"cs8": _np.int8, "cs16": _np.int16, "cf32": _np.float32}[
-            self.fmt
-        ]
-        re, im = self._convert(_np.frombuffer(raw, scalar), self.fmt)
+        from futuresdr_tpu.native import iq_bytes_to_complex64
+
         self._consumed += len(raw)
-        return (re + 1j * im).astype(_np.complex64)
+        return iq_bytes_to_complex64(raw, self.fmt)
 
     def host_state(self):
         return {"consumed": self._consumed}

@@ -215,12 +215,12 @@ class UdpIqSource(Block):
     feeding a vmcircbuffer ring (``seify/source.rs:53``,
     ``buffer/circular.rs``).
 
-    Datagrams that arrive while the ring is full are dropped WHOLE (UDP
-    loss semantics — framing never tears mid-sample); ``stats()``
-    reports ``(datagrams, bytes, dropped)``.
+    Datagrams that arrive while the ring is full — or whose length is
+    not a multiple of the wire item size (malformed for the format;
+    admitting one would shift every later sample's I/Q planes) — are
+    dropped WHOLE, so ring content stays item-aligned at all times;
+    ``stats()`` reports ``(datagrams, bytes, dropped)``.
     """
-
-    _ITEM_BYTES = {"cs8": 2, "cu8": 2, "cs16": 4, "cf32": 8}
 
     def __init__(
         self,
@@ -231,23 +231,26 @@ class UdpIqSource(Block):
         name: Optional[str] = None,
     ):
         super().__init__(name)
-        if fmt not in self._ITEM_BYTES:
+        from futuresdr_tpu.native import (
+            IQ_ITEM_BYTES,
+            NativeRing,
+            NativeUdpReader,
+            iq_bytes_to_complex64,
+        )
+
+        if fmt not in IQ_ITEM_BYTES:
             raise ValueError(f"unknown IQ format {fmt!r}")
         self.fmt = fmt
         self.is_blocking = True
         self.stream_outputs = [PortSpec("out", np.complex64)]
         self.rate_out = (1,)
-        from futuresdr_tpu.native import (
-            NativeRing,
-            NativeUdpReader,
-            convert_iq,
-        )
-
-        self._convert = convert_iq
+        self._item = IQ_ITEM_BYTES[fmt]
+        self._to_c64 = iq_bytes_to_complex64
         self._ring = NativeRing(ring_bytes)
-        self._reader = NativeUdpReader(self._ring, bind, port)
+        self._reader = NativeUdpReader(
+            self._ring, bind, port, item_bytes=self._item
+        )
         self._closed = False
-        self._pending = b""  # partial item straddling datagrams
 
     @property
     def bound_port(self) -> int:
@@ -267,27 +270,19 @@ class UdpIqSource(Block):
     def host_produce(self, n: int, port: int = 0):
         if self._closed:
             return None
-        item = self._ITEM_BYTES[self.fmt]
-        want = n * item
-        avail = len(self._pending) + self._ring.readable()
-        if avail < want:
+        want = n * self._item
+        if want > self._ring.capacity:
+            raise ValueError(
+                f"UdpIqSource chunk needs {want} B but ring_bytes is only "
+                f"{self._ring.capacity} B — the source would stall forever "
+                f"dropping datagrams; construct with ring_bytes >= the "
+                f"compiled chunk size ({n} samples x {self._item} B)"
+            )
+        if self._ring.readable() < want:
             return np.zeros((0,), np.complex64)  # live source: wait
-        raw = self._pending + self._ring.read(want - len(self._pending))
-        self._pending = b""
-        usable = len(raw) - len(raw) % item
-        if usable < len(raw):
-            self._pending = raw[usable:]
-            raw = raw[:usable]
-        import numpy as _np
-
-        scalar = {
-            "cs8": _np.int8,
-            "cu8": _np.uint8,
-            "cs16": _np.int16,
-            "cf32": _np.float32,
-        }[self.fmt]
-        re, im = self._convert(_np.frombuffer(raw, scalar), self.fmt)
-        return (re + 1j * im).astype(_np.complex64)
+        # the producer only admits item-aligned datagrams, so this read
+        # is always an exact multiple of the wire item size
+        return self._to_c64(self._ring.read(want), self.fmt)
 
     def on_finish(self) -> None:
         self._reader.stop()

@@ -124,7 +124,13 @@ def _declare(m: ctypes.CDLL) -> None:
         u8p,
     ]
     m.udp_reader_start.restype = p
-    m.udp_reader_start.argtypes = [ctypes.c_char_p, ctypes.c_int, p, ctypes.c_int]
+    m.udp_reader_start.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        p,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
     m.udp_reader_port.restype = ctypes.c_int
     m.udp_reader_port.argtypes = [p]
     m.udp_reader_stat.restype = u64
@@ -139,6 +145,8 @@ _IN_DTYPE = {
     "cs16": np.int16,
     "cf32": np.float32,
 }
+# wire bytes per complex sample, shared by every IQ ingest block
+IQ_ITEM_BYTES = {"cs8": 2, "cu8": 2, "cs16": 4, "cf32": 8}
 _SCALE = {
     "cs8": 1.0 / 128.0,
     "cu8": 1.0 / 127.5,
@@ -177,6 +185,14 @@ def convert_iq(raw: np.ndarray, fmt: str):
         re[:] = (raw[0::2].astype(np.float32) - off) * k
         im[:] = (raw[1::2].astype(np.float32) - off) * k
     return re, im
+
+
+def iq_bytes_to_complex64(raw: bytes, fmt: str) -> np.ndarray:
+    """Interleaved wire bytes of ``fmt`` → complex64 samples — the one
+    shared tail of every IQ ingest block (file, UDP, rtl_tcp), so wire
+    formats and scaling live in exactly one place."""
+    re, im = convert_iq(np.frombuffer(raw, _IN_DTYPE[fmt]), fmt)
+    return (re + 1j * im).astype(np.complex64)
 
 
 def viterbi_r12_soft(
@@ -310,13 +326,15 @@ class NativeUdpReader:
         bind: str = "127.0.0.1",
         port: int = 0,
         rcvbuf: int = 1 << 22,
+        item_bytes: int = 1,
     ):
         self._m = lib()
         self._ring = ring
         self._thread = None
+        self._item = max(1, int(item_bytes))
         if self._m is not None and ring._h is not None:
             self._h = self._m.udp_reader_start(
-                bind.encode(), int(port), ring._h, int(rcvbuf)
+                bind.encode(), int(port), ring._h, int(rcvbuf), self._item
             )
             if not self._h:
                 raise OSError(f"udp_reader_start could not bind {bind}:{port}")
@@ -345,8 +363,8 @@ class NativeUdpReader:
             except OSError:
                 break
             self._stats[0] += 1
-            if self._ring.writable() < len(data):
-                self._stats[2] += 1
+            if len(data) % self._item or self._ring.writable() < len(data):
+                self._stats[2] += 1  # misaligned or ring full: drop whole
                 continue
             self._ring.write(data)
             self._stats[1] += len(data)

@@ -563,8 +563,18 @@ class Executor:
                     # probe's step at ~1 pull round-trip (~27 ms),
                     # amortized over a whole probe window of steps — the
                     # correct backpressure (loop resumes at device pace).
-                    # A dead backend raises out of the fetch.
-                    np.asarray(old)
+                    # The fetch runs on a daemon worker with a stop-aware
+                    # join so handle.stop() can still break the wait on a
+                    # wedged backend that will never complete anything
+                    # (is_ready alone is no substitute: its notifications
+                    # lag completion by 0.2-1 s through the tunnel, which
+                    # is what throttled small-chunk graphs before).
+                    t = threading.Thread(
+                        target=lambda: np.asarray(old), daemon=True
+                    )
+                    t.start()
+                    while t.is_alive() and not self._stop.is_set():
+                        t.join(0.05)
 
     def _deliver_full(self, flight, lat_left: Dict[str, int]) -> None:
         """Deliver sink data AND route aux to block hooks (every path)."""

@@ -342,6 +342,7 @@ namespace {
 
 struct UdpReader {
     int fd = -1;
+    int item_bytes = 1;
     Ring* ring = nullptr;
     std::thread th;
     std::atomic<bool> stop{false};
@@ -355,7 +356,7 @@ struct UdpReader {
 extern "C" {
 
 void* udp_reader_start(const char* bind_ip, int port, void* ring,
-                       int rcvbuf_bytes) {
+                       int rcvbuf_bytes, int item_bytes) {
     int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
     if (fd < 0) return nullptr;
     int one = 1;
@@ -375,6 +376,7 @@ void* udp_reader_start(const char* bind_ip, int port, void* ring,
     }
     UdpReader* u = new UdpReader();
     u->fd = fd;
+    u->item_bytes = item_bytes > 0 ? item_bytes : 1;
     u->ring = static_cast<Ring*>(ring);
     u->th = std::thread([u] {
         std::vector<uint8_t> buf(1 << 16);
@@ -386,7 +388,12 @@ void* udp_reader_start(const char* bind_ip, int port, void* ring,
             if (n <= 0) continue;
             u->packets.fetch_add(1, std::memory_order_relaxed);
             uint64_t need = static_cast<uint64_t>(n);
-            if (ring_writable(u->ring) < need) {
+            // item-misaligned datagrams are malformed for this wire
+            // format: admitting one would shift every later sample's
+            // I/Q planes (drops are whole datagrams, so ring content
+            // must stay item-aligned at all times)
+            if (need % static_cast<uint64_t>(u->item_bytes) != 0 ||
+                ring_writable(u->ring) < need) {
                 u->dropped.fetch_add(1, std::memory_order_relaxed);
                 continue;  // drop the whole datagram, keep framing
             }

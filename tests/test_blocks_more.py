@@ -292,3 +292,42 @@ def test_udp_reader_python_fallback(monkeypatch):
     assert ring.read(4) == b"\x01\x02\x03\x04"
     assert rd.stats()[0] == 1
     rd.stop()
+
+
+def test_udp_iq_source_rejects_oversized_chunk():
+    import pytest
+    from futuresdr_tpu.blocks import UdpIqSource
+
+    src = UdpIqSource(fmt="cf32", ring_bytes=4096)
+    with pytest.raises(ValueError, match="ring_bytes"):
+        src.host_produce(4096)  # 32 KiB of cf32 > 4 KiB ring
+    src.on_finish()
+
+
+def test_udp_iq_source_drops_misaligned_datagrams():
+    """A datagram whose length is not a wire-item multiple is malformed
+    and must be dropped whole — otherwise every later sample's I/Q
+    planes shift."""
+    import socket
+    import time
+
+    from futuresdr_tpu.blocks import UdpIqSource
+
+    src = UdpIqSource(fmt="cf32", ring_bytes=1 << 16)
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    tx.sendto(b"\x00" * 996, ("127.0.0.1", src.bound_port))  # 124.5 items
+    good = np.arange(2 * 8, dtype=np.float32).tobytes()  # 8 samples
+    tx.sendto(good, ("127.0.0.1", src.bound_port))
+    deadline = time.monotonic() + 5.0
+    out = np.zeros(0, np.complex64)
+    while len(out) < 8 and time.monotonic() < deadline:
+        got = src.host_produce(8)
+        if got is not None and len(got):
+            out = got
+        else:
+            time.sleep(0.01)
+    want = np.arange(16, dtype=np.float32)
+    np.testing.assert_array_equal(out.view(np.float32), want)
+    d, b, drop = src.stats()
+    assert d == 2 and drop == 1 and b == len(good)
+    src.on_finish()
