@@ -383,6 +383,25 @@ class AdsbReceiver:
         self.n_crc_fail = 0
 
     def process(self, iq: np.ndarray) -> List[AdsbFrame]:
+        return self._collect(self._detect_dispatch(iq))
+
+    def process_stream(self, chunks):
+        """Pipelined decode of an iterable of IQ chunks: chunk ``i+1``'s
+        detection program dispatches before chunk ``i``'s candidate
+        fetch, overlapping the fetch round-trip with the next chunk's
+        device compute (the WLAN ``process_stream`` pattern). Yields one
+        frame list per chunk, in order."""
+        pending = None
+        for iq in chunks:
+            d = self._detect_dispatch(iq)
+            if pending is not None:
+                yield self._collect(pending)
+            pending = d
+        if pending is not None:
+            yield self._collect(pending)
+
+    def _detect_dispatch(self, iq):
+        """Dispatch metrics + candidate detection (no host sync)."""
         if isinstance(iq, cplx.CArray):
             # device-resident ingest (see prepare_device_iq): streaming
             # pipelines keep IQ on device; re-uploading each chunk costs
@@ -405,7 +424,11 @@ class AdsbReceiver:
         idx_d, vals_d, nfp_d, bit_d = _detect_fn(
             n, self.max_frames, self.threshold
         )(xc)
-        idx_a, vals_a, nfp_a = jax.device_get((idx_d, vals_d, nfp_d))
+        return dict(dev=(idx_d, vals_d, nfp_d), bit=bit_d, n=n)
+
+    def _collect(self, d) -> List[AdsbFrame]:
+        bit_d, n = d["bit"], d["n"]
+        idx_a, vals_a, nfp_a = jax.device_get(d["dev"])
         n_bit = n - SPS + 1  # bit metric length (taps = SPS wide)
 
         out: List[AdsbFrame] = []

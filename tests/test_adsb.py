@@ -164,3 +164,30 @@ def test_dense_capture_batch():
     frames = rx.process(sig)
     assert rx.n_crc_ok == 40
     assert sorted(f.icao for f in frames) == [0x400000 + i for i in range(40)]
+
+
+def test_adsb_process_stream_matches_process():
+    """Pipelined chunk stream yields exactly what per-chunk process()
+    produces, in order."""
+    rng = np.random.default_rng(5)
+    parts = []
+    for i in range(6):
+        parts.append(
+            synthesize_frame(
+                encode_df17(0xABC000 + i, callsign_me(f"TES{i}")), pad=3000
+            )
+        )
+    sig = np.concatenate(parts).astype(np.complex64)
+    sig += 0.01 * (
+        rng.standard_normal(len(sig)) + 1j * rng.standard_normal(len(sig))
+    ).astype(np.complex64)
+    chunks = [sig, sig, sig]
+
+    ref = AdsbReceiver()
+    want = [[(f.start, f.bits.tobytes()) for f in ref.process(c)] for c in chunks]
+    rx = AdsbReceiver()
+    got = [
+        [(f.start, f.bits.tobytes()) for f in out]
+        for out in rx.process_stream(chunks)
+    ]
+    assert got == want and all(len(w) == 6 for w in want)
