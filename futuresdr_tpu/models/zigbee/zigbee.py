@@ -270,6 +270,23 @@ class ZigbeeReceiver:
         self.frames: List[ZigbeeFrame] = []
 
     def process(self, iq: np.ndarray) -> List[ZigbeeFrame]:
+        return self._collect(self._dispatch(iq))
+
+    def process_stream(self, chunks):
+        """Pipelined decode of an iterable of IQ chunks: chunk ``i+1``'s
+        single device program dispatches before chunk ``i``'s fetch (the
+        WLAN/ADS-B ``process_stream`` pattern). Yields per-chunk frame
+        lists in order."""
+        pending = None
+        for iq in chunks:
+            d = self._dispatch(iq)
+            if pending is not None:
+                yield self._collect(pending)
+            pending = d
+        if pending is not None:
+            yield self._collect(pending)
+
+    def _dispatch(self, iq):
         if isinstance(iq, cplx.CArray):
             # device-resident ingest (WLAN prepare_device_iq pattern)
             xc = iq
@@ -285,10 +302,10 @@ class ZigbeeReceiver:
                 )
             xc = cplx.from_numpy(x)
             n = len(x)
-        starts_d, valid_d, syms_d = _rx_program(
-            n, self.max_frames, _MAX_FRAME_SYMS
-        )(xc)
-        starts, valid, syms = jax.device_get((starts_d, valid_d, syms_d))
+        return _rx_program(n, self.max_frames, _MAX_FRAME_SYMS)(xc)
+
+    def _collect(self, dev) -> List[ZigbeeFrame]:
+        starts, valid, syms = jax.device_get(dev)
         out: List[ZigbeeFrame] = []
         pos = 0
         for k in range(len(starts)):

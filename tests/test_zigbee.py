@@ -154,3 +154,32 @@ def test_device_resident_ingest():
     x = np.concatenate([sig, np.zeros(bucket - len(sig), np.complex64)])
     frames = ZigbeeReceiver().process(cplx.from_numpy(x))
     assert len(frames) == 1 and frames[0].payload == p and frames[0].crc_ok
+
+
+def test_zigbee_process_stream_matches_process():
+    from futuresdr_tpu.models.zigbee.zigbee import (
+        ZigbeeReceiver,
+        make_phy_frame,
+        modulate,
+    )
+
+    rng = np.random.default_rng(6)
+    parts = []
+    for i in range(5):
+        parts.append(
+            modulate(make_phy_frame(bytes([i]) * 12), pad=800)
+        )
+    sig = np.concatenate(parts).astype(np.complex64)
+    sig += 0.01 * (
+        rng.standard_normal(len(sig)) + 1j * rng.standard_normal(len(sig))
+    ).astype(np.complex64)
+    chunks = [sig, sig, sig]
+
+    ref = ZigbeeReceiver()
+    want = [[(f.start, f.payload) for f in ref.process(c)] for c in chunks]
+    rx = ZigbeeReceiver()
+    got = [
+        [(f.start, f.payload) for f in out]
+        for out in rx.process_stream(chunks)
+    ]
+    assert got == want and all(len(w) == 5 for w in want)
