@@ -240,9 +240,9 @@ class IQFileSource(Block):
         self.stream_outputs = [PortSpec("out", np.complex64)]
         self.rate_out = (1,)
         self.notifies = True  # the reader thread wakes the executor
-        from futuresdr_tpu.native import NativeRing, convert_iq
+        from futuresdr_tpu.native import NativeRing, iq_bytes_to_complex64
 
-        self._convert = convert_iq
+        self._to_c64 = iq_bytes_to_complex64
         self._ring_bytes = ring_bytes
         self._ring = NativeRing(ring_bytes)
         self._eof = threading.Event()
@@ -304,10 +304,8 @@ class IQFileSource(Block):
         raw = self._ring.read(min(want, avail))
         if not raw:
             return None if self._eof.is_set() else _np.zeros(0, _np.complex64)
-        from futuresdr_tpu.native import iq_bytes_to_complex64
-
         self._consumed += len(raw)
-        return iq_bytes_to_complex64(raw, self.fmt)
+        return self._to_c64(raw, self.fmt)
 
     def host_state(self):
         return {"consumed": self._consumed}

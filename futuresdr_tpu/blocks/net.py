@@ -271,11 +271,16 @@ class UdpIqSource(Block):
         if self._closed:
             return None
         want = n * self._item
-        if want > self._ring.capacity:
+        if want > self._ring.capacity // 2:
+            # needs headroom past the chunk itself: readable() only
+            # reaches `want` if datagrams keep fitting while the consumer
+            # drains, so a chunk near capacity stalls forever with the
+            # reader dropping every datagram (a 64 KiB datagram must
+            # always have room on top of a buffered chunk)
             raise ValueError(
                 f"UdpIqSource chunk needs {want} B but ring_bytes is only "
                 f"{self._ring.capacity} B — the source would stall forever "
-                f"dropping datagrams; construct with ring_bytes >= the "
+                f"dropping datagrams; construct with ring_bytes >= 2x the "
                 f"compiled chunk size ({n} samples x {self._item} B)"
             )
         if self._ring.readable() < want:

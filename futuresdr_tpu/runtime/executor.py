@@ -569,12 +569,23 @@ class Executor:
                     # (is_ready alone is no substitute: its notifications
                     # lag completion by 0.2-1 s through the tunnel, which
                     # is what throttled small-chunk graphs before).
-                    t = threading.Thread(
-                        target=lambda: np.asarray(old), daemon=True
-                    )
+                    err: List[BaseException] = []
+
+                    def _fetch():
+                        try:
+                            np.asarray(old)
+                        except BaseException as e:  # noqa: BLE001
+                            err.append(e)
+
+                    t = threading.Thread(target=_fetch, daemon=True)
                     t.start()
                     while t.is_alive() and not self._stop.is_set():
                         t.join(0.05)
+                    if err:
+                        # a dead backend must surface through run_loop →
+                        # self.error → handle.join(), not vanish inside
+                        # the worker thread
+                        raise err[0]
 
     def _deliver_full(self, flight, lat_left: Dict[str, int]) -> None:
         """Deliver sink data AND route aux to block hooks (every path)."""
