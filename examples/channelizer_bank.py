@@ -23,6 +23,8 @@ import jax  # noqa: E402
 from futuresdr_tpu.models.pfb_fm_bank import (  # noqa: E402
     BankConfig,
     make_bank_step,
+    make_bank_step_fused,
+    make_sharded_bank_step_fused,
 )
 from futuresdr_tpu.ops import cplx  # noqa: E402
 
@@ -57,6 +59,14 @@ def main() -> None:
     ap.add_argument("--channels", type=int, nargs="+", default=[12, 500, 900])
     ap.add_argument("--seconds", type=float, default=0.5)
     ap.add_argument("--out-prefix", default="bank_ch")
+    ap.add_argument(
+        "--variant",
+        choices=["auto", "einsum", "fused", "sharded"],
+        default="auto",
+        help="einsum pipeline, fused Pallas kernel (the bench headline), "
+        "or the fused kernel sharded over every attached device (the "
+        "north-star multi-chip config); auto = fused on TPU",
+    )
     args = ap.parse_args()
 
     cfg = BankConfig()
@@ -76,7 +86,20 @@ def main() -> None:
     }
     print({ch: round(f, 1) for ch, f in stations.items()})
 
-    init_state, step = make_bank_step(cfg)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    variant = args.variant
+    if variant == "auto":
+        variant = "fused" if on_tpu else "einsum"
+    if variant == "einsum":
+        init_state, step = make_bank_step(cfg)
+    elif variant == "fused":
+        init_state, step = make_bank_step_fused(cfg, interpret=not on_tpu)
+    else:  # the north-star sharded config over every attached device
+        from futuresdr_tpu.parallel import make_mesh
+
+        mesh = make_mesh((len(jax.devices()),), ("time",))
+        init_state, step = make_sharded_bank_step_fused(cfg, mesh)
+    print(f"variant: {variant}")
     step_j = jax.jit(step, donate_argnums=(0,))
     state = init_state()
 
