@@ -969,7 +969,25 @@ class WlanReceiver:
                 left_rows, self._phase_b(x, left_c, left_p, left_f, left_s)
             ):
                 frames_by_row[j] = f
-            if len(left_c) > 0.2 * len(rows):
+            # gate misses dominated by frame-length growth (same MCS,
+            # n_sym > nf): widen the learned bucket so future chunks pass
+            # the gate instead of paying _phase_b host round-trips per
+            # chunk forever (a gradual length increase can stay under the
+            # 20% re-learn threshold indefinitely)
+            grown = [
+                p.n_symbols
+                for p in left_p
+                if p is not None
+                and p.mcs.name == name
+                and p.n_symbols > nf
+            ]
+            if (
+                grown
+                and len(grown) >= 0.5 * len(left_c)
+                and max(grown) <= MAX_SYMS
+            ):
+                self._spec = (name, min(MAX_SYMS, -(-max(grown) // 16) * 16))
+            elif len(left_c) > 0.2 * len(rows):
                 self._spec = None  # traffic changed — re-learn classically
         return [
             frames_by_row[j]

@@ -119,6 +119,15 @@ def packed_stream_halo(tails, axis_name: str, carry):
     """
     shapes = [t.shape for t in tails]
     sizes = [int(np.prod(s)) for s in shapes]
+    dtypes = {jnp.asarray(t).dtype for t in tails} | {carry.dtype}
+    if len(dtypes) != 1:
+        # a mixed-dtype tail would silently promote through concatenate,
+        # handing receivers promoted-dtype halos while callers hard-code
+        # the carry dtype
+        raise ValueError(
+            f"packed_stream_halo tails/carry must share one dtype, got "
+            f"{sorted(str(d) for d in dtypes)}"
+        )
     buf = jnp.concatenate([t.reshape(-1) for t in tails])
     if carry.shape != buf.shape:
         raise ValueError(

@@ -171,8 +171,15 @@ class Executor:
         from futuresdr_tpu.runtime.block import Block as _Block
 
         self._pv_cache: Dict[Tuple, Tuple] = {}
+        # memoizing is only legal when no block's host_limit carries state
+        # (Head/Throttle) AND no block runs CUSTOM tag propagation — a
+        # CUSTOM block may synthesize or observe tags every step even when
+        # the incoming tag lists are empty, so cache hits would silently
+        # bypass its propagate_tags
         self._pv_cacheable = all(
-            type(b).host_limit is _Block.host_limit for b in fg.blocks
+            type(b).host_limit is _Block.host_limit
+            and b.tag_propagation != TagPropagation.CUSTOM
+            for b in fg.blocks
         )
         self._wire_message_ports()
 
@@ -701,6 +708,7 @@ class Executor:
         fused-program runtime — the trace is captured by the compiler
         stack, not by instrumented blocks. CPU backends emit no per-op
         plane; run on device."""
+        import shutil
         import tempfile
 
         from futuresdr_tpu.utils.xplane import block_time_ps
@@ -712,7 +720,14 @@ class Executor:
         finally:
             jax.profiler.stop_trace()
         names = [b.instance_name for b in self.fg.blocks]
-        ps = block_time_ps(td, names)
+        try:
+            ps = block_time_ps(td, names)
+        finally:
+            if trace_dir is None:
+                # auto-created trace dirs hold multi-MB xplane files;
+                # repeated REST/GUI profiling of a long-lived flowgraph
+                # must not accumulate them on disk
+                shutil.rmtree(td, ignore_errors=True)
         total = sum(ps.values())
         if not total:
             raise RuntimeError(
