@@ -70,6 +70,7 @@ from futuresdr_tpu.blocks.functional import ApplyIntoIter, ApplyNM
 from futuresdr_tpu.blocks.pfb import (
     PfbArbResampler,
     PfbChannelizer,
+    PfbFmBank,
     PfbSynthesizer,
 )
 from futuresdr_tpu.blocks.audio import (
@@ -133,6 +134,7 @@ __all__ = [
     "XlatingFir",
     "PfbArbResampler",
     "PfbChannelizer",
+    "PfbFmBank",
     "PfbSynthesizer",
     "ApplyIntoIter",
     "ApplyNM",

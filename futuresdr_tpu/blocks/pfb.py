@@ -78,6 +78,172 @@ class PfbChannelizer(Block):
         return state, outs, {}
 
 
+class PfbFmBank(Block):
+    """Fused M-channel PFB channelizer + FM quadrature demod + audio
+    decimating FIR — the flagship bank as ONE block.
+
+    This is what the compiler's fusion pass canonicalizes a
+    ``PfbChannelizer → M×QuadratureDemod → M×Fir.decimating`` chain into
+    (:mod:`futuresdr_tpu.runtime.fusion`), and users can instantiate it
+    directly. The whole chain runs inside the fused Pallas kernel
+    (:func:`futuresdr_tpu.ops.pallas_bank.fused_bank_demod`): branch FIR +
+    DFT + demod never leave VMEM; the audio decimation is one banded-matrix
+    MXU matmul. Numerics: f32 branch FIR, bf16 DFT (f32 accumulation),
+    polynomial atan2 — the bench-headline rung's math.
+
+    Ports: 1 wideband complex64 input. ``split_outputs=False`` (default)
+    emits ONE float32 port carrying ``[n_ch, n]`` rows (one multi-channel
+    audio column per item); ``split_outputs=True`` emits ``n_ch``
+    per-channel float32 ports (drop-in for the unfused chain's wiring).
+
+    The audio decimation grid is re-anchored to the upstream latency
+    exactly like :meth:`Fir.absorb_latency`, so output streams bit-match
+    the composed block chain's trims and sampling phases.
+
+    Parity anchors: ``src/blocks/pfb/channelizer.rs:71-224``,
+    ``examples/fm-receiver/src/main.rs:100-105`` (quadrature demod),
+    ``src/blocks/fir.rs`` (decimating tail).
+    """
+
+    def __init__(
+        self,
+        n_ch: int,
+        taps=None,
+        gain: float = 1.0,
+        audio_taps=None,
+        audio_decim: int = 8,
+        split_outputs: bool = False,
+        tile_rows: int = 128,
+        interpret: Optional[bool] = None,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        import math
+
+        self.n_ch = M = int(n_ch)
+        self.gain = float(gain)
+        self.audio_decim = D = int(audio_decim)
+        self.tile_rows = int(tile_rows)
+        self._interpret = interpret
+        proto = (
+            np.asarray(taps) if taps is not None else default_channelizer_taps(M)
+        )
+        self.proto = proto
+        branch = analysis_branch_taps(proto, M).astype(np.float32)  # [M, L]
+        self.L = L = branch.shape[-1]
+        self.w_rev = jnp.asarray(np.ascontiguousarray(branch[:, ::-1].T))
+        from futuresdr_tpu.ops.pfb import _dft_const_bf16
+
+        dre_np, dim_np = _dft_const_bf16(M)
+        self._dre, self._dim = jnp.asarray(dre_np), jnp.asarray(dim_np)
+        if audio_taps is None:
+            from futuresdr_tpu.dsp import windows
+
+            audio_taps = firdes.lowpass(0.4 / D, windows.hamming(32))
+        self.audio_taps = np.asarray(audio_taps, np.float64)
+        T = len(self.audio_taps)
+        # mirror ops.fir.fir_decimate's history formula
+        self.Ha = -(-(T - 1) // D) * D if T > 1 else (D if D > 1 else 0)
+        self.split_outputs = bool(split_outputs)
+        self.stream_inputs = [PortSpec("in", np.complex64)]
+        if self.split_outputs:
+            self.stream_outputs = [
+                PortSpec(f"out{k}", np.float32) for k in range(M)
+            ]
+        else:
+            self.stream_outputs = [PortSpec("out", np.float32)]
+        n_out = len(self.stream_outputs)
+        self.rate_in = (M * D,)
+        self.rate_out = (1,) * n_out
+        self._phase = 0
+        # default latency (no upstream transient): matches absorb_latency(0)
+        Ld = L  # (L-1) channelizer + 1 demod
+        self.latency_out = (
+            math.ceil((Ld + T - 1 - Ld % D) / D),
+        ) * n_out
+        self._w_cache = {}
+
+    def absorb_latency(self, in_lats):
+        """Compiler hook: accumulate the composed chain's exact latency —
+        channelizer (L−1, channel rate) + demod (1) — then re-anchor the
+        audio decimation grid like :meth:`Fir.absorb_latency` does."""
+        import math
+
+        Lw = int(in_lats[0]) if in_lats else 0
+        Ld = (self.L - 1) + math.ceil(Lw / self.n_ch) + 1
+        T = len(self.audio_taps)
+        D = self.audio_decim
+        self._phase = Ld % D
+        lat = math.ceil((Ld + T - 1 - self._phase) / D)
+        return [lat] * len(self.stream_outputs)
+
+    def _audio_w(self, R: int) -> np.ndarray:
+        """Banded decimating-FIR matrix ``[R/D, Ha+R]`` on the
+        ``phase``-anchored grid: output q = window ending at demod row
+        ``q·D + phase`` (NumPy: embeds as a trace-time constant)."""
+        key = (R, self._phase)
+        W = self._w_cache.get(key)
+        if W is None:
+            T = len(self.audio_taps)
+            D = self.audio_decim
+            n_out = R // D
+            W = np.zeros((n_out, self.Ha + R), np.float32)
+            off = self.Ha + self._phase - (T - 1)
+            for t in range(T):
+                W[
+                    np.arange(n_out), off + np.arange(n_out) * D + t
+                ] = self.audio_taps[T - 1 - t]
+            self._w_cache[key] = W
+        return W
+
+    def make_state(self, in_sizes, out_sizes):
+        M, L = self.n_ch, self.L
+        return (
+            jnp.zeros((L - 1, M), jnp.float32),  # branch history rows (re)
+            jnp.zeros((L - 1, M), jnp.float32),  # (im)
+            jnp.zeros((1, M), jnp.float32),  # prev DFT row (re)
+            jnp.zeros((1, M), jnp.float32),  # (im)
+            jnp.zeros((self.Ha, M), jnp.float32),  # audio FIR history rows
+        )
+
+    def apply(self, state, inputs, params):
+        import math
+
+        import jax
+
+        from futuresdr_tpu.ops.pallas_bank import fused_bank_demod
+
+        if self._interpret is None:
+            self._interpret = jax.devices()[0].platform != "tpu"
+        hr, hi, ypr, ypi, ah = state
+        x = inputs[0]
+        M = self.n_ch
+        R = x.shape[-1] // M
+        tr = (
+            self.tile_rows
+            if R % self.tile_rows == 0
+            else math.gcd(R, self.tile_rows)
+        )
+        a, hr, hi, ypr, ypi = fused_bank_demod(
+            x.re.reshape(R, M),
+            x.im.reshape(R, M),
+            hr, hi, ypr, ypi,
+            self.w_rev, self._dre, self._dim,
+            L=self.L, tile_rows=tr, gain=self.gain,
+            interpret=self._interpret,
+        )
+        ext = jnp.concatenate([ah, a], axis=0)  # [Ha+R, M]
+        audio_rows = jnp.matmul(
+            self._audio_w(R), ext, preferred_element_type=jnp.float32
+        )  # [R/D, M]
+        new_state = (hr, hi, ypr, ypi, ext[ext.shape[0] - self.Ha :])
+        if self.split_outputs:
+            outs = [audio_rows[:, k] for k in range(M)]
+        else:
+            outs = [audio_rows.T]
+        return new_state, outs, {}
+
+
 class PfbArbResampler(Block):
     """Arbitrary-rate polyphase resampler (parity: pfb/arb_resampler.rs:232).
 

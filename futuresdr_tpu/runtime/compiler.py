@@ -305,6 +305,7 @@ class CompiledFlowgraph:
     regions: List[FeedbackRegion] = field(default_factory=list)
     step: Any = None  # jitted fn, attached by _trace
     scan_step: Any = None  # jitted K-chunk lax.scan variant (built lazily)
+    fusion_log: List[str] = field(default_factory=list)
 
     # ---- key helpers -----------------------------------------------------
     @staticmethod
@@ -561,12 +562,31 @@ class CompiledFlowgraph:
 
 
 def compile_flowgraph(
-    fg: Flowgraph, chunk_size: Optional[int] = None, jit: bool = True
+    fg: Flowgraph,
+    chunk_size: Optional[int] = None,
+    jit: bool = True,
+    fusion: Optional[bool] = None,
 ) -> CompiledFlowgraph:
-    """Solve rates/chunks/latency and trace the step function."""
+    """Solve rates/chunks/latency and trace the step function.
+
+    ``fusion`` (default: config key ``fusion``, on) first canonicalizes
+    known block patterns onto fused kernels — see
+    :mod:`futuresdr_tpu.runtime.fusion`. The rewrite mutates ``fg``."""
 
     if not fg.blocks:
         raise RateError("empty flowgraph")
+    if fusion is None:
+        fusion = bool(config.get("fusion", True))
+    fusion_log: List[str] = []
+    if fusion:
+        from futuresdr_tpu.runtime.fusion import fuse_flowgraph
+
+        fusion_log = fuse_flowgraph(fg)
+        if fusion_log:
+            from futuresdr_tpu.utils.logging import logger
+
+            for line in fusion_log:
+                logger.info("fusion: %s", line)
     missing = fg.unconnected_inputs()
     if missing:
         names = [
@@ -670,6 +690,7 @@ def compile_flowgraph(
         pure_ids=pure_ids,
         regions=regions,
     )
+    cfg.fusion_log = fusion_log
     if jit:
         cfg.step = jax.jit(cfg._eval, donate_argnums=(0,))
     else:
