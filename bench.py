@@ -37,17 +37,25 @@ def _sync(audio) -> None:
     settle(audio)
 
 
+WARM_S = {}  # per-rung compile+warm seconds (reported in the JSON line)
+STALLS = {}  # per-rung reps retried on a >3x tenancy/compile stall
+
+
 def _bench_median(step_j, state, x, n_samples: int, label: str, reps: int = 5):
     t0 = time.perf_counter()
-    state, audio = step_j(state, x)
+    # warm EVERY call signature twice: call 1 compiles, call 2 runs with a
+    # donated (device-resident) state buffer — the shape the timed loop
+    # uses. r3's sharded rung showed a 0.030 GS/s first rep (350x below
+    # median): a retrace/compile landing inside the "steady-state" window.
+    for _ in range(2):
+        state, audio = step_j(state, x)
     _sync(audio)
+    WARM_S[label] = round(time.perf_counter() - t0, 2)
     if os.environ.get("BENCH_VERBOSE"):
-        print(
-            f"# {label}: compile+warm {time.perf_counter() - t0:.1f}s",
-            file=sys.stderr,
-        )
+        print(f"# {label}: compile+warm {WARM_S[label]:.1f}s", file=sys.stderr)
     vals = []
     iters = 8
+    retried = 0
     for _ in range(reps):
         while True:
             t0 = time.perf_counter()
@@ -59,11 +67,28 @@ def _bench_median(step_j, state, x, n_samples: int, label: str, reps: int = 5):
                 break
             iters *= 2
         vals.append(n_samples * iters / dt / 1e9)
+    # a rep >3x below the running best is a compile-queue/tenancy stall,
+    # not steady state (the protocol's claim): retry each such rep ONCE
+    # and report the retry count — ranges must reflect the machine, but a
+    # stall that big is the shared tunnel, and silently keeping it makes
+    # the artifact claim steady-state it didn't measure
+    best = max(vals)
+    for i, v in enumerate(vals):
+        if v < best / 3 and retried < reps:
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, audio = step_j(state, x)
+            _sync(audio)
+            dt = time.perf_counter() - t0
+            vals[i] = n_samples * iters / dt / 1e9
+            retried += 1
+    STALLS[label] = retried
     vals.sort()
     med = vals[len(vals) // 2]
     print(
         f"# {label}: median {med:.3f} GS/s  "
-        f"range [{vals[0]:.3f}, {vals[-1]:.3f}] over {reps} reps",
+        f"range [{vals[0]:.3f}, {vals[-1]:.3f}] over {reps} reps"
+        + (f"  ({retried} stalled rep(s) retried)" if retried else ""),
         file=sys.stderr,
     )
     return state, med
@@ -117,6 +142,102 @@ def main() -> None:
 
     _rung("fused_pallas", "fused pallas channelizer+demod", _build_fused)
 
+    # the same pipeline composed from BLOCKS and run through the full
+    # Flowgraph/Executor product surface: NullSource → PfbChannelizer →
+    # 1024×(QuadratureDemod → Fir.decimating) → 1024×NullSink. The
+    # compiler's fusion pass (runtime/fusion.py) canonicalizes the 2·M+1
+    # middle blocks onto the fused Pallas kernel and coalesces the sinks;
+    # target: >=85% of the raw-step rung above (VERDICT r3 #1 — the
+    # framework's abstraction must not cost the flagship rate)
+    def _bench_flowgraph_fused(label, reps=5):
+        from futuresdr_tpu.blocks import (
+            Fir,
+            NullSink,
+            NullSource,
+            PfbChannelizer,
+            QuadratureDemod,
+        )
+        from futuresdr_tpu.blocks.pfb import default_channelizer_taps
+        from futuresdr_tpu.dsp import firdes as _fd
+        from futuresdr_tpu.dsp import windows as _win
+        from futuresdr_tpu.runtime.flowgraph import Flowgraph
+
+        M, D = cfg.n_ch, cfg.audio_decim
+        ataps = _fd.lowpass(0.4 / D, _win.hamming(cfg.audio_taps))
+        fg = Flowgraph()
+        chan = PfbChannelizer(M, taps=default_channelizer_taps(M, cfg.taps_per_ch))
+        fg.stream(NullSource(np.complex64), chan)
+        for k in range(M):
+            d = QuadratureDemod(cfg.demod_gain, name=f"qd{k}")
+            f = Fir.decimating(ataps, D, dtype=np.float32, name=f"fir{k}")
+            fg.stream(chan, d, src_port=k)
+            fg.stream(d, f)
+            fg.stream(f, NullSink(np.float32, name=f"ns{k}"))
+        from futuresdr_tpu.runtime.executor import Executor
+
+        n_per_step = r_fused * M
+        ex = Executor(fg, chunk_size=n_per_step)
+        assert any(
+            "bank+sinks" in line for line in ex.cfg.fusion_log
+        ), "fusion pass did not fire on the composed bank graph"
+        widest = max(ex.cfg.edge_items.values())
+        if widest != n_per_step:
+            print(
+                f"# {label}: solved chunk {widest} != {n_per_step}",
+                file=sys.stderr,
+            )
+
+        def run_steps(n):
+            ex.max_steps = n
+            ex.running = True
+            try:
+                ex.run_loop()
+            finally:
+                ex.running = False
+
+        t0 = time.perf_counter()
+        run_steps(4)  # compile + warm (run_loop settles data-dependently)
+        WARM_S[label] = round(time.perf_counter() - t0, 2)
+        vals = []
+        iters = 8
+        retried = 0
+        for _ in range(reps):
+            while True:
+                t0 = time.perf_counter()
+                run_steps(iters)
+                dt = time.perf_counter() - t0
+                if dt > 0.5:
+                    break
+                iters *= 2
+            vals.append(n_per_step * iters / dt / 1e9)
+        best = max(vals)
+        for i, v in enumerate(vals):
+            if v < best / 3 and retried < reps:
+                t0 = time.perf_counter()
+                run_steps(iters)
+                vals[i] = n_per_step * iters / (time.perf_counter() - t0) / 1e9
+                retried += 1
+        STALLS[label] = retried
+        vals.sort()
+        med = vals[len(vals) // 2]
+        print(
+            f"# {label}: median {med:.3f} GS/s  "
+            f"range [{vals[0]:.3f}, {vals[-1]:.3f}] over {reps} reps"
+            + (f"  ({retried} stalled rep(s) retried)" if retried else ""),
+            file=sys.stderr,
+        )
+        return med
+
+    try:
+        results["flowgraph_fused"] = _bench_flowgraph_fused(
+            "flowgraph/Executor composed bank (fusion pass)"
+        )
+    except Exception as e:  # noqa: BLE001 - report and continue
+        print(
+            f"# flowgraph_fused: FAILED {type(e).__name__}: {e}",
+            file=sys.stderr,
+        )
+
     # the north-star SHARDED config on a mesh of 1 (the one real chip):
     # same fused kernel inside shard_map + packed-ppermute halo machinery —
     # bounds the sharding-wrapper cost vs the rung above (VERDICT r2 #1)
@@ -166,21 +287,41 @@ def main() -> None:
         raise SystemExit("every bench rung failed — see stderr")
     best = max(results, key=results.get)
     gsps = results[best]
-    print(
-        json.dumps(
-            {
-                "metric": "pfb1024_fm_bank_samples_per_s_per_chip",
-                "value": round(gsps, 4),
-                "unit": "GS/s",
-                "vs_baseline": round(gsps / BASELINE_PER_CHIP_GSPS, 3),
-                "variant": best,
-                "ladder": {k: round(v, 4) for k, v in results.items()},
-                "protocol": "median of 5 x >=0.5s steady-state loops; "
-                f"chunk r={r} einsum rungs / r={r_fused} fused "
-                f"({r_fused * 1024 / 1e6:.1f}M samples/step)",
-            }
+    # efficiency at the measured rate, from the r3 roofline model (NOTES
+    # "Fused-kernel roofline"): MXU work = 4 bf16 [R,M]@[M,M] matmuls =
+    # 8·M FLOPs/wideband sample; HBM traffic ≈ 20 B/sample (x in 8,
+    # a out+reread 12, audio rows ~0.5). v5e-1 peaks: ~197 Tbf16FLOP/s,
+    # ~819 GB/s. The kernel is VPU-pipeline-bound, so neither hits 100%.
+    V5E_BF16_TFLOPS = 197.0
+    V5E_HBM_GBS = 819.0
+    flops_per_sample = 8.0 * cfg.n_ch
+    bytes_per_sample = 20.0
+    out = {
+        "metric": "pfb1024_fm_bank_samples_per_s_per_chip",
+        "value": round(gsps, 4),
+        "unit": "GS/s",
+        "vs_baseline": round(gsps / BASELINE_PER_CHIP_GSPS, 3),
+        "variant": best,
+        "mfu_pct": round(
+            100.0 * gsps * flops_per_sample / (V5E_BF16_TFLOPS * 1e3), 1
+        ),
+        "hbm_pct": round(
+            100.0 * gsps * bytes_per_sample / V5E_HBM_GBS, 1
+        ),
+        "ladder": {k: round(v, 4) for k, v in results.items()},
+        "warm_s": WARM_S,
+        "stalled_reps_retried": {k: v for k, v in STALLS.items() if v},
+        "protocol": "median of 5 x >=0.5s steady-state loops (2-call "
+        "warm first; a rep >3x below best is a tunnel stall, retried "
+        "once and counted); "
+        f"chunk r={r} einsum rungs / r={r_fused} fused "
+        f"({r_fused * 1024 / 1e6:.1f}M samples/step)",
+    }
+    if "flowgraph_fused" in results and "fused_pallas" in results:
+        out["flowgraph_vs_raw_pct"] = round(
+            100.0 * results["flowgraph_fused"] / results["fused_pallas"], 1
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
