@@ -239,17 +239,21 @@ class Selector(Block):
     executor where every input presents exactly one chunk per step:
 
     - ``SameRate`` (default): unselected chunks are consumed and dropped
-      each step — identical to the reference's steady state.
-    - ``DropAll``: in the reference this drains any unselected backlog;
-      lockstep chunking means no backlog can form, so it coincides with
-      ``SameRate`` here (both consume one chunk/step from every input).
+      each step — identical to the reference's steady state (consume
+      exactly ``m``, selector.rs:200-203); nothing is ever buffered.
     - ``NoDrop``: unselected inputs are NOT lost — each input carries a
       device-resident ring of ``hold_chunks`` whole chunks. While
       unselected, live chunks append to the ring (newest dropped once the
       ring is full — the bounded-memory stand-in for the reference's
       upstream backpressure); while selected with a backlog, the oldest
       buffered chunk is emitted and the live chunk re-queued, so samples
-      come out in arrival order after a switch."""
+      come out in arrival order after a switch.
+    - ``DropAll``: same ring while unselected, but switching TO an input
+      **flushes** its backlog (the reference drains everything pending,
+      ``consume(usize::MAX)``, selector.rs:204-207) — output resumes from
+      live samples immediately. The flushed item count is surfaced in aux
+      as ``selector_flushed`` (→ ``last_aux``), the lockstep-SDF
+      observable of the reference's drain."""
 
     def __init__(
         self,

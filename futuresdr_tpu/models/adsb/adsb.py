@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from futuresdr_tpu.models.streaming import StreamingReceiver
 from futuresdr_tpu.ops import cplx
 
 SAMPLE_RATE = 4_000_000  # demod rate (lib.rs:10-11 with 4 MS/s)
@@ -364,7 +365,7 @@ def _decode_fields(frame: AdsbFrame) -> None:
             frame.altitude_ft = n * 25 - 1000
 
 
-class AdsbReceiver:
+class AdsbReceiver(StreamingReceiver):
     """Magnitude-domain Mode S receiver over an IQ (or envelope) buffer."""
 
     def __init__(
@@ -382,25 +383,10 @@ class AdsbReceiver:
         self.n_crc_ok = 0
         self.n_crc_fail = 0
 
-    def process(self, iq: np.ndarray) -> List[AdsbFrame]:
-        return self._collect(self._detect_dispatch(iq))
+    # process/process_stream come from StreamingReceiver (the shared
+    # dispatch/collect pipelining harness, models/streaming.py)
 
-    def process_stream(self, chunks):
-        """Pipelined decode of an iterable of IQ chunks: chunk ``i+1``'s
-        detection program dispatches before chunk ``i``'s candidate
-        fetch, overlapping the fetch round-trip with the next chunk's
-        device compute (the WLAN ``process_stream`` pattern). Yields one
-        frame list per chunk, in order."""
-        pending = None
-        for iq in chunks:
-            d = self._detect_dispatch(iq)
-            if pending is not None:
-                yield self._collect(pending)
-            pending = d
-        if pending is not None:
-            yield self._collect(pending)
-
-    def _detect_dispatch(self, iq):
+    def _dispatch(self, iq):
         """Dispatch metrics + candidate detection (no host sync)."""
         if isinstance(iq, cplx.CArray):
             # device-resident ingest (see prepare_device_iq): streaming

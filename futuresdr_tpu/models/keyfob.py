@@ -18,6 +18,7 @@ from typing import List, Optional
 import jax
 import numpy as np
 
+from futuresdr_tpu.models.streaming import StreamingReceiver
 from futuresdr_tpu.ops import cplx
 
 RATE = 250_000.0
@@ -98,16 +99,23 @@ def _decode_edges(levels: np.ndarray) -> List[KeyfobFrame]:
     return frames
 
 
-class KeyfobReceiver:
+class KeyfobReceiver(StreamingReceiver):
+    """process/process_stream come from :class:`StreamingReceiver` —
+    the device envelope program dispatches per chunk without a host
+    sync; the fetch + edge walk land in ``_collect``."""
+
     def __init__(self):
         self.frames: List[KeyfobFrame] = []
 
-    def process(self, iq: np.ndarray) -> List[KeyfobFrame]:
+    def _dispatch(self, iq):
         x = np.asarray(iq, np.complex64)
         pad = (-len(x)) % 16384
         if pad:
             x = np.concatenate([x, np.zeros(pad, np.complex64)])
-        levels = np.asarray(_envelope_fn(len(x))(cplx.from_numpy(x)))
+        return _envelope_fn(len(x))(cplx.from_numpy(x))
+
+    def _collect(self, dev) -> List[KeyfobFrame]:
+        levels = np.asarray(dev)
         out = _decode_edges(levels)
         self.frames.extend(out)
         return out

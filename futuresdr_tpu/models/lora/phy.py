@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from futuresdr_tpu.models.streaming import StreamingReceiver
 from futuresdr_tpu.ops import cplx
 from futuresdr_tpu.ops.cplx import CArray
 from futuresdr_tpu.ops.fft import fft_c
@@ -496,7 +497,7 @@ def _window_fn(nw: int, wsym: int, sf: int, sf_app: int):
     return jax.jit(fn)
 
 
-class LoraReceiver:
+class LoraReceiver(StreamingReceiver):
     """Frame sync + demod + decode over an IQ buffer (fs = BW)."""
 
     def __init__(self, cfg: LoraConfig, soft: bool = True):
@@ -680,7 +681,14 @@ class LoraReceiver:
             payload=payload, crc_ok=crc_ok, snr=snr, start=t_align, cr=cr
         )
 
-    def process(self, iq) -> List[LoraFrame]:
+    # process/process_stream come from StreamingReceiver: the symbol-
+    # grid dechirp scan dispatches per chunk without a host sync; the
+    # grid fetch + staged window decode land in _collect, so streaming
+    # overlaps a chunk's scan with the previous chunk's decode.
+
+    def _dispatch(self, iq):
+        cfg = self.cfg
+        n, sf = cfg.n, cfg.sf
         if isinstance(iq, cplx.CArray):
             # device-resident ingest — batched soft path only; refuse
             # rather than silently soft-decode a hard-path A/B receiver
@@ -689,12 +697,25 @@ class LoraReceiver:
                     "device-resident ingest requires soft=True (the "
                     "hard-decision A/B path is host-sequential)"
                 )
-            out = self._process_batched(iq)
-            self.frames.extend(out)
-            return out
+            nx = int(iq.shape[-1])
+            if nx % (64 * n):
+                raise ValueError(f"device IQ must be a {64 * n}-multiple")
+            return {"xc": iq, "grid": _grid_fn(nx // n, sf)(iq)}
         x = np.asarray(iq, dtype=np.complex64)
         if not self.soft:
-            # hard-decision A/B path: per-frame sequential demod
+            return {"hard": x}  # host-sequential A/B path: no device stage
+        # soft path: both ingest kinds share the padded _grid_fn scan
+        # (zero-pad windows fail the strict 4x-over-mean gate, so the
+        # candidate walk matches the unpadded scan's)
+        bucket = -(-len(x) // (64 * n)) * (64 * n)  # stable jit shapes
+        if bucket != len(x):
+            x = np.concatenate([x, np.zeros(bucket - len(x), np.complex64)])
+        xc = cplx.from_numpy(x)
+        return {"xc": xc, "grid": _grid_fn(bucket // n, sf)(xc)}
+
+    def _collect(self, d) -> List[LoraFrame]:
+        if "hard" in d:
+            x = d["hard"]
             out: List[LoraFrame] = []
             seen = set()
             for start in self._find_frames(x):
@@ -706,35 +727,18 @@ class LoraReceiver:
                     out.append(f)
             self.frames.extend(out)
             return out
-        out = self._process_batched(x)
+        bins, peak, mean = jax.device_get(d["grid"])
+        out = self._batched_collect(
+            d["xc"], self._walk_grid(bins, peak, mean)
+        )
         self.frames.extend(out)
         return out
 
     # -- batched soft path: every frame in the capture decodes from four
-    # device programs total (find / preamble-tail / header / payload) ----
-    def _process_batched(self, x) -> List[LoraFrame]:
+    # device programs total (grid / preamble-tail / header / payload) ----
+    def _batched_collect(self, xc, cand_starts) -> List[LoraFrame]:
         cfg = self.cfg
         n, sf = cfg.n, cfg.sf
-        if isinstance(x, cplx.CArray):
-            # device-resident ingest: grid scan + windows all read the
-            # resident buffer; nothing re-crosses H2D
-            nx = int(x.shape[-1])
-            if nx % (64 * n):
-                raise ValueError(f"device IQ must be a {64 * n}-multiple")
-            xc = x
-            bins, peak, mean = jax.device_get(
-                _grid_fn(nx // n, sf)(xc)
-            )
-            cand_starts = self._walk_grid(bins, peak, mean)
-        else:
-            x = np.asarray(x, np.complex64)
-            cand_starts = self._find_frames(x)
-            bucket = -(-len(x) // (64 * n)) * (64 * n)  # stable shapes
-            if bucket != len(x):
-                x = np.concatenate(
-                    [x, np.zeros(bucket - len(x), np.complex64)]
-                )
-            xc = cplx.from_numpy(x)
         starts0: List[int] = []
         seen = set()
         for s in cand_starts:

@@ -23,6 +23,7 @@ import jax
 import numpy as np
 
 from futuresdr_tpu.models.m17 import fec
+from futuresdr_tpu.models.streaming import StreamingReceiver
 from futuresdr_tpu.ops import cplx
 
 SPS = 10  # samples per symbol at 48 kHz / 4800 baud
@@ -322,18 +323,27 @@ class M17Frame:
     lsf_crc_ok: bool
 
 
-class M17Receiver:
-    """Buffer-oriented receiver: find the LSF, then walk stream frames."""
+class M17Receiver(StreamingReceiver):
+    """Buffer-oriented receiver: find the LSF, then walk stream frames.
+
+    process/process_stream come from :class:`StreamingReceiver`: the
+    device FM discriminator dispatches per chunk without a host sync and
+    the fetch + host walk land in ``_collect``, so streaming overlaps a
+    chunk's demod with the previous chunk's decode."""
 
     def __init__(self):
         self.frames: List[M17Frame] = []
 
-    def process(self, iq: np.ndarray) -> List[M17Frame]:
+    def _dispatch(self, iq):
         x = np.asarray(iq, np.complex64)
         pad = (-len(x)) % 16384
         if pad:
             x = np.concatenate([x, np.zeros(pad, np.complex64)])
-        d = np.asarray(_demod_fn(len(x))(cplx.from_numpy(x)))
+        return x, _demod_fn(len(x))(cplx.from_numpy(x))
+
+    def _collect(self, handle) -> List[M17Frame]:
+        x, dev = handle
+        d = np.asarray(dev)
         # the discriminator slams to ±π·FS/(2π·800) ≈ ±30 in no-signal
         # regions; clip to the symbol range so noise can't dominate
         d = np.clip(d, -4.5, 4.5)

@@ -27,6 +27,7 @@ from typing import List, Optional
 
 import numpy as np
 
+from futuresdr_tpu.models.streaming import StreamingReceiver
 from futuresdr_tpu.models.rattlegram.bch import Bch
 from futuresdr_tpu.models.rattlegram.polar import polar_decode_scl
 
@@ -493,7 +494,29 @@ def _sync_template(carrier_frequency: int) -> np.ndarray:
     return enc._schmidl_cox().real.astype(np.float32)
 
 
-class ExactDecoder:
+@lru_cache(maxsize=None)
+def _exact_score_fn(n: int, carrier_frequency: int):
+    """Device normalized Schmidl-Cox sync correlation (numerics-matched
+    to the previous host ``np.correlate`` form)."""
+    import jax
+    import jax.numpy as jnp
+
+    from futuresdr_tpu.ops.fir import conv1d_valid, moving_sum
+
+    tmpl = _sync_template(carrier_frequency)
+    taps = np.ascontiguousarray(tmpl[::-1]).astype(np.float32)
+    norm = float(np.linalg.norm(tmpl.astype(np.float64)))
+    w = len(tmpl)
+
+    def fn(x):
+        cor = conv1d_valid(x, taps)
+        energy = jnp.sqrt(moving_sum(x * x, w) + 1e-9)
+        return cor / (energy * norm + 1e-9)
+
+    return jax.jit(fn)
+
+
+class ExactDecoder(StreamingReceiver):
     """Decode reference-format waveforms.
 
     Sync: matched correlation against the known Schmidl-Cox symbol
@@ -515,24 +538,46 @@ class ExactDecoder:
     def _spectrum(self, x: np.ndarray, pos: int) -> np.ndarray:
         return np.fft.fft(x[pos : pos + SYMBOL_LENGTH])
 
-    def process(self, audio: np.ndarray) -> List[ExactFrame]:
+    # process/process_stream come from StreamingReceiver: the device
+    # sync-correlation program (O(N·7680) MACs — the dominant host cost)
+    # dispatches per chunk without a host sync; the score fetch + the
+    # per-candidate BCH/polar decode land in _collect.
+
+    def _dispatch(self, audio):
+        import jax.numpy as jnp
+
         x = np.asarray(audio, np.float32)
+        n_real = len(x)
         tmpl = _sync_template(self.carrier_frequency)
-        if len(x) < len(tmpl) + 6 * EXTENDED_LENGTH:
+        if n_real < len(tmpl) + 6 * EXTENDED_LENGTH:
+            return {"x": x, "n_real": n_real, "score": None}
+        pad = (-len(x)) % 16384  # stable jit shapes
+        if pad:
+            x = np.concatenate([x, np.zeros(pad, np.float32)])
+        return {
+            "x": x,
+            "n_real": n_real,
+            "score": _exact_score_fn(len(x), self.carrier_frequency)(
+                jnp.asarray(x)
+            ),
+        }
+
+    def _collect(self, d) -> List[ExactFrame]:
+        x, n_real = d["x"], d["n_real"]
+        if d["score"] is None:
             return []
-        cor = np.correlate(x, tmpl, mode="valid")
-        energy = np.sqrt(
-            np.convolve(x * x, np.ones(len(tmpl)), mode="valid") + 1e-9
-        )
-        score = cor / (energy * np.linalg.norm(tmpl) + 1e-9)
+        score = np.asarray(d["score"])
         frames: List[ExactFrame] = []
         order = np.argsort(score)[::-1]
         used: List[int] = []
+        span = (2 + SYMBOL_COUNT) * EXTENDED_LENGTH
         for cand in order[:8]:
             if score[cand] < 0.5:
                 break
             if any(abs(cand - u) < EXTENDED_LENGTH for u in used):
                 continue
+            if int(cand) + span > n_real:
+                continue  # frame would extend into the shape padding
             f = self._decode_at(x, int(cand))
             if f is not None:
                 frames.append(f)

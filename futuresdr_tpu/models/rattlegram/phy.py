@@ -7,9 +7,11 @@ differential QPSK payload, polar-coded bits with a CRC. This is a fresh,
 self-consistent implementation of that architecture; byte-exact waveform
 interop with the reference app is future work.
 
-At 48 kHz audio rates the whole receiver runs comfortably host-side
-(numpy); nothing here is throughput-critical enough to justify device
-dispatch latency. The polar/SC tier is shared, reusable FEC.
+At 48 kHz audio rates the decode tier runs host-side (numpy), but the
+sync correlation (O(N·7680) MACs — the dominant wall time) runs on
+device, dispatched per chunk without a host sync via the shared
+:class:`~futuresdr_tpu.models.streaming.StreamingReceiver` split. The
+polar/SC tier is shared, reusable FEC.
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ from typing import List, Optional
 
 import numpy as np
 
+from futuresdr_tpu.models.streaming import StreamingReceiver
 from futuresdr_tpu.models.rattlegram.polar import (
     frozen_mask,
     polar_decode_sc,
@@ -125,20 +128,62 @@ class RattlegramFrame:
     start: int
 
 
-class RattlegramReceiver:
+@lru_cache(maxsize=None)
+def _sync_score_fn(n: int):
+    """Device normalized sync correlation over an ``n``-sample buffer:
+    ``score = correlate(x, tmpl) / (sqrt(movsum(x², L)·Σtmpl²) + 1e-9)``
+    — numerics-matched to the previous host ``np.correlate`` form, which
+    cost O(N·7680) host MACs (the dominant wall time of small captures)."""
+    import jax
+
+    from futuresdr_tpu.ops.fir import conv1d_valid, moving_sum
+
+    tmpl = _sync_symbol()
+    # conv1d_valid applies taps reversed (out[k] = Σ x[k+t]·taps[T-1-t]);
+    # pass them reversed so the product is the plain correlation
+    taps = np.ascontiguousarray(tmpl[::-1]).astype(np.float32)
+    t2 = float(np.sum(tmpl.astype(np.float64) ** 2))
+
+    def fn(x):
+        cor = conv1d_valid(x, taps)
+        energy = moving_sum(x * x, SYMBOL_LEN)
+        import jax.numpy as jnp
+
+        return cor / (jnp.sqrt(energy * t2) + 1e-9)
+
+    return jax.jit(fn)
+
+
+class RattlegramReceiver(StreamingReceiver):
+    """process/process_stream come from :class:`StreamingReceiver`: the
+    device sync-correlation program dispatches per chunk without a host
+    sync; the score fetch + per-candidate OFDM demod land in _collect."""
+
     def __init__(self, list_size: int = 8):
         self.list_size = int(list_size)
         self.frames: List[RattlegramFrame] = []
 
-    def process(self, audio: np.ndarray) -> List[RattlegramFrame]:
+    def _dispatch(self, audio):
+        import jax.numpy as jnp
+
         x = np.asarray(audio, np.float32)
-        tmpl = _sync_symbol()
-        # sync correlation (normalized) over the buffer
-        cor = np.correlate(x, tmpl, mode="valid")
-        energy = np.convolve(
-            x * x, np.ones(SYMBOL_LEN, np.float32), "valid"
-        )
-        score = cor / (np.sqrt(energy * float(np.sum(tmpl * tmpl))) + 1e-9)
+        n_real = len(x)
+        pad = (-len(x)) % 16384  # stable jit shapes
+        if pad:
+            x = np.concatenate([x, np.zeros(pad, np.float32)])
+        if len(x) < SYMBOL_LEN:
+            return {"x": x, "n_real": n_real, "score": None}
+        return {
+            "x": x,
+            "n_real": n_real,
+            "score": _sync_score_fn(len(x))(jnp.asarray(x)),
+        }
+
+    def _collect(self, d) -> List[RattlegramFrame]:
+        x, n_real = d["x"], d["n_real"]
+        if d["score"] is None:
+            return []
+        score = np.asarray(d["score"])
         out: List[RattlegramFrame] = []
         thr = 0.5
         order = np.argsort(score)[::-1]
@@ -149,6 +194,8 @@ class RattlegramReceiver:
                 break
             if any(abs(p - t) < EXT_LEN for t in taken):
                 continue
+            if p + SYMBOL_LEN + SYMBOL_COUNT * EXT_LEN > n_real:
+                continue  # frame would extend into the shape padding
             f = self._demod(x, p)
             if f is not None:
                 taken.append(p)

@@ -35,6 +35,7 @@ from futuresdr_tpu.models.wlan.viterbi import (
     viterbi_decode,
     viterbi_decode_soft,
 )
+from futuresdr_tpu.models.streaming import StreamingReceiver
 from futuresdr_tpu.ops import cplx
 from futuresdr_tpu.ops.cplx import CArray
 from futuresdr_tpu.ops.fft import fft_c, fftshift_c
@@ -605,7 +606,7 @@ def prepare_device_iq(iq: np.ndarray):
     return x, n_real, bucket
 
 
-class WlanReceiver:
+class WlanReceiver(StreamingReceiver):
     """Chunk-oriented receiver: feed IQ, collect decoded frames."""
 
     def __init__(self, max_frames_per_chunk: int = 16, soft: bool = True):

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from futuresdr_tpu.models.streaming import StreamingReceiver
 from futuresdr_tpu.ops import cplx
 
 SPS = 2  # samples per chip (4 MS/s at 2 Mchip/s)
@@ -261,7 +262,7 @@ class ZigbeeFrame:
     start: int
 
 
-class ZigbeeReceiver:
+class ZigbeeReceiver(StreamingReceiver):
     """Batched whole-capture receiver: every PPDU in the chunk decodes
     from ONE device program + one small fetch (see ``_rx_program``)."""
 
@@ -269,22 +270,8 @@ class ZigbeeReceiver:
         self.max_frames = int(max_frames_per_chunk)
         self.frames: List[ZigbeeFrame] = []
 
-    def process(self, iq: np.ndarray) -> List[ZigbeeFrame]:
-        return self._collect(self._dispatch(iq))
-
-    def process_stream(self, chunks):
-        """Pipelined decode of an iterable of IQ chunks: chunk ``i+1``'s
-        single device program dispatches before chunk ``i``'s fetch (the
-        WLAN/ADS-B ``process_stream`` pattern). Yields per-chunk frame
-        lists in order."""
-        pending = None
-        for iq in chunks:
-            d = self._dispatch(iq)
-            if pending is not None:
-                yield self._collect(pending)
-            pending = d
-        if pending is not None:
-            yield self._collect(pending)
+    # process/process_stream come from StreamingReceiver
+    # (models/streaming.py — the shared dispatch/collect harness)
 
     def _dispatch(self, iq):
         if isinstance(iq, cplx.CArray):

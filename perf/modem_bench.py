@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 RESIDENT = False  # --resident: upload once, time decode from device IQ
 SCALE = 1  # --scale: frame-count multiplier (amortizes fixed RTT costs)
+STREAM = 0  # --stream N: decode N capture-chunks through process_stream
 
 
 def _time_reps(name, rx_factory, sig, n_frames, fs_hz, reps, resident_ok=True):
@@ -37,10 +38,20 @@ def _time_reps(name, rx_factory, sig, n_frames, fs_hz, reps, resident_ok=True):
         name += "(resident)"
     rx_factory().process(feed)  # warm/compile with identical shapes
     best = 0.0
+    n_chunks = max(1, STREAM)
     for _ in range(reps):
         rx = rx_factory()
         t0 = time.perf_counter()
-        frames = rx.process(feed)
+        if STREAM:
+            # pipelined stream mode (StreamingReceiver): chunk i+1's
+            # device program dispatches before chunk i's fetch+decode
+            frames = [
+                f
+                for out in rx.process_stream(feed for _ in range(n_chunks))
+                for f in out
+            ]
+        else:
+            frames = rx.process(feed)
         dt = time.perf_counter() - t0
         # per-frame CRC flag: LoRa/ZigBee use .crc_ok, ADS-B .crc_passed,
         # M17 .lsf_crc_ok — never default a missing flag to True
@@ -53,9 +64,15 @@ def _time_reps(name, rx_factory, sig, n_frames, fs_hz, reps, resident_ok=True):
             raise AttributeError(f"{type(f).__name__} has no CRC flag")
 
         ok = sum(1 for f in frames if _ok(f))
-        assert ok >= n_frames, f"{name}: {ok}/{n_frames} decoded"
-        best = max(best, n_samples / dt / 1e6)
+        assert ok >= n_frames * n_chunks, (
+            f"{name}: {ok}/{n_frames * n_chunks} decoded"
+        )
+        best = max(best, n_samples * n_chunks / dt / 1e6)
     rt = fs_hz / 1e6
+    if STREAM:
+        name += f"(stream x{n_chunks})"
+        n_frames *= n_chunks
+        n_samples *= n_chunks
     print(
         f"{name}: {best:.2f} MS/s  ({best / rt:.0f}x real-time @ "
         f"{rt:.3g} MS/s, {n_frames} frames, {n_samples/1e6:.2f} M samples)",
@@ -182,11 +199,9 @@ def bench_rattlegram(reps):
         parts.append(np.zeros(RATE // 4, np.float32))
     sig = np.concatenate(parts)
 
-    class _Rx:
-        def process(self, audio):
-            return ExactDecoder().process(audio)
-
-    _time_reps("rattlegram", _Rx, sig, n, RATE, reps, resident_ok=False)
+    _time_reps(
+        "rattlegram", ExactDecoder, sig, n, RATE, reps, resident_ok=False
+    )
 
 
 def main() -> None:
@@ -200,15 +215,24 @@ def main() -> None:
     )
     ap.add_argument("--scale", type=int, default=1)
     ap.add_argument(
+        "--stream",
+        type=int,
+        default=0,
+        metavar="N",
+        help="decode N copies of the capture as a pipelined chunk stream "
+        "(process_stream) instead of one process() call",
+    )
+    ap.add_argument(
         "--resident",
         action="store_true",
         help="upload IQ once; time decode from device-resident samples "
         "(adsb/zigbee; the deployable number on tunnel-limited hosts)",
     )
     args = ap.parse_args()
-    global RESIDENT, SCALE
+    global RESIDENT, SCALE, STREAM
     RESIDENT = args.resident
     SCALE = args.scale
+    STREAM = args.stream
     if args.cpu:
         import jax
 
