@@ -251,6 +251,8 @@ class UdpIqSource(Block):
             self._ring, bind, port, item_bytes=self._item
         )
         self._closed = False
+        self.message_outputs = ["overflows"]
+        self._dropped_seen = 0
 
     @property
     def bound_port(self) -> int:
@@ -267,9 +269,28 @@ class UdpIqSource(Block):
         d, b, drop = self._reader.stats()
         return Pmt({"datagrams": d, "bytes": b, "dropped": drop})
 
+    @message_handler("overflows")
+    def _h_overflows(self, pmt: Pmt) -> Pmt:
+        """Query the total dropped-datagram count (reference parity:
+        seify source.rs:36 — `overflows` returns Pmt::U64)."""
+        return Pmt.u64(self._reader.stats()[2])
+
+    def take_overflow_delta(self) -> int:
+        """Dropped-datagram growth since the last call (the native ring
+        producer drops WHOLE datagrams while full, ringbuf.cpp)."""
+        drop = self._reader.stats()[2]
+        delta = drop - self._dropped_seen
+        self._dropped_seen = drop
+        return int(delta)
+
     def host_produce(self, n: int, port: int = 0):
         if self._closed:
             return None
+        delta = self.take_overflow_delta()
+        if delta:
+            # surfaced as an event, the observable form of the
+            # reference's overflow accounting (its actor logs + counts)
+            self.post("overflows", Pmt.u64(delta))
         want = n * self._item
         if want > self._ring.capacity // 2:
             # needs headroom past the chunk itself: readable() only

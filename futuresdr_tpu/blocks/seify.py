@@ -149,6 +149,101 @@ class RtlTcpClient:
             pass
 
 
+class AaroniaHttpClient:
+    """Aaronia SPECTRAN/RTSA-suite HTTP IQ client (plain HTTP polling).
+
+    Parity: the reference's seify ``aaronia_http`` driver feature
+    (``/root/reference/Cargo.toml:33``) — the one reference radio driver
+    that needs no physical bus, only the RTSA suite's HTTP server. The
+    protocol is the suite's documented remote interface:
+
+    * ``GET {url}/sample`` → one JSON record per call with metadata
+      (``startTime``/``endTime``/``startFrequency``/``endFrequency``/
+      ``sampleFrequency``) and the IQ payload as an interleaved float
+      array under ``samples``.
+    * ``PUT {url}/control`` with a JSON body to retune (center
+      ``frequency``, ``sampleRate``, ``gain`` keys are forwarded as-is;
+      RTSA mission configs may nest these differently — the fake-server
+      test pins this client's wire behavior).
+    * ``GET {url}/health`` liveness probe at connect.
+    """
+
+    def __init__(self, url: str, timeout: float = 5.0):
+        import urllib.request
+
+        self.base = url.rstrip("/")
+        self.timeout = float(timeout)
+        self._open = urllib.request.urlopen
+        self._carry = np.zeros(0, np.complex64)
+        self._eof = False
+        try:
+            with self._open(
+                f"{self.base}/health", timeout=self.timeout
+            ) as r:
+                r.read()
+        except Exception as e:  # noqa: BLE001 - connect-time diagnosis
+            raise ConnectionError(
+                f"no Aaronia HTTP server at {self.base}: {e}"
+            ) from e
+
+    def put_control(self, **fields) -> None:
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.base}/control",
+            data=json.dumps(fields).encode(),
+            headers={"Content-Type": "application/json"},
+            method="PUT",
+        )
+        with self._open(req, timeout=self.timeout) as r:
+            r.read()
+
+    def _fetch_block(self) -> Optional[np.ndarray]:
+        """One /sample record → complex64 array (None on server EOF)."""
+        import json
+        import urllib.error
+
+        try:
+            with self._open(
+                f"{self.base}/sample", timeout=self.timeout
+            ) as r:
+                rec = json.loads(r.read().decode())
+        except urllib.error.HTTPError as e:
+            if e.code in (404, 410):  # stream ended / mission stopped
+                return None
+            raise
+        except (ConnectionError, OSError):
+            return None
+        flat = np.asarray(rec.get("samples", ()), np.float32)
+        if flat.size == 0:
+            return np.zeros(0, np.complex64)
+        return (flat[0::2] + 1j * flat[1::2]).astype(np.complex64)
+
+    def read(self, n_samples: int) -> Optional[np.ndarray]:
+        """Up to ``n`` samples; None once the server signals EOF and the
+        carry is drained. Short mid-stream chunks are avoided by carrying
+        partial records across calls (rtl_tcp driver contract)."""
+        while len(self._carry) < n_samples and not self._eof:
+            blk = self._fetch_block()
+            if blk is None:
+                self._eof = True
+                break
+            if blk.size == 0:
+                break  # server alive but idle: hand back what we have
+            self._carry = np.concatenate([self._carry, blk])
+        if self._eof and len(self._carry) == 0:
+            return None
+        out, self._carry = (
+            self._carry[:n_samples],
+            self._carry[n_samples:],
+        )
+        return out
+
+    def close(self) -> None:
+        pass  # stateless polling client
+
+
 def _parse_args(args: Optional[str]) -> Dict[str, str]:
     out: Dict[str, str] = {}
     for part in (args or "").split(","):
@@ -175,6 +270,7 @@ class SeifySource(Block):
         host: Optional[str] = None,
         port: Optional[int] = None,
         fmt: Optional[str] = None,
+        url: Optional[str] = None,
         tone_offset: float = 100e3,
         noise_power: float = 1e-4,
         name: Optional[str] = None,
@@ -197,15 +293,28 @@ class SeifySource(Block):
         self._file = None
         self._rtl: Optional[RtlTcpClient] = None
         self._udp = None
-        if driver == "file":
+        self._http: Optional[AaroniaHttpClient] = None
+        if driver == "aaronia_http":
+            base = url or (
+                f"http://{host or '127.0.0.1'}:{int(port or 54664)}"
+            )
+            self._http = AaroniaHttpClient(base)
+            self._http.put_control(
+                frequency=self.frequency,
+                sampleRate=self.sample_rate,
+                gain=self.gain,
+            )
+        elif driver == "file":
             if not path:
                 raise ValueError("driver=file needs path=...")
             self._file = np.memmap(path, dtype=np.complex64, mode="r")
             self._pos = 0
         elif driver == "rtl_tcp":
-            self._rtl = RtlTcpClient(
-                host=host or "127.0.0.1", port=int(port or 1234)
-            )
+            self._host = host or "127.0.0.1"
+            self._port = int(port or 1234)
+            self._reconnect_tries = 3
+            self._reconnect_wait = 0.2
+            self._rtl = RtlTcpClient(host=self._host, port=self._port)
             self._rtl.set_sample_rate(self.sample_rate)
             self._rtl.set_freq(self.frequency)
             self._rtl.set_gain(self.gain)
@@ -226,8 +335,8 @@ class SeifySource(Block):
         elif driver != "dummy":
             raise ValueError(
                 f"driver {driver!r} not available on this platform — use "
-                "'dummy', 'file', 'rtl_tcp', 'udp', or network ingest "
-                "blocks (Tcp/Udp/Zmq)"
+                "'dummy', 'file', 'rtl_tcp', 'udp', 'aaronia_http', or "
+                "network ingest blocks (Tcp/Udp/Zmq)"
             )
 
     # ---- message handlers (seify/source.rs:126-210 ports) --------------
@@ -236,6 +345,8 @@ class SeifySource(Block):
         self.frequency = float(pmt.as_float())
         if self._rtl is not None:
             self._rtl.set_freq(self.frequency)
+        if self._http is not None:
+            self._http.put_control(frequency=self.frequency)
         return Pmt.ok()
 
     @message_handler("gain")
@@ -244,6 +355,8 @@ class SeifySource(Block):
         self.gain = None if v is None else float(v)  # None → back to AGC
         if self._rtl is not None:
             self._rtl.set_gain(self.gain)
+        if self._http is not None:
+            self._http.put_control(gain=self.gain)
         return Pmt.ok()
 
     @message_handler("sample_rate")
@@ -251,6 +364,8 @@ class SeifySource(Block):
         self.sample_rate = float(pmt.as_float())
         if self._rtl is not None:
             self._rtl.set_sample_rate(self.sample_rate)
+        if self._http is not None:
+            self._http.put_control(sampleRate=self.sample_rate)
         return Pmt.ok()
 
     @message_handler("cmd")
@@ -271,11 +386,55 @@ class SeifySource(Block):
         """The UDP driver's bound port (None for other drivers)."""
         return self._udp.bound_port if self._udp is not None else None
 
+    @message_handler("overflows")
+    def _overflows(self, pmt: Pmt) -> Pmt:
+        """Query the receive-overflow count as Pmt::U64 (parity:
+        seify source.rs:36)."""
+        if self._udp is not None:
+            return Pmt.u64(self._udp.stats()[2])
+        return Pmt.u64(0)
+
     def host_produce(self, n: int, port: int = 0):
         if self._udp is not None:
+            delta = self._udp.take_overflow_delta()
+            if delta:
+                # live-ingest fault surfacing: dropped-datagram growth is
+                # posted on the `overflows` message OUTPUT (event form of
+                # the reference's overflow counter)
+                self.post("overflows", Pmt.u64(delta))
             return self._udp.host_produce(n, port)
         if self._rtl is not None:
-            return self._rtl.read(n)
+            chunk = self._rtl.read(n)
+            if chunk is not None:
+                return chunk
+            # A live radio stream has no natural EOF: the server closing
+            # mid-stream is a fault. Try to rejoin (rtl_tcp servers are
+            # routinely restarted), then surface the loss through the
+            # executor error path -> handle.join() (the reference's
+            # BadBlock-class error discipline, tests/bad_block.rs).
+            self._rtl.close()  # release the dead socket before rejoining
+            import time as _time
+
+            err: Optional[BaseException] = None
+            for _ in range(self._reconnect_tries):
+                _time.sleep(self._reconnect_wait)
+                try:
+                    self._rtl = RtlTcpClient(
+                        host=self._host, port=self._port
+                    )
+                    self._rtl.set_sample_rate(self.sample_rate)
+                    self._rtl.set_freq(self.frequency)
+                    self._rtl.set_gain(self.gain)
+                    return np.zeros(0, np.complex64)  # rejoined: retry
+                except OSError as e:
+                    err = e
+            raise ConnectionError(
+                f"rtl_tcp server at {self._host}:{self._port} closed "
+                f"mid-stream and reconnect failed after "
+                f"{self._reconnect_tries} tries: {err}"
+            )
+        if self._http is not None:
+            return self._http.read(n)
         if self._file is not None:
             end = min(self._pos + n, len(self._file))
             if self._pos >= len(self._file):
@@ -388,6 +547,7 @@ class Builder:
             host=self._cfg.get("host"),
             port=int(self._cfg["port"]) if "port" in self._cfg else None,
             fmt=self._cfg.get("fmt"),
+            url=self._cfg.get("url"),
         )
 
     def build_sink(self) -> SeifySink:

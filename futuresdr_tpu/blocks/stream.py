@@ -251,9 +251,9 @@ class Selector(Block):
     - ``DropAll``: same ring while unselected, but switching TO an input
       **flushes** its backlog (the reference drains everything pending,
       ``consume(usize::MAX)``, selector.rs:204-207) — output resumes from
-      live samples immediately. The flushed item count is surfaced in aux
-      as ``selector_flushed`` (→ ``last_aux``), the lockstep-SDF
-      observable of the reference's drain."""
+      live samples immediately. The flushed backlog size (in chunks) is
+      surfaced in aux as ``selector_flushed`` (→ ``last_aux``), the
+      lockstep-SDF observable of the reference's drain."""
 
     def __init__(
         self,
@@ -298,7 +298,7 @@ class Selector(Block):
         return Pmt.u32(int(self._params["output_index"]))
 
     def make_state(self, in_sizes, out_sizes):
-        if self.drop_policy != DropPolicy.NO_DROP:
+        if self.drop_policy == DropPolicy.SAME_RATE:
             return None
         n, k, r = len(self.stream_inputs), self.hold_chunks, in_sizes[0]
         buf = (
@@ -308,7 +308,11 @@ class Selector(Block):
         )
         head = jnp.zeros((n,), jnp.int32)
         count = jnp.zeros((n,), jnp.int32)
-        return (buf, head, count)
+        if self.drop_policy == DropPolicy.NO_DROP:
+            return (buf, head, count)
+        # DropAll: also carry the previous selection so a switch is
+        # detectable on device (the flush edge)
+        return (buf, head, count, jnp.int32(0))
 
     def _route(self, emit, params):
         outs = []
@@ -326,8 +330,8 @@ class Selector(Block):
     def apply(self, state, inputs, params):
         import jax
 
-        if self.drop_policy != DropPolicy.NO_DROP:
-            # SameRate / DropAll: unselected chunks dropped, ring-free
+        if self.drop_policy == DropPolicy.SAME_RATE:
+            # SameRate: unselected chunks dropped each step, ring-free
             stacked = cplx.stack(inputs, axis=0)  # [N, C]
             emit = cplx.apply1(
                 lambda t: jax.lax.dynamic_index_in_dim(
@@ -337,15 +341,27 @@ class Selector(Block):
             )
             return state, self._route(emit, params), {}
 
-        buf, head, count = state
+        drop_all = self.drop_policy == DropPolicy.DROP_ALL
+        if drop_all:
+            buf, head, count, prev = state
+        else:
+            buf, head, count = state
+            prev = None
         k = self.hold_chunks
         idx = params["input_index"]
         emit = None
+        flushed = jnp.int32(0)
         new_bufs, new_heads, new_counts = [], [], []
         for i, live in enumerate(inputs):
             buf_i = buf[i]  # [K, R]
             h_i, c_i = head[i], count[i]
             sel = idx == i
+            if drop_all:
+                # switching TO this input drains its backlog (the
+                # reference's consume-everything, selector.rs:204-207)
+                switched = sel & (prev != idx)
+                flushed = flushed + jnp.where(switched, c_i, 0)
+                c_i = jnp.where(switched, 0, c_i)
             has = c_i > 0
             pop = sel & has
             push = pop | (~sel & (c_i < k))
@@ -381,12 +397,18 @@ class Selector(Block):
             new_counts.append(
                 c_i - pop.astype(jnp.int32) + push.astype(jnp.int32)
             )
-        new_state = (
+        ring = (
             cplx.stack(new_bufs, axis=0),
             jnp.stack(new_heads),
             jnp.stack(new_counts),
         )
-        return new_state, self._route(emit, params), {}
+        if drop_all:
+            return (
+                (*ring, jnp.asarray(idx, jnp.int32)),
+                self._route(emit, params),
+                {"selector_flushed": flushed},
+            )
+        return ring, self._route(emit, params), {}
 
 
 class TagDebug(Block):

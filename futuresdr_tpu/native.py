@@ -375,10 +375,13 @@ class NativeUdpReader:
             return tuple(
                 int(self._m.udp_reader_stat(self._h, i)) for i in range(3)
             )
+        if getattr(self, "_final_stats", None) is not None:
+            return self._final_stats  # native reader already stopped
         return tuple(self._stats)
 
     def stop(self) -> None:
         if self._h is not None:
+            self._final_stats = self.stats()  # keep counters queryable
             self._m.udp_reader_stop(self._h)
             self._h = None
         elif self._thread is not None:

@@ -162,6 +162,8 @@ class Executor:
         self._in_loop = False  # run_loop actively processing
         self._snap_lock = threading.Lock()
         self._nofetch_steps = 0
+        self._inflight: "deque" = deque()
+        self._lat_live: Dict[str, int] = {}
         self._probes: "deque" = deque()  # rolling dispatch-queue bound
         self._probe_cadence: Optional[int] = None  # steps between probes
         self._probe_t = 0.0
@@ -746,6 +748,19 @@ class Executor:
         self._in_loop = True
         try:
             self._run_loop_impl()
+        except BaseException:
+            # a failing source/sink must not erase completed device work:
+            # deliver every in-flight step before surfacing the error
+            # (parity: the reference returns the flowgraph with block
+            # state intact even on error, runtime.rs:589-596)
+            try:
+                while self._inflight:
+                    self._deliver_full(
+                        self._inflight.popleft(), self._lat_live
+                    )
+            except BaseException:  # noqa: BLE001 - best-effort drain
+                pass
+            raise
         finally:
             self._in_loop = False
 
@@ -759,11 +774,13 @@ class Executor:
             b._wake_fn = self._wake.set
         states = cfg.init_states()
         inflight: "deque[_Inflight]" = deque()
+        self._inflight = inflight  # visible to run_loop's error drain
         lat_left = {
             cfg.pkey(bid, e.dst_port): cfg.edge_latency[e]
             for bid in cfg.host_sink_ids
             for e in fg.in_edges(bid)
         }
+        self._lat_live = lat_left  # shared dict: error drain sees trims
         step_base = 0
         if self._restore_path is not None:
             from futuresdr_tpu.runtime.checkpoint import load_checkpoint

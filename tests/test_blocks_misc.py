@@ -151,20 +151,44 @@ def test_selector_same_rate_drops_unselected():
     assert np.all(out[2] == 22.0) and np.all(out[3] == 23.0)
 
 
-def test_selector_drop_all_matches_same_rate_in_lockstep():
-    # in the static SDF executor every input presents exactly one chunk
-    # per step, so DropAll's "drain the backlog" degenerates to SameRate
-    # (documented in the Selector docstring)
+def test_selector_drop_policies_distinguished():
+    """One switch sequence, all three policies (selector.rs:199-210):
+
+    - SameRate consumes unselected chunks each step → switch shows live;
+    - NoDrop buffers them → switch replays the backlog oldest-first;
+    - DropAll buffers while unselected but DRAINS the backlog at the
+      switch (``consume(usize::MAX)``) → switch shows live, and the
+      flushed chunk count is observable via ``selector_flushed`` aux.
+    """
     from futuresdr_tpu.blocks.stream import DropPolicy
     from futuresdr_tpu.runtime.mocker import Mocker
 
-    sel = Selector(2, 1, np.float32, drop_policy=DropPolicy.DROP_ALL)
-    m = Mocker(sel)
-    _sel_step(m, sel, np.full(16, 1.0, np.float32), np.full(16, 5.0, np.float32))
-    m.post("input_index", 1)
-    _sel_step(m, sel, np.full(16, 2.0, np.float32), np.full(16, 6.0, np.float32))
-    out = m.output(0).reshape(2, 16)
-    assert np.all(out[0] == 1.0) and np.all(out[1] == 6.0)
+    outs = {}
+    flushed_at_switch = {}
+    for pol in (
+        DropPolicy.SAME_RATE,
+        DropPolicy.NO_DROP,
+        DropPolicy.DROP_ALL,
+    ):
+        sel = Selector(2, 1, np.float32, drop_policy=pol, hold_chunks=4)
+        m = Mocker(sel)
+        a = [np.full(8, 10.0 + i, np.float32) for i in range(4)]
+        b = [np.full(8, 20.0 + i, np.float32) for i in range(4)]
+        _sel_step(m, sel, a[0], b[0])
+        _sel_step(m, sel, a[1], b[1])
+        m.post("input_index", 1)
+        _sel_step(m, sel, a[2], b[2])
+        flushed_at_switch[pol] = sel.last_aux.get("selector_flushed")
+        _sel_step(m, sel, a[3], b[3])
+        outs[pol] = m.output(0).reshape(4, 8)[:, 0].tolist()
+    assert outs[DropPolicy.SAME_RATE] == [10.0, 11.0, 22.0, 23.0]
+    # DropAll: b0/b1 were buffered, then drained at the switch → live out
+    assert outs[DropPolicy.DROP_ALL] == [10.0, 11.0, 22.0, 23.0]
+    assert int(flushed_at_switch[DropPolicy.DROP_ALL]) == 2
+    # NoDrop: the backlog survives the switch and replays in order
+    assert outs[DropPolicy.NO_DROP] == [10.0, 11.0, 20.0, 21.0]
+    assert flushed_at_switch[DropPolicy.SAME_RATE] is None
+    assert flushed_at_switch[DropPolicy.NO_DROP] is None
 
 
 def test_selector_no_drop_holds_unselected_samples():

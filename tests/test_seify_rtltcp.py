@@ -29,6 +29,9 @@ class FakeRtlTcpServer:
         self.gain_count = gain_count
         self.commands = []  # (cmd_id, param) in arrival order
         self._lsock = socket.socket()
+        # accepted conns inherit this; without it their TIME_WAIT ghosts
+        # block a same-port server restart (the reconnect test)
+        self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._lsock.bind(("127.0.0.1", 0))
         self._lsock.listen(1)
         self.port = self._lsock.getsockname()[1]
@@ -171,3 +174,139 @@ def test_seify_udp_driver_streams_iq():
     # live drivers opt out of checkpoint state (resume rejoins the stream)
     assert src.host_state() is None
     src.on_finish()
+
+
+# ---------------------------------------------------------------------------
+# Live-ingest fault injection (VERDICT r4: overflow surfacing + server loss)
+# ---------------------------------------------------------------------------
+
+
+def test_udp_overflow_pmt_reaches_message_port():
+    """Flood a tiny ring past capacity: the dropped-datagram count must
+    arrive as a Pmt on the seify `overflows` message OUTPUT, and the
+    reference-parity `overflows` query handler must report the total
+    (seify source.rs:36)."""
+    import time
+
+    from futuresdr_tpu.blocks import MessageSink, NullSink
+    from futuresdr_tpu.runtime.executor import Executor
+
+    src = Builder(
+        "driver=udp,host=127.0.0.1,port=0,fmt=cf32"
+    ).build_source()
+    # shrink the ring AFTER construction so chunk-size validation stays
+    # honest: 64 KiB ring, 4096-sample cf32 chunks (32 KiB) leave <1
+    # datagram of headroom once a chunk is buffered
+    from futuresdr_tpu.native import NativeRing, NativeUdpReader
+
+    src._udp._reader.stop()
+    src._udp._ring = NativeRing(1 << 16)
+    src._udp._reader = NativeUdpReader(
+        src._udp._ring, "127.0.0.1", 0, item_bytes=src._udp._item
+    )
+    port = src.bound_port
+
+    fg = Flowgraph()
+    msink = MessageSink()
+    connect(fg, src, Head(40960, np.complex64), VectorSink(np.complex64))
+    fg.message(src, "overflows", msink, "in")
+
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    stop = threading.Event()
+
+    def flood():
+        payload = np.zeros(2048, np.complex64).tobytes()  # 16 KiB each
+        while not stop.is_set():
+            tx.sendto(payload, ("127.0.0.1", port))
+            time.sleep(0.0002)
+
+    t = threading.Thread(target=flood, daemon=True)
+    t.start()
+    try:
+        from futuresdr_tpu.runtime.executor import Executor
+
+        ex = Executor(fg, chunk_size=4096)
+        handle = ex.start()
+        assert _wait_for(lambda: len(msink.received) > 0, timeout=20.0)
+        handle.stop()
+        handle.wait(timeout=30.0)
+    finally:
+        stop.set()
+        t.join(timeout=2.0)
+    total = src.call_handler("overflows", Pmt.ok()).to_py()
+    assert total >= sum(p.to_py() for p in msink.received) > 0
+
+
+def test_rtl_tcp_server_death_surfaces_error():
+    """Kill the fake server mid-stream with no restart: the graph must
+    fail through join() with the real ConnectionError (the reference's
+    BadBlock error-path discipline), not hang or end silently."""
+    srv = FakeRtlTcpServer(n_samples=8192)  # stream ends after 8192
+    src = Builder(
+        f"driver=rtl_tcp,host=127.0.0.1,port={srv.port}"
+    ).build_source()
+    src._reconnect_wait = 0.05
+    fg = Flowgraph()
+    snk = VectorSink(np.complex64)
+    connect(fg, src, snk)  # no Head: we stream until the server dies
+    from futuresdr_tpu.runtime.executor import Executor
+
+    ex = Executor(fg, chunk_size=4096)
+    handle = ex.start()
+    try:
+        handle.wait(timeout=60.0)
+        assert False, "expected ConnectionError from join()"
+    except ConnectionError as e:
+        assert "rtl_tcp" in str(e) and "reconnect failed" in str(e)
+    assert len(snk.data()) == 8192  # everything before the loss arrived
+
+
+def test_rtl_tcp_server_restart_reconnects():
+    """Kill and RESTART the fake server on the same port mid-stream: the
+    source rejoins and the graph keeps streaming across both epochs."""
+    import time
+
+    srv = FakeRtlTcpServer(n_samples=8192)
+    port = srv.port
+    src = Builder(
+        f"driver=rtl_tcp,host=127.0.0.1,port={port}"
+    ).build_source()
+    src._reconnect_tries = 40  # restart below is slower than one epoch
+    src._reconnect_wait = 0.1
+
+    restarted = {}
+
+    def restart():
+        srv.join()  # first epoch's stream fully sent + closed
+        restarted["srv"] = FakeRtlTcpServer.__new__(FakeRtlTcpServer)
+        s2 = restarted["srv"]
+        s2.n_samples = 8192
+        s2.tuner_type, s2.gain_count = 5, 29
+        s2.commands = []
+        # the dying connection may linger past srv.join()'s timeout —
+        # retry the rebind until the port frees up
+        deadline = threading.Event()
+        for _ in range(100):
+            s2._lsock = socket.socket()
+            s2._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            try:
+                s2._lsock.bind(("127.0.0.1", port))
+                break
+            except OSError:
+                s2._lsock.close()
+                deadline.wait(0.1)
+        s2._lsock.listen(1)
+        s2.port = port
+        s2.iq_bytes = srv.iq_bytes
+        s2._thread = threading.Thread(target=s2._serve, daemon=True)
+        s2._thread.start()
+
+    t = threading.Thread(target=restart, daemon=True)
+    t.start()
+    fg = Flowgraph()
+    snk = VectorSink(np.complex64)
+    connect(fg, src, Head(16384, np.complex64), snk)
+    Runtime(chunk_size=4096).run(fg)
+    t.join(timeout=10.0)
+    y = snk.data()
+    assert len(y) == 16384  # both epochs' samples delivered in order
