@@ -317,14 +317,23 @@ def make_sharded_bank_step_2d_partial(
     Mc = M // C
     K = 2 * L * M + Mc * Ha
 
-    # host-built operands, sharded by the channel mesh axis via in_specs
+    # host-built operands, committed PRE-SHARDED onto the mesh (row
+    # slices over the channel axis): a NamedSharding device_put works
+    # identically on a single-process mesh and under jax.distributed,
+    # where a plain jnp.asarray would be a local-only array that cannot
+    # cross into a multi-process shard_map
+    from jax.sharding import NamedSharding
+
+    row_spec = NamedSharding(mesh, P(ch_axis, None))
     bt = np.asarray(branch_taps)
-    w_rev = jnp.asarray(np.ascontiguousarray(bt[:, ::-1]))  # [M, L]
+    w_rev = jax.device_put(
+        np.ascontiguousarray(bt[:, ::-1]).astype(np.float32), row_spec
+    )  # [M, L]
     k = np.arange(M, dtype=np.float64)[:, None]
     p = np.arange(M, dtype=np.float64)[None, :]
     ang = -2.0 * np.pi * k * p / M
-    d_re = jnp.asarray(np.cos(ang).astype(np.float32))  # [M, M]
-    d_im = jnp.asarray(np.sin(ang).astype(np.float32))
+    d_re = jax.device_put(np.cos(ang).astype(np.float32), row_spec)
+    d_im = jax.device_put(np.sin(ang).astype(np.float32), row_spec)
 
     def init_carry():
         return jnp.zeros((C, n_t, K), jnp.float32)
@@ -660,6 +669,14 @@ def make_sharded_bank_step_2d_partial_fused(
         raise ValueError(f"n_ch {M} not divisible by {C} channel shards")
     Mc = M // C
     K = 2 * L * M + Ha * Mc
+    # commit the column-sliced operands onto the mesh (see the einsum
+    # partial variant: required for multi-process meshes, harmless on one)
+    from jax.sharding import NamedSharding
+
+    col_spec = NamedSharding(mesh, P(None, ch_axis))
+    w_rev = jax.device_put(np.asarray(w_rev), col_spec)
+    dre = jax.device_put(np.asarray(dre), col_spec)
+    dim = jax.device_put(np.asarray(dim), col_spec)
 
     def init_carry():
         return jnp.zeros((C, n_t, K), jnp.float32)

@@ -126,6 +126,17 @@ def auto_kmax(shard_len: int) -> int:
     return shard_len // _DETECT_BLK + 2
 
 
+def _to_host(arr) -> np.ndarray:
+    """Fetch a device array fully onto the host; on a multi-process mesh
+    (non-addressable shards) gather across processes first."""
+    try:
+        return np.asarray(arr)
+    except RuntimeError:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 def sharded_phase1(
     iq: np.ndarray, mesh: Mesh, kmax_per_shard: Optional[int] = None
 ) -> List[Tuple[int, float, "C.FrameParam", float]]:
@@ -349,7 +360,7 @@ def sharded_rx(
         by_dev = _sharded_decode_tail_fn(mesh, name, nf)(
             eq_re, eq_im, jax.device_put(nbits, spec1)
         )
-        by = np.asarray(by_dev)
+        by = _to_host(by_dev)
         for i in idxs:
             s, _f, p, snr = dec[i]
             psdu = bytes(by[i, 2 : p.psdu_size + 2])

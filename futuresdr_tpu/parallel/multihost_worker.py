@@ -79,11 +79,71 @@ def main() -> int:
     e2 = float(np.max(np.abs(np.asarray(s2) - a2_full)))
     ok = e1 < 1e-5 and e2 < 1e-5
 
-    # --- sharded WLAN sync front across hosts (flat time axis over every
-    # device of every process; ppermute halos ride the DCN boundary) ----
+    # --- partial-DFT 2D variant (branch-sharded channelizer, operands
+    # committed onto the multi-process mesh) over the same host×chip mesh
+    from futuresdr_tpu.models.pfb_fm_bank import (
+        make_sharded_bank_step_2d_partial,
+    )
+    from futuresdr_tpu.parallel.multihost import gather_to_host as _gth
+
+    init_p, pstep = make_sharded_bank_step_2d_partial(
+        cfg, mesh, ch_axis="ici", time_axis="dcn"
+    )
+    cp = init_p()
+    pstep_j = jax.jit(pstep)
+    cp, p1 = pstep_j(cp, x)
+    cp, p2 = pstep_j(cp, x)
+    ep = max(
+        float(np.max(np.abs(np.asarray(s1) - _gth(p1)))),
+        float(np.max(np.abs(np.asarray(s2) - _gth(p2)))),
+    )
+    partial_ok = ep < 1e-5
+
+    # --- fused-Pallas sharded bank (interpret mode on CPU) over a FLAT
+    # time mesh spanning every device of every process
     from jax.sharding import Mesh
 
-    from futuresdr_tpu.models.wlan.sharded import check_sharded_vs_serial
+    from futuresdr_tpu.models.pfb_fm_bank import (
+        make_bank_step_fused,
+        make_sharded_bank_step_fused,
+    )
+    from futuresdr_tpu.parallel.multihost import global_iq_array
+
+    fmesh = Mesh(
+        np.asarray(
+            sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        ),
+        ("dcn",),  # flat time axis; name reused so global_iq_array shards it
+    )
+    n_f = len(jax.devices()) * args.r_per_shard * cfg.n_ch
+    xf_np = (
+        rng.standard_normal(n_f) + 1j * rng.standard_normal(n_f)
+    ).astype(np.complex64)
+    xf = global_iq_array(fmesh, xf_np)
+    init_cf, fstep = make_sharded_bank_step_fused(
+        cfg, fmesh, axis="dcn", interpret=True
+    )
+    cfc = init_cf()
+    fstep_j = jax.jit(fstep)
+    cfc, f1 = fstep_j(cfc, xf)
+    cfc, f2 = fstep_j(cfc, xf)
+    init_sf, sfstep = make_bank_step_fused(cfg, interpret=True)
+    stf = init_sf()
+    xfc = cplx.from_numpy(xf_np)
+    stf, sf1 = jax.jit(sfstep)(stf, xfc)
+    stf, sf2 = jax.jit(sfstep)(stf, xfc)
+    ef = max(
+        float(np.max(np.abs(np.asarray(sf1) - _gth(f1)))),
+        float(np.max(np.abs(np.asarray(sf2) - _gth(f2)))),
+    )
+    fused_ok = ef < 1e-5
+
+    # --- sharded WLAN sync front across hosts (flat time axis over every
+    # device of every process; ppermute halos ride the DCN boundary) ----
+    from futuresdr_tpu.models.wlan.sharded import (
+        check_sharded_rx_vs_serial,
+        check_sharded_vs_serial,
+    )
 
     wmesh = Mesh(np.asarray(jax.devices()), ("t",))
     try:
@@ -91,12 +151,22 @@ def main() -> int:
         wlan_ok = True
     except AssertionError:
         wlan_ok = False
-    ok = ok and wlan_ok
+    # ... and the FULL sharded receiver (frame-parallel equalize+Viterbi)
+    # byte-for-byte vs the serial WlanReceiver, across real processes
+    try:
+        check_sharded_rx_vs_serial(wmesh)
+        wlan_rx_ok = True
+    except AssertionError:
+        wlan_rx_ok = False
+    ok = ok and wlan_ok and wlan_rx_ok and partial_ok and fused_ok
 
     if args.process_id == 0:
         print(
             f"MULTIHOST_{'OK' if ok else 'FAIL'} maxerr={max(e1, e2):.3e} "
+            f"partial={'ok' if partial_ok else 'FAIL'}({ep:.1e}) "
+            f"fused={'ok' if fused_ok else 'FAIL'}({ef:.1e}) "
             f"wlan_front={'ok' if wlan_ok else 'FAIL'} "
+            f"wlan_rx={'ok' if wlan_rx_ok else 'FAIL'} "
             f"procs={jax.process_count()} devices={len(jax.devices())}",
             flush=True,
         )

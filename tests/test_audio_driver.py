@@ -148,3 +148,46 @@ def test_audio_file_source_compressed_without_ffmpeg(tmp_path, monkeypatch):
     mp3.write_bytes(b"\x00")
     with pytest.raises(RuntimeError, match="ffmpeg"):
         audio_mod.AudioFileSource(mp3)
+
+
+def test_audio_file_source_real_ffmpeg_roundtrip(tmp_path):
+    """REAL compressed bytes through the ffmpeg fallback: encode a 1 kHz
+    tone to mp3 with the actual ffmpeg binary (skip when absent — this
+    container ships no codec), decode it back through AudioFileSource,
+    and assert the tone survives (parity: rodio mp3 decode,
+    audio/file_source.rs)."""
+    import shutil
+    import subprocess
+    import wave as wave_mod
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None or shutil.which("ffprobe") is None:
+        pytest.skip("ffmpeg not installed in this environment")
+    fs = 22050
+    t = np.arange(fs, dtype=np.float32) / fs
+    tone = (0.8 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+    wav = tmp_path / "tone.wav"
+    with wave_mod.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(fs)
+        w.writeframes((tone * 32767).astype(np.int16).tobytes())
+    mp3 = tmp_path / "tone.mp3"
+    subprocess.run(
+        [ffmpeg, "-v", "error", "-y", "-i", str(wav), str(mp3)],
+        check=True,
+    )
+    src = audio_mod.AudioFileSource(mp3)
+    assert src.sample_rate == fs
+    got = src.host_produce(fs)
+    assert got is not None and len(got) > fs // 2
+    # tone recovery: projected amplitude ~0.8, residual low (lossy codec)
+    n = min(len(got), fs) - 2048
+    seg = np.asarray(got[1024 : 1024 + n], np.float64)
+    tt = np.arange(n) / fs
+    s, c = np.sin(2 * np.pi * 1000.0 * tt), np.cos(2 * np.pi * 1000.0 * tt)
+    a, b = 2 * np.mean(seg * s), 2 * np.mean(seg * c)
+    amp = float(np.hypot(a, b))
+    fit = a * s + b * c
+    snr = 10 * np.log10(np.mean(fit**2) / (np.mean((seg - fit) ** 2) + 1e-12))
+    assert 0.6 < amp < 1.0 and snr > 15.0, (amp, snr)
