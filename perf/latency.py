@@ -1,4 +1,4 @@
-"""End-to-end chunk latency CDF.
+"""End-to-end chunk latency CDF + operating-curve sweep.
 
 Parity: ``perf/null_rand_latency`` / ``perf/fir_latency`` — the reference
 tags samples with LTTng tracepoints and plots per-sample latency CDFs.
@@ -7,7 +7,18 @@ entering ``host_produce`` to its delivery at ``host_consume``, measured
 through the full executor (device dispatch pipeline included).
 
 Run:  python perf/latency.py [--chunk 32768] [--stages 4] [--steps 200]
-Prints CSV percentiles: p50,p90,p99,max (ms).
+Prints CSV percentiles: p50,p90,p99,max (ms) plus throughput.
+
+Sweep mode (the latency *operating curve* — chunk size × pipeline depth):
+
+    python perf/latency.py --sweep
+
+emits one CSV row per (chunk, max_inflight) so an operating point can be
+chosen per use case: interactive GUIs want small chunks and
+``max_inflight=1`` (lowest p50, throughput-limited by per-dispatch RTT),
+bulk decode wants big chunks and depth 2+ (throughput at the cost of
+pipeline-depth latency). See docs/book/latency.md for the measured curve
+and recommendations.
 """
 
 from __future__ import annotations
@@ -21,9 +32,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from futuresdr_tpu import Flowgraph, Runtime, connect  # noqa: E402
+from futuresdr_tpu import Flowgraph, connect  # noqa: E402
 from futuresdr_tpu.blocks import Fir  # noqa: E402
 from futuresdr_tpu.runtime.block import Block, PortSpec  # noqa: E402
+from futuresdr_tpu.runtime.executor import Executor  # noqa: E402
 
 
 class StampSource(Block):
@@ -49,34 +61,76 @@ class StampSink(Block):
         self.stamps.append(time.perf_counter())
 
 
+def run_config(chunk: int, stages: int, steps: int, max_inflight: int):
+    """One measurement: returns (p50, p90, p99, max) ms + MS/s."""
+    rng = np.random.default_rng(0)
+    src, snk = StampSource(), StampSink()
+    fg = Flowgraph()
+    chain = [src]
+    for _ in range(stages):
+        chain.append(Fir(rng.standard_normal(64).astype(np.float32)))
+    chain.append(snk)
+    connect(fg, *chain)
+    ex = Executor(
+        fg, chunk_size=chunk, max_inflight=max_inflight, max_steps=steps
+    )
+    t0 = time.perf_counter()
+    ex.running = True
+    try:
+        ex.run_loop()
+    finally:
+        ex.running = False
+    if ex.error:
+        raise ex.error
+    wall = time.perf_counter() - t0
+    n = min(len(src.stamps), len(snk.stamps))
+    lat = (np.asarray(snk.stamps[:n]) - np.asarray(src.stamps[:n])) * 1e3
+    lat = lat[5:]  # drop compile/warmup
+    rate = chunk * (steps - 5) / max(wall, 1e-9) / 1e6
+    return (
+        float(np.percentile(lat, 50)),
+        float(np.percentile(lat, 90)),
+        float(np.percentile(lat, 99)),
+        float(np.max(lat)),
+        rate,
+        len(lat),
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=32768)
     ap.add_argument("--stages", type=int, default=4)
     ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--inflight", type=int, default=2)
+    ap.add_argument(
+        "--sweep",
+        action="store_true",
+        help="chunk-size x max_inflight operating-curve sweep",
+    )
     args = ap.parse_args()
 
-    rng = np.random.default_rng(0)
-    src, snk = StampSource(), StampSink()
-    fg = Flowgraph()
-    chain = [src]
-    for _ in range(args.stages):
-        chain.append(Fir(rng.standard_normal(64).astype(np.float32)))
-    chain.append(snk)
-    connect(fg, *chain)
-    Runtime(chunk_size=args.chunk).run(fg, max_steps=args.steps)
-
-    n = min(len(src.stamps), len(snk.stamps))
-    lat = (
-        np.asarray(snk.stamps[:n]) - np.asarray(src.stamps[:n])
-    ) * 1e3
-    lat = lat[5:]  # drop compile/warmup
-    print("chunk,stages,steps,p50_ms,p90_ms,p99_ms,max_ms")
     print(
-        f"{args.chunk},{args.stages},{len(lat)},"
-        f"{np.percentile(lat, 50):.3f},{np.percentile(lat, 90):.3f},"
-        f"{np.percentile(lat, 99):.3f},{np.max(lat):.3f}"
+        "chunk,max_inflight,stages,steps,p50_ms,p90_ms,p99_ms,max_ms,MSps",
+        flush=True,
     )
+    if args.sweep:
+        configs = [
+            (c, q)
+            for c in (2048, 8192, 32768, 131072, 524288)
+            for q in (1, 2, 4)
+        ]
+    else:
+        configs = [(args.chunk, args.inflight)]
+    for chunk, q in configs:
+        p50, p90, p99, mx, rate, n = run_config(
+            chunk, args.stages, args.steps, q
+        )
+        print(
+            f"{chunk},{q},{args.stages},{n},"
+            f"{p50:.3f},{p90:.3f},{p99:.3f},{mx:.3f},{rate:.2f}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
