@@ -149,7 +149,7 @@ def main() -> None:
     # middle blocks onto the fused Pallas kernel and coalesces the sinks;
     # target: >=85% of the raw-step rung above (VERDICT r3 #1 — the
     # framework's abstraction must not cost the flagship rate)
-    def _bench_flowgraph_fused(label, reps=5):
+    def _bench_flowgraph_fused(label, reps=5, steps_per_call=1):
         from futuresdr_tpu.blocks import (
             Fir,
             NullSink,
@@ -188,6 +188,8 @@ def main() -> None:
             )
 
         def run_steps(n):
+            config.set("steps_per_call", steps_per_call)
+            config.set("scan_max_chunk", 1 << 24)
             ex.max_steps = n
             ex.running = True
             try:
@@ -237,6 +239,22 @@ def main() -> None:
             f"# flowgraph_fused: FAILED {type(e).__name__}: {e}",
             file=sys.stderr,
         )
+
+    # same composed graph with steps_per_call=4: the executor scans 4
+    # chunks per dispatch, amortizing the per-dispatch tunnel overhead
+    # that still binds even 4 ms steps (r4 measured ~2x over K=1 — the
+    # framework's own executor is the fastest path to the kernel)
+    try:
+        results["flowgraph_fused_scan4"] = _bench_flowgraph_fused(
+            "flowgraph/Executor + steps_per_call=4 scan", steps_per_call=4
+        )
+    except Exception as e:  # noqa: BLE001 - report and continue
+        print(
+            f"# flowgraph_fused_scan4: FAILED {type(e).__name__}: {e}",
+            file=sys.stderr,
+        )
+    finally:
+        config.set("steps_per_call", 1)
 
     # the north-star SHARDED config on a mesh of 1 (the one real chip):
     # same fused kernel inside shard_map + packed-ppermute halo machinery —

@@ -823,13 +823,17 @@ class Executor:
         # control granularity — messages/tickers run once per batch.
         K = max(1, int(config.get("steps_per_call", 1)))
         widest = max(cfg.edge_items.values(), default=0)
-        if K > 1 and widest > (1 << 18):
+        scan_max = int(config.get("scan_max_chunk", 1 << 23))
+        if K > 1 and widest > scan_max:
             # r2 measured scan batching 3x slower at 128k — that was the
             # broken pacing probe throttling the loop, not the scan
             # (r3 re-measure after the fix: 4x FASTER at 128k, 9x at 4k).
-            # Above 256k chunks the regime is unmeasured (one step is
-            # already >= 1 ms of compute and scan compiles get heavy),
-            # so the gate stays there until proven.
+            # r4 extended the measurement to 4.2M-sample chunks on the
+            # fused-bank graph: K=4 is ~2x FASTER than K=1 (14.95 vs
+            # 7.7 GS/s medians, paired rounds 1.7-2.4x — per-dispatch
+            # overhead still dominated even at 4 ms of compute/step
+            # through the tunneled backend), so the gate default is now
+            # 8M items; `scan_max_chunk` overrides.
             from futuresdr_tpu.utils.logging import logger
 
             logger.warning(

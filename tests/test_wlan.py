@@ -603,3 +603,51 @@ def test_process_stream_pipelined_matches_process():
     ]
     assert got == want
     assert len(rx.frames) == 5 * 8
+
+
+def test_speculative_bucket_widens_on_frame_growth():
+    """ADVICE r3: gate misses dominated by n_sym > nf (same MCS, longer
+    frames) must WIDEN the learned symbol bucket instead of paying the
+    _phase_b fallback round-trip on every future chunk (and instead of
+    un-learning when the miss fraction passes 20%)."""
+    from futuresdr_tpu.models.wlan import (
+        WlanReceiver,
+        encode_frame,
+        make_mac_frame,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def capture(psdu_bytes, n_frames, seed0):
+        parts = []
+        for i in range(n_frames):
+            psdu = make_mac_frame(
+                rng.integers(0, 256, psdu_bytes, dtype=np.uint8).tobytes(),
+                seq=i,
+            )
+            parts.append(
+                encode_frame(psdu, "qpsk12", scrambler_seed=seed0 + i)
+            )
+            parts.append(np.zeros(1800, np.complex64))
+        return np.concatenate(parts).astype(np.complex64)
+
+    rx = WlanReceiver(max_frames_per_chunk=16, soft=True)
+    out_a = rx.process(capture(64, 9, 1))  # learn (qpsk12, small bucket)
+    assert len(out_a) == 9 and all(f.crc_ok for f in out_a)
+    assert rx._spec is not None
+    name0, nf0 = rx._spec
+    assert name0 == "qpsk12"
+
+    # every frame now LONGER than the learned bucket, same MCS: one chunk
+    # of gate misses must widen, not drop, the spec
+    grow = capture(64 + 6 * nf0, 9, 40)
+    out_b = rx.process(grow)
+    assert len(out_b) == 9 and all(f.crc_ok for f in out_b)
+    assert rx._spec is not None, "spec was un-learned instead of widened"
+    name1, nf1 = rx._spec
+    assert name1 == "qpsk12" and nf1 > nf0
+
+    # next chunk of the same traffic passes the widened gate outright
+    out_c = rx.process(capture(64 + 6 * nf0, 9, 80))
+    assert len(out_c) == 9 and all(f.crc_ok for f in out_c)
+    assert rx._spec == (name1, nf1)
