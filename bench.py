@@ -127,9 +127,11 @@ def main() -> None:
         # each rung is independent: a compile-queue stall or failure in
         # one must not cost the round its headline JSON line
         try:
-            step_j, state, x = build()
+            built = build()
+            step_j, state, x = built[:3]
+            n_samples = built[3] if len(built) > 3 else x.shape[-1]
             _, results[key] = _bench_median(
-                step_j, state, x, x.shape[-1], label
+                step_j, state, x, n_samples, label
             )
         except Exception as e:  # noqa: BLE001 - report and continue
             print(f"# {label}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
@@ -277,6 +279,49 @@ def main() -> None:
             "fused_sharded_mesh1",
             "fused kernel sharded (shard_map, 1-device mesh)",
             _build_fused_sharded,
+        )
+
+        # the north-star sharded config SATURATED: lax.scan over K=4
+        # chunks per dispatch (the same amortization the executor's
+        # steps_per_call applies) — the per-chip rate the multi-chip
+        # deployment would deliver once dispatch stops being the limit
+        def _build_fused_sharded_scan():
+            from futuresdr_tpu.models.pfb_fm_bank import (
+                make_sharded_bank_step_fused,
+            )
+            from futuresdr_tpu.parallel import make_mesh
+
+            K = 4
+            mesh = make_mesh((1,), ("time",), devices=jax.devices()[:1])
+            init_c, step = make_sharded_bank_step_fused(
+                cfg, mesh, tile_rows=128, interpret=False
+            )
+
+            # operand form, NOT a stacked-xs scan: slicing a [K, n]
+            # operand per iteration measured ~40% slower at 4.2M-sample
+            # chunks (8.8 vs 14.8 GS/s, r4 diagnosis) — the same chunk
+            # re-fed each iteration is the honest saturated-rate harness
+            # (matches the executor's device-source scan, which has no
+            # stacked operand at all)
+            def scanned(carry, x):
+                def body(c, _):
+                    c, a = step(c, x)
+                    return c, a
+
+                return jax.lax.scan(body, carry, None, length=K)
+
+            _, x = example_args(cfg, r=r_fused)
+            return (
+                jax.jit(scanned, donate_argnums=(0,)),
+                init_c(),
+                x,
+                K * x.shape[-1],
+            )
+
+        _rung(
+            "fused_sharded_scan4",
+            "fused sharded mesh-1 + K=4 scan (saturated north-star)",
+            _build_fused_sharded_scan,
         )
 
         def _build_einsum(fir_dtype, fft):

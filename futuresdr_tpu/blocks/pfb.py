@@ -155,11 +155,15 @@ class PfbFmBank(Block):
         n_out = len(self.stream_outputs)
         self.rate_in = (M * D,)
         self.rate_out = (1,) * n_out
-        self._phase = 0
-        # default latency (no upstream transient): matches absorb_latency(0)
+        # default latency + grid phase (no upstream transient): must agree
+        # with each other exactly as absorb_latency(0) would set them —
+        # a phase-0 grid under a phase-(L%D) latency claim would trim to
+        # the wrong sampling phase when the block runs without the
+        # compiler hook (Mocker / hand-rolled harnesses)
         Ld = L  # (L-1) channelizer + 1 demod
+        self._phase = Ld % D
         self.latency_out = (
-            math.ceil((Ld + T - 1 - Ld % D) / D),
+            math.ceil((Ld + T - 1 - self._phase) / D),
         ) * n_out
         self._w_cache = {}
 

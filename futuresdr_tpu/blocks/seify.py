@@ -332,6 +332,9 @@ class SeifySource(Block):
                 port=int(port or 0),
                 fmt=fmt or "cf32",
             )
+            # the wrapped block is not in the flowgraph: forward its
+            # message posts (overflow events) out of THIS block's ports
+            self._udp._post_fn = lambda p, pmt: self.post(p, pmt)
         elif driver != "dummy":
             raise ValueError(
                 f"driver {driver!r} not available on this platform — use "
@@ -396,12 +399,10 @@ class SeifySource(Block):
 
     def host_produce(self, n: int, port: int = 0):
         if self._udp is not None:
-            delta = self._udp.take_overflow_delta()
-            if delta:
-                # live-ingest fault surfacing: dropped-datagram growth is
-                # posted on the `overflows` message OUTPUT (event form of
-                # the reference's overflow counter)
-                self.post("overflows", Pmt.u64(delta))
+            # overflow events come from the INNER UdpIqSource's single
+            # take_overflow_delta (its _post_fn is forwarded to this
+            # block's port at construction) — taking the delta here too
+            # would race it and permanently under-count posted drops
             return self._udp.host_produce(n, port)
         if self._rtl is not None:
             chunk = self._rtl.read(n)

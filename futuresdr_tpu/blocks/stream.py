@@ -248,12 +248,14 @@ class Selector(Block):
       upstream backpressure); while selected with a backlog, the oldest
       buffered chunk is emitted and the live chunk re-queued, so samples
       come out in arrival order after a switch.
-    - ``DropAll``: same ring while unselected, but switching TO an input
-      **flushes** its backlog (the reference drains everything pending,
+    - ``DropAll``: unselected inputs accrue a bounded backlog that the
+      switch **drains** (the reference's consume-everything,
       ``consume(usize::MAX)``, selector.rs:204-207) — output resumes from
-      live samples immediately. The flushed backlog size (in chunks) is
-      surfaced in aux as ``selector_flushed`` (→ ``last_aux``), the
-      lockstep-SDF observable of the reference's drain."""
+      live samples immediately. Since drained data can never be emitted,
+      only per-input COUNTERS are kept (no device ring); the drained
+      backlog size (in chunks, capped at ``hold_chunks``) is surfaced in
+      aux as ``selector_flushed`` (→ ``last_aux``), the lockstep-SDF
+      observable of the reference's drain."""
 
     def __init__(
         self,
@@ -301,6 +303,12 @@ class Selector(Block):
         if self.drop_policy == DropPolicy.SAME_RATE:
             return None
         n, k, r = len(self.stream_inputs), self.hold_chunks, in_sizes[0]
+        if self.drop_policy == DropPolicy.DROP_ALL:
+            # only the backlog COUNT is observable for DropAll (buffered
+            # data is always drained at the switch before it could ever
+            # be emitted), so the state is per-input counters + the
+            # previous selection — no device ring at all
+            return (jnp.zeros((n,), jnp.int32), jnp.int32(0))
         buf = (
             cplx.czeros((n, k, r))
             if self._complex
@@ -308,11 +316,7 @@ class Selector(Block):
         )
         head = jnp.zeros((n,), jnp.int32)
         count = jnp.zeros((n,), jnp.int32)
-        if self.drop_policy == DropPolicy.NO_DROP:
-            return (buf, head, count)
-        # DropAll: also carry the previous selection so a switch is
-        # detectable on device (the flush edge)
-        return (buf, head, count, jnp.int32(0))
+        return (buf, head, count)
 
     def _route(self, emit, params):
         outs = []
@@ -330,38 +334,45 @@ class Selector(Block):
     def apply(self, state, inputs, params):
         import jax
 
-        if self.drop_policy == DropPolicy.SAME_RATE:
-            # SameRate: unselected chunks dropped each step, ring-free
+        if self.drop_policy != DropPolicy.NO_DROP:
+            # SameRate / DropAll emit the live selected chunk every step
+            # (nothing buffered is ever emitted); DropAll additionally
+            # tracks per-input backlog counters + drains them at the
+            # switch (the reference's consume-everything,
+            # selector.rs:204-207), surfacing the drained size in aux
             stacked = cplx.stack(inputs, axis=0)  # [N, C]
+            idx = params["input_index"]
             emit = cplx.apply1(
                 lambda t: jax.lax.dynamic_index_in_dim(
-                    t, params["input_index"], 0, keepdims=False
+                    t, idx, 0, keepdims=False
                 ),
                 stacked,
             )
-            return state, self._route(emit, params), {}
+            if self.drop_policy == DropPolicy.SAME_RATE:
+                return state, self._route(emit, params), {}
+            count, prev = state
+            sel = jnp.arange(len(inputs), dtype=jnp.int32) == idx
+            switched = sel & (prev != idx)
+            flushed = jnp.where(switched, count, 0).sum()
+            c0 = jnp.where(switched, 0, count)
+            new_count = jnp.where(
+                sel, c0, jnp.minimum(c0 + 1, self.hold_chunks)
+            )
+            return (
+                (new_count, jnp.asarray(idx, jnp.int32)),
+                self._route(emit, params),
+                {"selector_flushed": flushed},
+            )
 
-        drop_all = self.drop_policy == DropPolicy.DROP_ALL
-        if drop_all:
-            buf, head, count, prev = state
-        else:
-            buf, head, count = state
-            prev = None
+        buf, head, count = state
         k = self.hold_chunks
         idx = params["input_index"]
         emit = None
-        flushed = jnp.int32(0)
         new_bufs, new_heads, new_counts = [], [], []
         for i, live in enumerate(inputs):
             buf_i = buf[i]  # [K, R]
             h_i, c_i = head[i], count[i]
             sel = idx == i
-            if drop_all:
-                # switching TO this input drains its backlog (the
-                # reference's consume-everything, selector.rs:204-207)
-                switched = sel & (prev != idx)
-                flushed = flushed + jnp.where(switched, c_i, 0)
-                c_i = jnp.where(switched, 0, c_i)
             has = c_i > 0
             pop = sel & has
             push = pop | (~sel & (c_i < k))
@@ -402,12 +413,6 @@ class Selector(Block):
             jnp.stack(new_heads),
             jnp.stack(new_counts),
         )
-        if drop_all:
-            return (
-                (*ring, jnp.asarray(idx, jnp.int32)),
-                self._route(emit, params),
-                {"selector_flushed": flushed},
-            )
         return ring, self._route(emit, params), {}
 
 

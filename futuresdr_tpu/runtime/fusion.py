@@ -61,7 +61,11 @@ def _match_pfb_fm_bank(fg: Flowgraph, chan_id: int) -> Optional[_BankPlan]:
     from futuresdr_tpu.blocks.pfb import PfbChannelizer
 
     chan = fg.blocks[chan_id]
-    if type(chan) is not PfbChannelizer:
+    if (
+        type(chan) is not PfbChannelizer
+        or chan.tag_propagation != TagPropagation.PROPAGATE
+        or chan._params
+    ):
         return None
     M = chan.n_ch
     demods: List[int] = []
@@ -190,8 +194,27 @@ def _rebuild(fg: Flowgraph, removed: set, new_blocks: list) -> Dict[int, int]:
 
 
 def _apply_pfb_fm_bank(fg: Flowgraph, plan: _BankPlan) -> str:
+    from futuresdr_tpu import config
     from futuresdr_tpu.blocks.io import NullSink
     from futuresdr_tpu.blocks.pfb import PfbFmBank
+
+    fft_mode = str(config.get("channelizer_fft", "mixed_radix")).lower()
+    if fft_mode not in ("dft_bf16", "dft"):
+        # the fused kernel's numerics are f32 branch FIR + bf16 DFT +
+        # polynomial atan2 — NOT the active einsum config's. Channel
+        # isolation stays well above the 60 dB domain gate (measured
+        # 68.4 dB vs ~93 dB for mixed-radix f32), but the substitution
+        # must never be silent: outputs change vs fusion=False.
+        from futuresdr_tpu.utils.logging import logger
+
+        logger.warning(
+            "fusion: rewriting the PFB+FM chain onto the fused Pallas "
+            "kernel (bf16 DFT + polynomial atan2) while channelizer_fft="
+            "%r — numerics differ from the unfused graph (isolation "
+            "~68 dB vs ~93 dB, both above the 60 dB gate). Set config "
+            "fusion=False to keep the literal per-block numerics.",
+            fft_mode,
+        )
 
     chan = fg.blocks[plan.chan]
     M = chan.n_ch

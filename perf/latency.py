@@ -71,10 +71,11 @@ def run_config(chunk: int, stages: int, steps: int, max_inflight: int):
         chain.append(Fir(rng.standard_normal(64).astype(np.float32)))
     chain.append(snk)
     connect(fg, *chain)
+    if steps <= 6:
+        raise SystemExit("--steps must exceed the 5-chunk warmup (+1)")
     ex = Executor(
         fg, chunk_size=chunk, max_inflight=max_inflight, max_steps=steps
     )
-    t0 = time.perf_counter()
     ex.running = True
     try:
         ex.run_loop()
@@ -82,11 +83,14 @@ def run_config(chunk: int, stages: int, steps: int, max_inflight: int):
         ex.running = False
     if ex.error:
         raise ex.error
-    wall = time.perf_counter() - t0
     n = min(len(src.stamps), len(snk.stamps))
     lat = (np.asarray(snk.stamps[:n]) - np.asarray(src.stamps[:n])) * 1e3
     lat = lat[5:]  # drop compile/warmup
-    rate = chunk * (steps - 5) / max(wall, 1e-9) / 1e6
+    # steady-state wall clock from the SAME stamps the percentiles use:
+    # timing run_loop would fold jit compile + the warmup chunks into the
+    # throughput column while the latency columns exclude them
+    wall = snk.stamps[n - 1] - src.stamps[5]
+    rate = chunk * (n - 6) / max(wall, 1e-9) / 1e6
     return (
         float(np.percentile(lat, 50)),
         float(np.percentile(lat, 90)),
