@@ -197,3 +197,46 @@ def test_fusion_scan_batching_matches_k1():
             config.set("steps_per_call", 1)
     assert out[1].shape == out[3].shape
     np.testing.assert_allclose(out[1], out[3], atol=1e-6)
+
+
+def test_fusion_preserves_tag_rescaling():
+    """Tags on the wideband stream must reach per-channel sinks at the
+    same (rescaled) indices whether or not the chain was fused: the
+    composed rescale is M·D→1 through PfbChannelizer→Fir, and PfbFmBank
+    declares exactly that rate signature."""
+    from futuresdr_tpu.runtime.tags import ItemTag
+    from futuresdr_tpu.types.pmt import Pmt
+
+    tags = [
+        ItemTag(0, Pmt.from_py("start")),
+        ItemTag(M * D * 17, Pmt.from_py("mid")),
+        ItemTag(M * D * 61 + 5, Pmt.from_py("odd")),
+    ]
+
+    def run(fusion_on):
+        x = _iq(4096, 2)
+        fg = Flowgraph()
+        src = VectorSource(x, tags=list(tags))
+        chan = PfbChannelizer(M)
+        fg.stream(src, chan)
+        sinks = []
+        for k in range(M):
+            d = QuadratureDemod(GAIN, name=f"qd{k}")
+            f = Fir.decimating(ATAPS, D, dtype=np.float32, name=f"fir{k}")
+            snk = VectorSink(np.float32, name=f"snk{k}")
+            fg.stream(chan, d, src_port=k)
+            fg.stream(d, f)
+            fg.stream(f, snk)
+            sinks.append(snk)
+        config.set("fusion", fusion_on)
+        try:
+            Runtime(chunk_size=1024).run(fg)
+        finally:
+            config.set("fusion", True)
+        return [
+            [(t.index, t.tag.to_py()) for t in s.tags()] for s in sinks
+        ]
+
+    fused, unfused = run(True), run(False)
+    assert fused == unfused
+    assert any(fused[k] for k in range(M))  # tags actually arrived
