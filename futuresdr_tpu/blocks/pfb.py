@@ -165,7 +165,6 @@ class PfbFmBank(Block):
         self.latency_out = (
             math.ceil((Ld + T - 1 - self._phase) / D),
         ) * n_out
-        self._w_cache = {}
 
     def absorb_latency(self, in_lats):
         """Compiler hook: accumulate the composed chain's exact latency —
@@ -180,25 +179,6 @@ class PfbFmBank(Block):
         self._phase = Ld % D
         lat = math.ceil((Ld + T - 1 - self._phase) / D)
         return [lat] * len(self.stream_outputs)
-
-    def _audio_w(self, R: int) -> np.ndarray:
-        """Banded decimating-FIR matrix ``[R/D, Ha+R]`` on the
-        ``phase``-anchored grid: output q = window ending at demod row
-        ``q·D + phase`` (NumPy: embeds as a trace-time constant)."""
-        key = (R, self._phase)
-        W = self._w_cache.get(key)
-        if W is None:
-            T = len(self.audio_taps)
-            D = self.audio_decim
-            n_out = R // D
-            W = np.zeros((n_out, self.Ha + R), np.float32)
-            off = self.Ha + self._phase - (T - 1)
-            for t in range(T):
-                W[
-                    np.arange(n_out), off + np.arange(n_out) * D + t
-                ] = self.audio_taps[T - 1 - t]
-            self._w_cache[key] = W
-        return W
 
     def make_state(self, in_sizes, out_sizes):
         M, L = self.n_ch, self.L
@@ -237,14 +217,29 @@ class PfbFmBank(Block):
             interpret=self._interpret,
         )
         ext = jnp.concatenate([ah, a], axis=0)  # [Ha+R, M]
-        audio_rows = jnp.matmul(
-            self._audio_w(R), ext, preferred_element_type=jnp.float32
-        )  # [R/D, M]
+        # audio decimating FIR down the rows on the phase-anchored grid:
+        # output q = taps window ending at demod row q·D + phase. The
+        # blocked-Toeplitz conv1d_valid is O(R·T); a single dense
+        # [R/D, Ha+R] banded matrix (the first implementation) is
+        # O(R²/D) memory/FLOPs and blows up at bulk-decode chunk sizes
+        # (R=512k rows → a 275 GB trace-time constant).
+        from futuresdr_tpu.ops.fir import conv1d_valid
+
+        T = len(self.audio_taps)
+        D = self.audio_decim
+        n_out = R // D
+        off = self.Ha + self._phase - (T - 1)
+        end = off + (n_out - 1) * D + T
+        audio_t = conv1d_valid(
+            ext.T[:, off:end],
+            self.audio_taps.astype(np.float32),
+            stride=D,
+        )[:, :n_out]  # [M, R/D]
         new_state = (hr, hi, ypr, ypi, ext[ext.shape[0] - self.Ha :])
         if self.split_outputs:
-            outs = [audio_rows[:, k] for k in range(M)]
+            outs = [audio_t[k] for k in range(M)]
         else:
-            outs = [audio_rows.T]
+            outs = [audio_t]
         return new_state, outs, {}
 
 

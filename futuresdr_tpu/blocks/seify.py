@@ -94,6 +94,11 @@ class RtlTcpClient:
                 chunk = self.sock.recv(n - len(buf))
             except socket.timeout:
                 return bytes(buf) if buf else b""
+            except ConnectionError:
+                # RST mid-read is the same operational event as a FIN:
+                # the server is gone — let the caller's reconnect/fault
+                # discipline decide, don't leak the raw errno upward
+                return None if not buf else bytes(buf)
             if not chunk:  # server closed
                 return None if not buf else bytes(buf)
             buf.extend(chunk)
@@ -190,6 +195,11 @@ class AaroniaHttpClient:
         import json
         import urllib.request
 
+        # None fields are OMITTED, not sent as JSON null: gain=None means
+        # hardware AGC, and the RTSA control endpoint's AGC spelling is
+        # the absence of a manual gain, not a null (the rtl_tcp driver
+        # maps None to its explicit gain_mode=0 wire command instead)
+        fields = {k: v for k, v in fields.items() if v is not None}
         req = urllib.request.Request(
             f"{self.base}/control",
             data=json.dumps(fields).encode(),
@@ -213,8 +223,15 @@ class AaroniaHttpClient:
             if e.code in (404, 410):  # stream ended / mission stopped
                 return None
             raise
-        except (ConnectionError, OSError):
-            return None
+        except (ConnectionError, OSError) as e:
+            # mid-stream network loss is a FAULT, not EOF: surface it
+            # through run_loop → handle.join() like the rtl_tcp driver —
+            # a timeout or reset must never end the graph as a clean
+            # finish with silent data loss (URLError and socket.timeout
+            # are both OSError subclasses)
+            raise ConnectionError(
+                f"aaronia_http stream lost at {self.base}/sample: {e}"
+            ) from e
         flat = np.asarray(rec.get("samples", ()), np.float32)
         if flat.size == 0:
             return np.zeros(0, np.complex64)
@@ -314,6 +331,7 @@ class SeifySource(Block):
             self._port = int(port or 1234)
             self._reconnect_tries = 3
             self._reconnect_wait = 0.2
+            self._dead_reconnects = 0  # consecutive rejoins w/o samples
             self._rtl = RtlTcpClient(host=self._host, port=self._port)
             self._rtl.set_sample_rate(self.sample_rate)
             self._rtl.set_freq(self.frequency)
@@ -407,12 +425,24 @@ class SeifySource(Block):
         if self._rtl is not None:
             chunk = self._rtl.read(n)
             if chunk is not None:
+                if len(chunk):
+                    self._dead_reconnects = 0  # real data: healthy again
                 return chunk
             # A live radio stream has no natural EOF: the server closing
             # mid-stream is a fault. Try to rejoin (rtl_tcp servers are
             # routinely restarted), then surface the loss through the
             # executor error path -> handle.join() (the reference's
             # BadBlock-class error discipline, tests/bad_block.rs).
+            # A server that ACCEPTS connections but never delivers data
+            # (dead process behind an accepting wrapper) must not livelock
+            # the reconnect loop: bound consecutive no-data reconnects.
+            self._dead_reconnects += 1
+            if self._dead_reconnects > self._reconnect_tries:
+                raise ConnectionError(
+                    f"rtl_tcp server at {self._host}:{self._port} accepts "
+                    f"connections but delivered no samples across "
+                    f"{self._dead_reconnects - 1} consecutive reconnects"
+                )
             self._rtl.close()  # release the dead socket before rejoining
             import time as _time
 

@@ -153,15 +153,26 @@ class PacketForwarderClient:
         if self.on_downlink is not None and txpk is not None:
             self.on_downlink(txpk)
 
-    def poll(self) -> None:
-        """Drain pending datagrams (downlinks between uplinks)."""
-        self.sock.setblocking(False)
+    def poll(self, wait: float = 0.0) -> None:
+        """Drain pending datagrams (downlinks between uplinks).
+
+        ``wait`` bounds a blocking wait for the FIRST datagram (a gateway
+        loop idling between uplinks wants to sleep in the socket, not
+        spin); once one arrives the rest drain non-blocking."""
+        first = True
+        if wait > 0:
+            self.sock.settimeout(wait)
+        else:
+            self.sock.setblocking(False)
         try:
             while True:
                 try:
                     data, _ = self.sock.recvfrom(65536)
-                except BlockingIOError:
+                except (BlockingIOError, socket.timeout):
                     break
+                if first and wait > 0:
+                    first = False
+                    self.sock.setblocking(False)
                 if len(data) >= 4 and data[3] == PULL_RESP:
                     self._handle_pull_resp(data)
         finally:

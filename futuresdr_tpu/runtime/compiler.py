@@ -305,6 +305,7 @@ class CompiledFlowgraph:
     regions: List[FeedbackRegion] = field(default_factory=list)
     step: Any = None  # jitted fn, attached by _trace
     scan_step: Any = None  # jitted K-chunk lax.scan variant (built lazily)
+    unrolled_steps: Dict[int, Any] = field(default_factory=dict)
     fusion_log: List[str] = field(default_factory=list)
 
     # ---- key helpers -----------------------------------------------------
@@ -390,6 +391,45 @@ class CompiledFlowgraph:
 
         self.scan_step = jax.jit(scanned, donate_argnums=(0,))
         return self.scan_step
+
+    def make_unrolled_step(self, K: int):
+        """K-chunk batch variant taking the chunks as K SEPARATE operands:
+        ``(states, params, (srcs_0, …, srcs_{K-1})) -> (states, [K,...]
+        sinks, [K,...] aux)`` — same output layout as
+        :meth:`make_scan_step`, different operand feed.
+
+        Why: ``lax.scan`` slices its stacked ``[K, n]`` operand every
+        iteration, and in front of a ``pallas_call`` (whose operands must
+        be materialized buffers) that slice is a full HBM copy of the
+        chunk — measured 40% of the whole fused-bank step at 4.2M-sample
+        chunks, and STATIC unrolled indexing of the same stacked array is
+        no better (0.90x — the copy, not the dynamic offset, is the
+        cost; perf/scan_feed_ab.py). K separate operands are already
+        materialized buffers the kernel consumes directly: 1.50x over the
+        stacked scan, 92% of the loop-invariant-operand ceiling. Cost:
+        the step body is traced K times (bounded — the executor only
+        takes this path for K·chunks too big to slice cheaply)."""
+        fn = self.unrolled_steps.get(K)
+        if fn is not None:
+            return fn
+        import jax.numpy as jnp
+        from jax import tree_util as jtu
+
+        base = self._eval
+
+        def unrolled(states, params, srcs_list):
+            sinks_l, aux_l = [], []
+            for k in range(K):
+                states, sinks, aux = base(states, params, srcs_list[k])
+                sinks_l.append(sinks)
+                aux_l.append(aux)
+            sinks = jtu.tree_map(lambda *xs: jnp.stack(xs), *sinks_l)
+            aux = jtu.tree_map(lambda *xs: jnp.stack(xs), *aux_l)
+            return states, sinks, aux
+
+        fn = jax.jit(unrolled, donate_argnums=(0,))
+        self.unrolled_steps[K] = fn
+        return fn
 
     # ---- feedback region execution ---------------------------------------
     def _run_region_members(

@@ -837,15 +837,24 @@ class Executor:
             from futuresdr_tpu.utils.logging import logger
 
             logger.warning(
-                "steps_per_call=%d disabled: widest edge chunk %d > 262144 "
-                "— dispatch is already amortized at these sizes and scan "
-                "batching is unmeasured there; use smaller chunks or "
-                "re-benchmark before raising the gate",
+                "steps_per_call=%d disabled: widest edge chunk %d > "
+                "scan_max_chunk=%d — batching is unmeasured above the "
+                "gate; use smaller chunks or raise the scan_max_chunk "
+                "config key after benchmarking",
                 K,
                 widest,
+                scan_max,
             )
             K = 1
         scan_step = cfg.make_scan_step() if K > 1 else None
+        # host-FED batches above this chunk size dispatch through the
+        # UNROLLED K-step instead of lax.scan: scan dynamic-slices its
+        # stacked [K, n] operand each iteration, which measured ~40% of
+        # the whole step at multi-M-sample chunks (NOTES r4 "Scan feed
+        # modes"); static unrolled indexing is free. Device-source-only
+        # graphs never pay it (no stacked operand) and keep the scan.
+        unroll_min = int(config.get("scan_unroll_min_chunk", 1 << 19))
+        unroll_ok = K > 1 and widest > unroll_min
         step_no = 0
         eos = False
         params_cache = None
@@ -943,28 +952,46 @@ class Executor:
                     for _, sv, stg in batch:
                         pv, pt, _ = self._propagate_valid(sv, stg)
                         per_chunk.append((pv, pt))
-                    stacked = {
-                        key: cplx.from_numpy(
-                            np.stack([c[0][key] for c in batch])
+                    if unroll_ok and batch[0][0]:
+                        # host-fed big chunks: K separate operands through
+                        # the UNROLLED step — a stacked [K, n] operand
+                        # would be re-sliced (= re-copied in front of the
+                        # kernels) every scan iteration (make_unrolled_step
+                        # docstring; 1.5x measured on the fused bank)
+                        srcs_list = tuple(
+                            {
+                                key: cplx.from_numpy(c[0][key])
+                                for key in c[0]
+                            }
+                            for c in batch
                         )
-                        for key in batch[0][0]
-                    }
-                    if not stacked:  # device-source-only graph: scan still
-                        # needs a leading-axis operand to infer its length.
-                        # Cached per K as a DEVICE array: a fresh numpy
-                        # here would re-upload every dispatch (H2D through
-                        # the tunnel costs like a dispatch, ~200-600 µs)
-                        kb = len(batch)
-                        cache = getattr(self, "_scan_len_cache", {})
-                        if kb not in cache:
-                            cache[kb] = jax.device_put(
-                                np.zeros((kb, 1), np.float32)
+                        states, sink_arrays, aux = cfg.make_unrolled_step(
+                            len(batch)
+                        )(states, params_cache, srcs_list)
+                    else:
+                        stacked = {
+                            key: cplx.from_numpy(
+                                np.stack([c[0][key] for c in batch])
                             )
-                            self._scan_len_cache = cache
-                        stacked = {"__scan_len": cache[kb]}
-                    states, sink_arrays, aux = scan_step(
-                        states, params_cache, stacked
-                    )
+                            for key in batch[0][0]
+                        }
+                        if not stacked:  # device-source-only graph: scan
+                            # still needs a leading-axis operand to infer
+                            # its length. Cached per K as a DEVICE array:
+                            # a fresh numpy here would re-upload every
+                            # dispatch (H2D through the tunnel costs like
+                            # a dispatch, ~200-600 µs)
+                            kb = len(batch)
+                            cache = getattr(self, "_scan_len_cache", {})
+                            if kb not in cache:
+                                cache[kb] = jax.device_put(
+                                    np.zeros((kb, 1), np.float32)
+                                )
+                                self._scan_len_cache = cache
+                            stacked = {"__scan_len": cache[kb]}
+                        states, sink_arrays, aux = scan_step(
+                            states, params_cache, stacked
+                        )
                     inflight.append(
                         _InflightBatch(
                             sink_arrays=sink_arrays,

@@ -80,7 +80,9 @@ def test_pull_data_and_downlink():
         "0102030405060708", f"127.0.0.1:{srv.port}", on_downlink=got.append
     )
     assert cli.pull_data()
-    cli.poll()  # drain the PULL_RESP that may arrive after the ack
+    # bounded-blocking drain: under suite load the server thread may not
+    # have SENT the PULL_RESP yet when pull_data() returns on the ack
+    cli.poll(wait=5.0)
     t.join(5)
     assert cli.stats["pull_acked"] == 1
     assert got and got[0]["freq"] == 869.525

@@ -127,3 +127,44 @@ def test_random_chain_scan_batching_identical(seed):
     finally:
         config.set("steps_per_call", 1)
     np.testing.assert_array_equal(s1.data(), s2.data())
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_random_chain_unrolled_batching_identical(seed):
+    """The UNROLLED K-step dispatch (host-fed batches above
+    scan_unroll_min_chunk — static indexing instead of lax.scan's
+    dynamic slicing) must also be bit-identical to single-step runs,
+    including the partial tail batch at EOS."""
+    from futuresdr_tpu import config
+
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(40_000, 120_000))
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+
+    def build():
+        fg = Flowgraph()
+        src = VectorSource(x)
+        taps = rng.standard_normal(int(rng.integers(5, 33))).astype(
+            np.float32
+        )
+        f = Fir(taps)
+        a = Apply(lambda v: v * 0.5)
+        snk = VectorSink(dtype=np.complex64)
+        connect(fg, src, f, a, snk)
+        return fg, snk
+
+    state = rng.bit_generator.state
+    fg1, s1 = build()
+    Runtime(chunk_size=8192).run(fg1)
+    rng.bit_generator.state = state  # same taps second time
+    fg2, s2 = build()
+    config.set("steps_per_call", 3)
+    config.set("scan_unroll_min_chunk", 0)  # force the unrolled path
+    try:
+        Runtime(chunk_size=8192).run(fg2)
+    finally:
+        config.set("steps_per_call", 1)
+        config.set("scan_unroll_min_chunk", 1 << 19)
+    np.testing.assert_array_equal(s1.data(), s2.data())

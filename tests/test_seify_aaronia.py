@@ -147,3 +147,32 @@ def test_aaronia_connect_failure_is_diagnosed():
         assert False, "expected ConnectionError"
     except ConnectionError as e:
         assert "Aaronia" in str(e)
+
+
+def test_aaronia_agc_gain_is_omitted_not_null():
+    """gain=None means hardware AGC: the control body must OMIT the key,
+    never send JSON null (a real RTSA server may reject/misparse null)."""
+    srv = FakeAaroniaServer([_ramp(64)])
+    try:
+        Builder(f"driver=aaronia_http,url={srv.url}").frequency(
+            100e6
+        ).sample_rate(2e6).build_source()  # no .gain(...) → AGC
+        assert srv.controls == [{"frequency": 100e6, "sampleRate": 2e6}]
+        assert all("gain" not in c for c in srv.controls)
+    finally:
+        srv.close()
+
+
+def test_aaronia_midstream_loss_raises_not_eof():
+    """A connection loss between records is a FAULT surfaced to the
+    caller, not a silent clean EOF with data loss."""
+    srv = FakeAaroniaServer([_ramp(256), _ramp(256, 256)])
+    cli = AaroniaHttpClient(srv.url)
+    first = cli.read(256)
+    assert first is not None and len(first) == 256
+    srv.close()  # server dies mid-stream
+    try:
+        cli.read(256)
+        assert False, "expected ConnectionError"
+    except ConnectionError as e:
+        assert "stream lost" in str(e)

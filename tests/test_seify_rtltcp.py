@@ -261,6 +261,57 @@ def test_rtl_tcp_server_death_surfaces_error():
     assert len(snk.data()) == 8192  # everything before the loss arrived
 
 
+def test_rtl_tcp_accepting_but_dead_server_errors_not_livelocks():
+    """A server that ACCEPTS connections but never delivers samples
+    (dead process behind an accepting wrapper) must surface a
+    ConnectionError after a bounded number of reconnect cycles instead
+    of rejoin-looping forever."""
+    lsock = socket.socket()
+    lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(4)
+    port = lsock.getsockname()[1]
+    stop = threading.Event()
+
+    def accept_and_drop():
+        while not stop.is_set():
+            try:
+                conn, _ = lsock.accept()
+            except OSError:
+                return
+            # banner, accept the config commands, then drop without ever
+            # sending a sample: connect + configure "succeed", no data
+            conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+            conn.settimeout(0.05)
+            try:
+                conn.recv(4096)
+            except OSError:
+                pass
+            conn.close()
+
+    t = threading.Thread(target=accept_and_drop, daemon=True)
+    t.start()
+    try:
+        src = Builder(
+            f"driver=rtl_tcp,host=127.0.0.1,port={port}"
+        ).build_source()
+        src._reconnect_wait = 0.01
+        fg = Flowgraph()
+        connect(fg, src, VectorSink(np.complex64))
+        from futuresdr_tpu.runtime.executor import Executor
+
+        handle = Executor(fg, chunk_size=1024).start()
+        try:
+            handle.wait(timeout=60.0)
+            assert False, "expected ConnectionError from join()"
+        except ConnectionError as e:
+            assert "delivered no samples" in str(e)
+    finally:
+        stop.set()
+        lsock.close()
+        t.join(timeout=2.0)
+
+
 def test_rtl_tcp_server_restart_reconnects():
     """Kill and RESTART the fake server on the same port mid-stream: the
     source rejoins and the graph keeps streaming across both epochs."""
