@@ -23,6 +23,11 @@ from futuresdr_tpu.ops.pfb import (
 )
 from futuresdr_tpu.runtime.block import Block, PortSpec
 
+# PfbFmBank audio-stage formulation gate: dense banded-W matmul below
+# this W size (fastest at bench chunks), blocked-Toeplitz conv above
+# (the dense form is O(R²/D) and unusable at bulk-decode chunk sizes)
+DENSE_AUDIO_W_MAX_BYTES = 64 << 20
+
 
 def default_channelizer_taps(n_ch: int, taps_per_ch: int = 12) -> np.ndarray:
     """Kaiser prototype low-pass for an M-channel critically sampled bank."""
@@ -165,6 +170,7 @@ class PfbFmBank(Block):
         self.latency_out = (
             math.ceil((Ld + T - 1 - self._phase) / D),
         ) * n_out
+        self._w_cache = {}  # bounded: only built under the 64 MB gate
 
     def absorb_latency(self, in_lats):
         """Compiler hook: accumulate the composed chain's exact latency —
@@ -179,6 +185,27 @@ class PfbFmBank(Block):
         self._phase = Ld % D
         lat = math.ceil((Ld + T - 1 - self._phase) / D)
         return [lat] * len(self.stream_outputs)
+
+    def _audio_w(self, R: int) -> np.ndarray:
+        """Banded decimating-FIR matrix ``[R/D, Ha+R]`` on the
+        ``phase``-anchored grid: output q = window ending at demod row
+        ``q·D + phase`` (NumPy: embeds as a trace-time constant). Only
+        built under the 64 MB gate in :meth:`apply`, so the per-(R,
+        phase) cache is bounded."""
+        key = (R, self._phase)
+        W = self._w_cache.get(key)
+        if W is None:
+            T = len(self.audio_taps)
+            D = self.audio_decim
+            n_out = R // D
+            W = np.zeros((n_out, self.Ha + R), np.float32)
+            off = self.Ha + self._phase - (T - 1)
+            for t in range(T):
+                W[
+                    np.arange(n_out), off + np.arange(n_out) * D + t
+                ] = self.audio_taps[T - 1 - t]
+            self._w_cache[key] = W
+        return W
 
     def make_state(self, in_sizes, out_sizes):
         M, L = self.n_ch, self.L
@@ -218,23 +245,30 @@ class PfbFmBank(Block):
         )
         ext = jnp.concatenate([ah, a], axis=0)  # [Ha+R, M]
         # audio decimating FIR down the rows on the phase-anchored grid:
-        # output q = taps window ending at demod row q·D + phase. The
-        # blocked-Toeplitz conv1d_valid is O(R·T); a single dense
-        # [R/D, Ha+R] banded matrix (the first implementation) is
-        # O(R²/D) memory/FLOPs and blows up at bulk-decode chunk sizes
-        # (R=512k rows → a 275 GB trace-time constant).
-        from futuresdr_tpu.ops.fir import conv1d_valid
-
+        # output q = taps window ending at demod row q·D + phase. Two
+        # formulations with a size gate: a dense [R/D, Ha+R] banded
+        # matrix is the fastest at bench chunk sizes (one MXU matmul
+        # over all M channels — chip A/B: the blocked-conv form cost
+        # ~10% of the WHOLE step at R=4096) but is O(R²/D), a 275 GB
+        # trace-time constant at bulk-decode R=512k; above 64 MB of W
+        # the blocked-Toeplitz conv1d_valid O(R·T) path takes over.
         T = len(self.audio_taps)
         D = self.audio_decim
         n_out = R // D
-        off = self.Ha + self._phase - (T - 1)
-        end = off + (n_out - 1) * D + T
-        audio_t = conv1d_valid(
-            ext.T[:, off:end],
-            self.audio_taps.astype(np.float32),
-            stride=D,
-        )[:, :n_out]  # [M, R/D]
+        if n_out * (self.Ha + R) * 4 <= DENSE_AUDIO_W_MAX_BYTES:
+            audio_t = jnp.matmul(
+                self._audio_w(R), ext, preferred_element_type=jnp.float32
+            ).T  # [M, R/D]
+        else:
+            from futuresdr_tpu.ops.fir import conv1d_valid
+
+            off = self.Ha + self._phase - (T - 1)
+            end = off + (n_out - 1) * D + T
+            audio_t = conv1d_valid(
+                ext.T[:, off:end],
+                self.audio_taps.astype(np.float32),
+                stride=D,
+            )[:, :n_out]  # [M, R/D]
         new_state = (hr, hi, ypr, ypi, ext[ext.shape[0] - self.Ha :])
         if self.split_outputs:
             outs = [audio_t[k] for k in range(M)]

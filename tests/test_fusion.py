@@ -181,6 +181,33 @@ def test_direct_pfb_fm_bank_block_matches_unfused():
         np.testing.assert_allclose(rows[k, : b.shape[-1]], b, atol=1e-4)
 
 
+def test_audio_conv_branch_matches_dense():
+    """PfbFmBank's two audio-FIR formulations (dense banded-W matmul
+    below DENSE_AUDIO_W_MAX_BYTES, blocked-Toeplitz conv above — the
+    dense form is O(R²/D) and unusable at bulk-decode chunks) must
+    produce the same samples."""
+    from futuresdr_tpu.blocks import pfb as pfb_mod
+
+    def run_once():
+        fg = Flowgraph()
+        src = VectorSource(_iq(4096, 3))
+        bank = PfbFmBank(M, gain=GAIN, audio_taps=ATAPS, audio_decim=D)
+        snk = VectorSink(np.float32)
+        fg.stream(src, bank)
+        fg.stream(bank, snk)
+        Runtime(chunk_size=1024).run(fg)
+        return snk.data()
+
+    dense = run_once()
+    saved = pfb_mod.DENSE_AUDIO_W_MAX_BYTES
+    pfb_mod.DENSE_AUDIO_W_MAX_BYTES = 0  # force the conv branch
+    try:
+        conv = run_once()
+    finally:
+        pfb_mod.DENSE_AUDIO_W_MAX_BYTES = saved
+    np.testing.assert_allclose(conv, dense, atol=2e-6)
+
+
 def test_fusion_scan_batching_matches_k1():
     """steps_per_call>1 (lax.scan over K chunks — the 2x dispatch
     amortization measured on chip at 4.2M-sample chunks) must be
