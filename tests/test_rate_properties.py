@@ -129,6 +129,50 @@ def test_random_chain_scan_batching_identical(seed):
     np.testing.assert_array_equal(s1.data(), s2.data())
 
 
+def test_aux_delivery_identical_across_dispatch_modes():
+    """Per-chunk aux (ApplyIntoIter variable counts) must arrive in the
+    same order with the same values whether chunks are dispatched one at
+    a time, as a stacked lax.scan batch, or through the unrolled K-step
+    (which re-stacks aux from K separate step calls)."""
+    import jax.numpy as jnp
+
+    from futuresdr_tpu import config
+    from futuresdr_tpu.blocks import ApplyIntoIter
+
+    n = 50_000
+    x = (np.arange(n) % 97).astype(np.float32)
+
+    def fn(v):
+        y = jnp.repeat(v[:, None], 3, axis=1)
+        counts = (v.astype(np.int32) % 3) + 1  # data-dependent 1..3
+        return y, counts
+
+    def run(steps_per_call, unroll_min):
+        fg = Flowgraph()
+        b = ApplyIntoIter(fn, 3, np.float32, variable=True)
+        snk = VectorSink(np.float32)
+        connect(fg, VectorSource(x), b, snk)
+        seen = []
+        orig = b.on_aux
+        b.on_aux = lambda a: (seen.append(np.asarray(a["counts"])), orig(a))[1]
+        config.set("steps_per_call", steps_per_call)
+        config.set("scan_unroll_min_chunk", unroll_min)
+        try:
+            Runtime(chunk_size=8192).run(fg)
+        finally:
+            config.set("steps_per_call", 1)
+            config.set("scan_unroll_min_chunk", 1 << 19)
+        return snk.data(), np.concatenate(seen)
+
+    d1, c1 = run(1, 1 << 19)
+    d_scan, c_scan = run(3, 1 << 19)  # stacked-operand scan
+    d_unr, c_unr = run(3, 0)  # unrolled separate-operand path
+    np.testing.assert_array_equal(d1, d_scan)
+    np.testing.assert_array_equal(d1, d_unr)
+    np.testing.assert_array_equal(c1, c_scan)
+    np.testing.assert_array_equal(c1, c_unr)
+
+
 @pytest.mark.parametrize("seed", range(2))
 def test_random_chain_unrolled_batching_identical(seed):
     """The UNROLLED K-step dispatch (host-fed batches above
