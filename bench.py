@@ -142,33 +142,41 @@ def main() -> None:
         _, x = example_args(cfg, r=r_fused)
         return jax.jit(step_f, donate_argnums=(0,)), init_f(), x
 
-    _rung("fused_pallas", "fused pallas channelizer+demod", _build_fused)
-
     # the same pipeline composed from BLOCKS and run through the full
-    # Flowgraph/Executor product surface: NullSource → PfbChannelizer →
-    # 1024×(QuadratureDemod → Fir.decimating) → 1024×NullSink. The
+    # Flowgraph/Executor product surface: ResidentSource → PfbChannelizer
+    # → 1024×(QuadratureDemod → Fir.decimating) → 1024×NullSink. The
     # compiler's fusion pass (runtime/fusion.py) canonicalizes the 2·M+1
     # middle blocks onto the fused Pallas kernel and coalesces the sinks;
     # target: >=85% of the raw-step rung above (VERDICT r3 #1 — the
-    # framework's abstraction must not cost the flagship rate)
-    def _bench_flowgraph_fused(label, reps=5, steps_per_call=1):
+    # framework's abstraction must not cost the flagship rate).
+    # ResidentSource (not NullSource) makes the comparison honest: the
+    # raw rung re-feeds a device-RESIDENT operand, while NullSource
+    # re-materializes its fill in-program each step (+8 B/sample of HBM
+    # write traffic on the source path — measured as a consistent
+    # 0.66-0.84 paired K=1 ratio where the resident-fed graph runs at
+    # parity; under scan the fill is loop-invariant and hoists, which is
+    # why the K=4 rung never showed it)
+    def _build_flowgraph_runner(label, steps_per_call=1):
+        """Composed-bank Executor; returns ``run_steps(n)`` + items/step."""
         from futuresdr_tpu.blocks import (
             Fir,
             NullSink,
-            NullSource,
             PfbChannelizer,
             QuadratureDemod,
+            ResidentSource,
         )
         from futuresdr_tpu.blocks.pfb import default_channelizer_taps
         from futuresdr_tpu.dsp import firdes as _fd
         from futuresdr_tpu.dsp import windows as _win
+        from futuresdr_tpu.ops import cplx as _cplx
         from futuresdr_tpu.runtime.flowgraph import Flowgraph
 
         M, D = cfg.n_ch, cfg.audio_decim
         ataps = _fd.lowpass(0.4 / D, _win.hamming(cfg.audio_taps))
         fg = Flowgraph()
         chan = PfbChannelizer(M, taps=default_channelizer_taps(M, cfg.taps_per_ch))
-        fg.stream(NullSource(np.complex64), chan)
+        _, x_src = example_args(cfg, r=r_fused)
+        fg.stream(ResidentSource(_cplx.to_numpy(x_src)), chan)
         for k in range(M):
             d = QuadratureDemod(cfg.demod_gain, name=f"qd{k}")
             f = Fir.decimating(ataps, D, dtype=np.float32, name=f"fir{k}")
@@ -199,57 +207,175 @@ def main() -> None:
             finally:
                 ex.running = False
 
+        return run_steps, n_per_step
+
+    # raw fused step and the composed flowgraph (fusion pass) are
+    # measured PAIRED — alternating within each round — so the
+    # flowgraph_vs_raw ratio is a same-tenancy number (sequential rungs
+    # measured it anywhere from 69% to 112% purely on session swings).
+    # Two pairings: K=1 (informational — through this tunnel both sides
+    # are dispatch-RTT-bound and the ratio still swings 2x within a
+    # session) and K=4 scan SATURATED (the honest abstraction-cost
+    # number: both sides run at machine rate with ±0.3% noise; the raw
+    # side is the loop-invariant-operand scan, the exact feed the
+    # executor's device-source scan produces)
+    def _paired_raw_vs_flowgraph(reps=5):
+        raw_label = "fused pallas channelizer+demod"
+        fg_label = "flowgraph/Executor composed bank (fusion pass)"
+        step_j, state, x = _build_fused()
+        n_raw = x.shape[-1]
+        run_fg, n_fg = _build_flowgraph_runner(fg_label)
+
         t0 = time.perf_counter()
-        run_steps(4)  # compile + warm (run_loop settles data-dependently)
-        WARM_S[label] = round(time.perf_counter() - t0, 2)
-        vals = []
-        iters = 8
-        retried = 0
+        for _ in range(2):
+            state, audio = step_j(state, x)
+        _sync(audio)
+        WARM_S[raw_label] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        run_fg(4)
+        WARM_S[fg_label] = round(time.perf_counter() - t0, 2)
+
+        def time_raw(iters):
+            nonlocal state
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, audio = step_j(state, x)
+            _sync(audio)
+            return time.perf_counter() - t0
+
+        def time_fg(iters):
+            t0 = time.perf_counter()
+            run_fg(iters)
+            return time.perf_counter() - t0
+
+        return _paired_rounds(
+            time_raw, n_raw, raw_label, time_fg, n_fg, fg_label, reps
+        )
+
+    def _paired_rounds(time_a, n_a, label_a, time_b, n_b, label_b, reps):
+        """Alternate A and B within each round; per-side adaptive iters,
+        the stall-retry rule on each side, ratio = median of per-round
+        b/a ratios. Returns (median_a, median_b, ratio)."""
+        a_vals, b_vals, ratios = [], [], []
+        it = {"a": 8, "b": 8}
+        sides = (
+            ("a", time_a, n_a, a_vals),
+            ("b", time_b, n_b, b_vals),
+        )
         for _ in range(reps):
-            while True:
-                t0 = time.perf_counter()
-                run_steps(iters)
-                dt = time.perf_counter() - t0
-                if dt > 0.5:
-                    break
-                iters *= 2
-            vals.append(n_per_step * iters / dt / 1e9)
-        best = max(vals)
-        for i, v in enumerate(vals):
-            if v < best / 3 and retried < reps:
-                t0 = time.perf_counter()
-                run_steps(iters)
-                vals[i] = n_per_step * iters / (time.perf_counter() - t0) / 1e9
-                retried += 1
-        STALLS[label] = retried
-        vals.sort()
-        med = vals[len(vals) // 2]
+            for key, fn, n_per, vals in sides:
+                while True:
+                    dt = fn(it[key])
+                    if dt > 0.5:
+                        break
+                    it[key] *= 2
+                vals.append(n_per * it[key] / dt / 1e9)
+            ratios.append(b_vals[-1] / a_vals[-1])
+        # same stall-retry rule as every other rung (the protocol field
+        # promises it): a rep >3x below its side's best is a tunnel
+        # stall — retime that SIDE once and recompute the round's ratio
+        for (key, fn, n_per, vals), label in zip(
+            sides, (label_a, label_b)
+        ):
+            retried = 0
+            best = max(vals)
+            for i, v in enumerate(vals):
+                if v < best / 3 and retried < reps:
+                    vals[i] = n_per * it[key] / fn(it[key]) / 1e9
+                    ratios[i] = b_vals[i] / a_vals[i]
+                    retried += 1
+            STALLS[label] = retried
+        for label, vals in ((label_a, a_vals), (label_b, b_vals)):
+            v = sorted(vals)
+            print(
+                f"# {label}: median {v[len(v) // 2]:.3f} GS/s  "
+                f"range [{v[0]:.3f}, {v[-1]:.3f}] over {reps} paired reps"
+                + (
+                    f"  ({STALLS[label]} stalled rep(s) retried)"
+                    if STALLS[label]
+                    else ""
+                ),
+                file=sys.stderr,
+            )
+        r_s = sorted(ratios)
+        ratio = r_s[len(r_s) // 2]
         print(
-            f"# {label}: median {med:.3f} GS/s  "
-            f"range [{vals[0]:.3f}, {vals[-1]:.3f}] over {reps} reps"
-            + (f"  ({retried} stalled rep(s) retried)" if retried else ""),
+            f"# {label_b} / {label_a} per-round ratios: "
+            f"{' '.join(f'{q:.2f}' for q in ratios)} -> median {ratio:.2f}",
             file=sys.stderr,
         )
-        return med
+        av, bv = sorted(a_vals), sorted(b_vals)
+        return av[len(av) // 2], bv[len(bv) // 2], ratio
 
-    try:
-        results["flowgraph_fused"] = _bench_flowgraph_fused(
-            "flowgraph/Executor composed bank (fusion pass)"
+    def _paired_scan4(reps=5, K=4):
+        raw_label = "raw fused step + K=4 scan (operand form)"
+        fg_label = "flowgraph/Executor + steps_per_call=4 scan"
+        init_f, step_f = make_bank_step_fused(cfg, tile_rows=128)
+        _, x = example_args(cfg, r=r_fused)
+
+        def scanned(carry, x):
+            def body(c, _):
+                c, a = step_f(c, x)
+                return c, a
+
+            return jax.lax.scan(body, carry, None, length=K)
+
+        raw_j = jax.jit(scanned, donate_argnums=(0,))
+        state = init_f()
+        run_fg, n_fg = _build_flowgraph_runner(fg_label, steps_per_call=4)
+        t0 = time.perf_counter()
+        for _ in range(2):
+            state, audio = raw_j(state, x)
+        _sync(audio)
+        WARM_S[raw_label] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        run_fg(8)
+        WARM_S[fg_label] = round(time.perf_counter() - t0, 2)
+        n_raw = K * x.shape[-1]
+
+        def time_raw(iters):
+            nonlocal state
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, audio = raw_j(state, x)
+            _sync(audio)
+            return time.perf_counter() - t0
+
+        def time_fg(iters):
+            t0 = time.perf_counter()
+            run_fg(iters)
+            return time.perf_counter() - t0
+
+        return _paired_rounds(
+            time_raw, n_raw, raw_label, time_fg, n_fg, fg_label, reps
         )
+
+    ratio_k1 = ratio_sat = None
+    try:
+        (
+            results["fused_pallas"],
+            results["flowgraph_fused"],
+            ratio_k1,
+        ) = _paired_raw_vs_flowgraph()
     except Exception as e:  # noqa: BLE001 - report and continue
         print(
-            f"# flowgraph_fused: FAILED {type(e).__name__}: {e}",
+            f"# paired raw/flowgraph rungs: FAILED {type(e).__name__}: {e}",
             file=sys.stderr,
         )
+        _rung("fused_pallas", "fused pallas channelizer+demod", _build_fused)
 
     # same composed graph with steps_per_call=4: the executor scans 4
     # chunks per dispatch, amortizing the per-dispatch tunnel overhead
     # that still binds even 4 ms steps (r4 measured ~2x over K=1 — the
-    # framework's own executor is the fastest path to the kernel)
+    # framework's own executor is the fastest path to the kernel).
+    # Paired against the raw step's own K=4 operand scan: the saturated
+    # abstraction-cost ratio.
     try:
-        results["flowgraph_fused_scan4"] = _bench_flowgraph_fused(
-            "flowgraph/Executor + steps_per_call=4 scan", steps_per_call=4
-        )
+        (
+            results["fused_scan4_raw"],
+            results["flowgraph_fused_scan4"],
+            ratio_sat,
+        ) = _paired_scan4()
     except Exception as e:  # noqa: BLE001 - report and continue
         print(
             f"# flowgraph_fused_scan4: FAILED {type(e).__name__}: {e}",
@@ -380,10 +506,15 @@ def main() -> None:
         f"chunk r={r} einsum rungs / r={r_fused} fused "
         f"({r_fused * 1024 / 1e6:.1f}M samples/step)",
     }
-    if "flowgraph_fused" in results and "fused_pallas" in results:
-        out["flowgraph_vs_raw_pct"] = round(
-            100.0 * results["flowgraph_fused"] / results["fused_pallas"], 1
-        )
+    # medians of PER-ROUND interleaved ratios — same-tenancy pairing,
+    # not a quotient of two independently-noisy medians. The SATURATED
+    # (K=4 scan) ratio is the abstraction-cost number; the K=1 ratio is
+    # informational (dispatch-RTT-bound on both sides through this
+    # tunnel, it swings 2x within a session even paired)
+    if ratio_sat is not None:
+        out["flowgraph_vs_raw_pct"] = round(100.0 * ratio_sat, 1)
+    if ratio_k1 is not None:
+        out["flowgraph_vs_raw_k1_pct"] = round(100.0 * ratio_k1, 1)
     print(json.dumps(out))
 
 

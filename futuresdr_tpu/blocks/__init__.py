@@ -52,6 +52,7 @@ from futuresdr_tpu.blocks.io import (
     IQFileSource,
     NullSink,
     NullSource,
+    ResidentSource,
     VectorSink,
     VectorSource,
     WavSink,
@@ -121,6 +122,7 @@ __all__ = [
     "IQFileSource",
     "NullSink",
     "NullSource",
+    "ResidentSource",
     "VectorSink",
     "VectorSource",
     "WavSink",

@@ -150,6 +150,59 @@ class NullSource(Block):
         return state, [z], {}
 
 
+class ResidentSource(Block):
+    """Device-resident source: emits the SAME pre-uploaded buffer every
+    step, with zero per-step device work beyond reading it.
+
+    The buffer rides the executor's params cache (``device_put`` once
+    per retune), so unlike :class:`NullSource` — whose fill is
+    re-materialized in-program each step (+8 B/sample of HBM write
+    traffic on the source path) — this is the TPU analogue of a
+    pre-filled ring buffer: the fair upstream end for benchmarking a
+    pipeline against a hand-rolled step fed a loop-invariant operand,
+    and the "resident" harness the modem benches build by hand. Being
+    a runtime param (not a traced constant), XLA cannot constant-fold
+    the downstream pipeline away. If ``data`` is shorter/longer than
+    the solved chunk it is cycled/trimmed to fit at state-init time."""
+
+    def __init__(self, data, name: Optional[str] = None):
+        super().__init__(name)
+        data = np.asarray(data)
+        self._complex = data.dtype == np.complex64
+        self._data = data
+        self._prepared_n = -1
+        self.stream_outputs = [PortSpec("out", data.dtype)]
+        self.rate_out = (1,)
+
+    def make_state(self, in_sizes, out_sizes):
+        n = out_sizes[0]
+        if n != self._prepared_n:
+            # IDEMPOTENT per chunk size: make_state runs on every
+            # run_loop entry (each re-run starts with fresh stream
+            # state), and an unconditional version bump here would
+            # re-upload the whole buffer through the executor's params
+            # cache per entry — 67 MB per bench timing window, measured
+            # as a 300x slowdown before this guard
+            d = np.resize(self._data, n)  # cycle/trim to solved chunk
+            if self._complex:
+                self._params["re"] = np.ascontiguousarray(
+                    d.real.astype(np.float32)
+                )
+                self._params["im"] = np.ascontiguousarray(
+                    d.imag.astype(np.float32)
+                )
+            else:
+                self._params["data"] = d
+            self._params_version += 1
+            self._prepared_n = n
+        return ()
+
+    def apply(self, state, inputs, params):
+        if self._complex:
+            return state, [cplx.CArray(params["re"], params["im"])], {}
+        return state, [params["data"]], {}
+
+
 class NullSink(Block):
     """Counting sink (parity: null_sink.rs:81). ``device_reduce`` keeps the
     upstream compute alive but skips the D2H copy — only a scalar checksum

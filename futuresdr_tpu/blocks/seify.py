@@ -181,6 +181,7 @@ class AaroniaHttpClient:
         self._open = urllib.request.urlopen
         self._carry = np.zeros(0, np.complex64)
         self._eof = False
+        self._timeouts = 0  # consecutive /sample timeouts (bounded at 3)
         try:
             with self._open(
                 f"{self.base}/health", timeout=self.timeout
@@ -224,14 +225,28 @@ class AaroniaHttpClient:
                 return None
             raise
         except (ConnectionError, OSError) as e:
-            # mid-stream network loss is a FAULT, not EOF: surface it
-            # through run_loop → handle.join() like the rtl_tcp driver —
-            # a timeout or reset must never end the graph as a clean
-            # finish with silent data loss (URLError and socket.timeout
-            # are both OSError subclasses)
+            # A plain TIMEOUT is transient (server busy during a
+            # retune/sweep): report "alive but idle" and let the caller
+            # retry — the rtl_tcp driver rides through timeouts the same
+            # way. Everything else (reset, refused, DNS) is mid-stream
+            # network LOSS: a FAULT surfaced through run_loop →
+            # handle.join(), never a silent clean EOF with data loss.
+            reason = getattr(e, "reason", e)  # URLError wraps the cause
+            if isinstance(e, TimeoutError) or isinstance(
+                reason, TimeoutError
+            ):
+                self._timeouts += 1
+                if self._timeouts <= 3:
+                    return np.zeros(0, np.complex64)
+                raise ConnectionError(
+                    f"aaronia_http server at {self.base} stopped "
+                    f"responding ({self._timeouts} consecutive /sample "
+                    f"timeouts)"
+                ) from e
             raise ConnectionError(
                 f"aaronia_http stream lost at {self.base}/sample: {e}"
             ) from e
+        self._timeouts = 0  # the server answered: healthy again
         flat = np.asarray(rec.get("samples", ()), np.float32)
         if flat.size == 0:
             return np.zeros(0, np.complex64)
@@ -332,7 +347,14 @@ class SeifySource(Block):
             self._reconnect_tries = 3
             self._reconnect_wait = 0.2
             self._dead_reconnects = 0  # consecutive rejoins w/o samples
-            self._rtl = RtlTcpClient(host=self._host, port=self._port)
+            self._no_data_timeout = 10.0  # dongles stream continuously
+            self._rtl_timeout = 5.0  # per-recv socket timeout
+            import time as _time
+
+            self._last_data_t = _time.monotonic()
+            self._rtl = RtlTcpClient(
+                host=self._host, port=self._port, timeout=self._rtl_timeout
+            )
             self._rtl.set_sample_rate(self.sample_rate)
             self._rtl.set_freq(self.frequency)
             self._rtl.set_gain(self.gain)
@@ -377,7 +399,20 @@ class SeifySource(Block):
         if self._rtl is not None:
             self._rtl.set_gain(self.gain)
         if self._http is not None:
-            self._http.put_control(gain=self.gain)
+            if self.gain is None:
+                # the RTSA control schema has no AGC spelling (absence of
+                # gain at config time = AGC; there is no null/auto value
+                # to send mid-stream) — an explicit warning beats a
+                # silent empty PUT that leaves manual gain latched
+                from futuresdr_tpu.utils.logging import logger
+
+                logger.warning(
+                    "aaronia_http: gain=None (AGC) retune has no wire "
+                    "command in the /control schema — device keeps its "
+                    "current manual gain"
+                )
+            else:
+                self._http.put_control(gain=self.gain)
         return Pmt.ok()
 
     @message_handler("sample_rate")
@@ -423,11 +458,25 @@ class SeifySource(Block):
             # would race it and permanently under-count posted drops
             return self._udp.host_produce(n, port)
         if self._rtl is not None:
+            import time as _time
+
             chunk = self._rtl.read(n)
             if chunk is not None:
                 if len(chunk):
                     self._dead_reconnects = 0  # real data: healthy again
-                return chunk
+                    self._last_data_t = _time.monotonic()
+                    return chunk
+                # empty = receive timeout. A real rtl_tcp dongle streams
+                # continuously at sample_rate, so prolonged silence on an
+                # OPEN socket is a dead server holding the connection
+                # (accept-and-hang wrapper) — fall through to the loss
+                # path after no_data_timeout instead of idling forever.
+                if (
+                    _time.monotonic() - self._last_data_t
+                    < self._no_data_timeout
+                ):
+                    return chunk
+                chunk = None  # silence timeout: treat as server loss
             # A live radio stream has no natural EOF: the server closing
             # mid-stream is a fault. Try to rejoin (rtl_tcp servers are
             # routinely restarted), then surface the loss through the
@@ -451,11 +500,16 @@ class SeifySource(Block):
                 _time.sleep(self._reconnect_wait)
                 try:
                     self._rtl = RtlTcpClient(
-                        host=self._host, port=self._port
+                        host=self._host,
+                        port=self._port,
+                        timeout=self._rtl_timeout,
                     )
                     self._rtl.set_sample_rate(self.sample_rate)
                     self._rtl.set_freq(self.frequency)
                     self._rtl.set_gain(self.gain)
+                    # fresh epoch: restart the silence timer, else a
+                    # rejoined-but-slow server trips it immediately
+                    self._last_data_t = _time.monotonic()
                     return np.zeros(0, np.complex64)  # rejoined: retry
                 except OSError as e:
                     err = e

@@ -847,18 +847,36 @@ class Executor:
             )
             K = 1
         scan_step = cfg.make_scan_step() if K > 1 else None
-        # host-FED batches above this chunk size dispatch through the
+        # host-FED batches above this OPERAND size dispatch through the
         # UNROLLED K-step instead of lax.scan: scan dynamic-slices its
-        # stacked [K, n] operand each iteration, which measured ~40% of
-        # the whole step at multi-M-sample chunks (NOTES r4 "Scan feed
-        # modes"); static unrolled indexing is free. Device-source-only
-        # graphs never pay it (no stacked operand) and keep the scan.
+        # stacked [K, n] operand each iteration, and that slice is a
+        # full HBM copy of the chunk — measured ~40% of the whole step
+        # at multi-M-sample chunks (NOTES r4 "Scan feed modes"). The
+        # gate keys on the widest HOST-SOURCE edge (the operands that
+        # actually get stacked), not internal edges — a small host feed
+        # into a wide expander must not pay K× trace/compile to avoid a
+        # negligible copy. Device-source-only graphs keep the scan.
         unroll_min = int(config.get("scan_unroll_min_chunk", 1 << 19))
-        unroll_ok = K > 1 and widest > unroll_min
+        host_widest = max(
+            (
+                cfg.edge_items[e]
+                for e in fg.stream_edges
+                if e.src in cfg.host_source_ids
+            ),
+            default=0,
+        )
+        unroll_ok = K > 1 and host_widest > unroll_min
         step_no = 0
         eos = False
-        params_cache = None
-        params_ver = -1
+        # device params cache PERSISTS across run_loop invocations (it
+        # lives on self): re-entering the loop (bench rounds, restart
+        # after stop, max_steps batches) must not re-upload potentially
+        # large params — a ResidentSource carries its whole buffer as
+        # params, and re-device_putting it per entry turned a 12 GS/s
+        # graph into 0.04 through the tunnel. The version sum invalidates
+        # it on any retune.
+        params_cache = getattr(self, "_params_cache", None)
+        params_ver = getattr(self, "_params_ver", -1)
         while not self._stop.is_set():
             if self._drain_messages():
                 params_cache = None  # a handler may have retuned params
@@ -946,6 +964,8 @@ class Executor:
                     # H2D round-trips through the TPU tunnel
                     params_cache = jax.device_put(cfg.gather_params())
                     params_ver = ver
+                    self._params_cache = params_cache
+                    self._params_ver = params_ver
                 if len(batch) > 1 and scan_step is not None:
                     # valid/tag propagation per chunk, in stream order
                     per_chunk = []

@@ -496,3 +496,31 @@ def test_filter_host_compact():
     np.testing.assert_array_equal(
         Filter.host_compact(chunk, mask), [1.0, 3.0]
     )
+
+
+def test_resident_source_emits_same_buffer_each_step():
+    """ResidentSource: the pre-uploaded buffer (cycled/trimmed to the
+    solved chunk) is emitted unchanged every step through the params
+    cache — the fair bench upstream vs a loop-invariant raw operand."""
+    from futuresdr_tpu import Flowgraph, connect
+    from futuresdr_tpu.blocks import Apply, Head, ResidentSource, VectorSink
+    from futuresdr_tpu.runtime.executor import Executor
+
+    x = (np.arange(100) + 1j * np.arange(100)).astype(np.complex64) / 100
+    fg = Flowgraph()
+    snk = VectorSink(np.complex64)
+    connect(
+        fg,
+        ResidentSource(x),
+        Apply(lambda v: v * 2.0),
+        Head(260, np.complex64),
+        snk,
+    )
+    ex = Executor(fg, chunk_size=80)
+    n = max(ex.cfg.edge_items.values())
+    h = ex.start()
+    h.wait(30)
+    got = snk.data()
+    want_chunk = 2 * np.resize(x, n)
+    want = np.resize(np.tile(want_chunk, -(-260 // n)), 260)
+    np.testing.assert_allclose(got, want[: len(got)], atol=1e-6)

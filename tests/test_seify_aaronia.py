@@ -90,6 +90,8 @@ class FakeAaroniaServer:
 
     def close(self):
         self._srv.shutdown()
+        self._srv.server_close()  # release the port: a connect after
+        # close must be REFUSED, not accepted-and-ignored by the kernel
 
 
 def _ramp(n, start=0):

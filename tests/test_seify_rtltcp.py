@@ -279,12 +279,15 @@ def test_rtl_tcp_accepting_but_dead_server_errors_not_livelocks():
                 conn, _ = lsock.accept()
             except OSError:
                 return
-            # banner, accept the config commands, then drop without ever
-            # sending a sample: connect + configure "succeed", no data
+            # banner, accept the config commands (draining until a lull
+            # so a loaded host's slow client still gets them through),
+            # then drop without ever sending a sample: connect +
+            # configure "succeed", no data
             conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
-            conn.settimeout(0.05)
+            conn.settimeout(0.2)
             try:
-                conn.recv(4096)
+                while conn.recv(4096):
+                    pass
             except OSError:
                 pass
             conn.close()
@@ -292,9 +295,16 @@ def test_rtl_tcp_accepting_but_dead_server_errors_not_livelocks():
     t = threading.Thread(target=accept_and_drop, daemon=True)
     t.start()
     try:
-        src = Builder(
-            f"driver=rtl_tcp,host=127.0.0.1,port={port}"
-        ).build_source()
+        src = None
+        for _ in range(5):  # construction itself may race the drop
+            try:
+                src = Builder(
+                    f"driver=rtl_tcp,host=127.0.0.1,port={port}"
+                ).build_source()
+                break
+            except OSError:
+                continue
+        assert src is not None, "could not construct against fake server"
         src._reconnect_wait = 0.01
         fg = Flowgraph()
         connect(fg, src, VectorSink(np.complex64))
@@ -305,10 +315,68 @@ def test_rtl_tcp_accepting_but_dead_server_errors_not_livelocks():
             handle.wait(timeout=60.0)
             assert False, "expected ConnectionError from join()"
         except ConnectionError as e:
-            assert "delivered no samples" in str(e)
+            # both messages prove the bound (no livelock/hang): which
+            # fires depends on whether a config command racing the fake
+            # server's 50 ms close window makes a reconnect attempt
+            # itself fail
+            assert "delivered no samples" in str(e) or (
+                "reconnect failed" in str(e)
+            )
     finally:
         stop.set()
         lsock.close()
+        t.join(timeout=2.0)
+
+
+def test_rtl_tcp_accept_and_hang_server_errors_not_idles_forever():
+    """The OTHER dead-server shape: accepts, sends the banner, then holds
+    the socket open without ever sending a sample. The silence timer
+    (``_no_data_timeout``) must route this through the bounded reconnect
+    discipline instead of idling on receive timeouts forever."""
+    lsock = socket.socket()
+    lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(4)
+    port = lsock.getsockname()[1]
+    stop = threading.Event()
+    held = []
+
+    def accept_and_hang():
+        while not stop.is_set():
+            try:
+                conn, _ = lsock.accept()
+            except OSError:
+                return
+            conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+            held.append(conn)  # keep it open, never send data
+
+    t = threading.Thread(target=accept_and_hang, daemon=True)
+    t.start()
+    try:
+        src = Builder(
+            f"driver=rtl_tcp,host=127.0.0.1,port={port}"
+        ).build_source()
+        src._rtl.sock.settimeout(0.1)  # fast receive timeouts
+        src._rtl_timeout = 0.1  # reconnected clients too
+        src._no_data_timeout = 0.4
+        src._reconnect_wait = 0.01
+        fg = Flowgraph()
+        connect(fg, src, VectorSink(np.complex64))
+        from futuresdr_tpu.runtime.executor import Executor
+
+        handle = Executor(fg, chunk_size=1024).start()
+        try:
+            handle.wait(timeout=60.0)
+            assert False, "expected ConnectionError from join()"
+        except ConnectionError as e:
+            assert "delivered no samples" in str(e) or (
+                "reconnect failed" in str(e)
+            )
+    finally:
+        stop.set()
+        lsock.close()
+        for c in held:
+            c.close()
         t.join(timeout=2.0)
 
 
