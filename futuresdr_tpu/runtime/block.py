@@ -172,6 +172,10 @@ class Block:
         return dict(self._params)
 
     def set_param(self, key: str, value) -> None:
+        """Update a device param. THE retune contract: all mutation of
+        ``_params`` after construction must go through here (or bump
+        ``_params_version`` manually) — the executor re-uploads its
+        device params cache exactly when the version sum changes."""
         if key in self._params:
             old = np.asarray(self._params[key])
             new = np.asarray(value, dtype=old.dtype).reshape(old.shape)

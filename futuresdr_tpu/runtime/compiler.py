@@ -147,6 +147,60 @@ def topo_order(fg: Flowgraph) -> List[int]:
     return order
 
 
+def _region_consecutive_order(
+    fg: Flowgraph, order: List[int], regions: List["FeedbackRegion"]
+) -> List[int]:
+    """Topological order of the CONDENSATION (each feedback region = one
+    supernode), expanded back to block ids with each region's members
+    consecutive in their internal order.
+
+    Why: ``_eval`` runs a whole region as ONE ``lax.scan`` at a single
+    point in the order, so every external producer must precede the
+    region and every consumer follow it. A plain block-level topo order
+    can legally place a region member (whose only inputs are feedback
+    edges, hence in-degree 0) *before* the producer of another member's
+    external input — the region evaluation then reads a value that does
+    not exist yet. The condensation is acyclic: any forward path leaving
+    and re-entering a region would make the intermediate blocks members
+    by construction (``find_feedback_regions`` reach-intersection)."""
+    group = {b: ri for ri, r in enumerate(regions) for b in r.members}
+
+    def key(b: int):
+        return ("r", group[b]) if b in group else ("b", b)
+
+    nodes = []
+    seen = set()
+    for b in order:
+        k = key(b)
+        if k not in seen:
+            seen.add(k)
+            nodes.append(k)
+    indeg = {k: 0 for k in nodes}
+    adj = {k: [] for k in nodes}
+    for e in fg.stream_edges:
+        if e.feedback:
+            continue
+        ks, kd = key(e.src), key(e.dst)
+        if ks != kd:
+            adj[ks].append(kd)
+            indeg[kd] += 1
+    ready = [k for k in nodes if indeg[k] == 0]
+    out: List[int] = []
+    while ready:
+        k = ready.pop()
+        if k[0] == "r":
+            out.extend(regions[k[1]].members)
+        else:
+            out.append(k[1])
+        for kd in adj[k]:
+            indeg[kd] -= 1
+            if indeg[kd] == 0:
+                ready.append(kd)
+    if len(out) != len(order):  # pragma: no cover - see docstring proof
+        raise RateError("feedback-region condensation is cyclic")
+    return out
+
+
 @dataclass
 class FeedbackRegion:
     """A set of blocks enclosed by one or more ``close_circuit`` loops,
@@ -234,16 +288,33 @@ def find_feedback_regions(
             )
         region_items = items.pop()
         delay = min(e.feedback for e in es)
-        gran = math.gcd(min(delay, region_items), region_items)
-        # external inputs must slice evenly across scan iterations
+        # granularity: the LARGEST divisor of region_items that is <= the
+        # delay. Correctness only needs G <= D (each iteration reads the
+        # oldest G of a D-deep buffer — ages D..D-G+1 are exactly the
+        # D-delayed values for those G output indices) and G | items;
+        # gcd(D, items) satisfies both but can be far smaller (delay=7,
+        # items=4096 → gcd 1 = 4096 sequential iterations where G=4 does
+        # 1024 — a 4x shorter device dependency chain per chunk).
+        gran = 1
+        d = min(delay, region_items)
+        for g in range(d, 0, -1):
+            if region_items % g == 0:
+                gran = g
+                break
+        # external edges (both directions) must slice evenly across scan
+        # iterations
         n_iters = region_items // gran
         for e in fg.stream_edges:
-            if e.dst in members and e.src not in members:
-                if edge_items[e] % n_iters:
-                    raise RateError(
-                        f"edge into feedback region has {edge_items[e]} "
-                        f"items, not divisible by {n_iters} scan steps"
-                    )
+            if e.feedback:
+                continue
+            inward = e.dst in members and e.src not in members
+            outward = e.src in members and e.dst not in members
+            if (inward or outward) and edge_items[e] % n_iters:
+                raise RateError(
+                    f"edge {'into' if inward else 'out of'} feedback "
+                    f"region has {edge_items[e]} items, not divisible "
+                    f"by {n_iters} scan steps"
+                )
         for b in mlist:
             blk = fg.blocks[b]
             if blk.is_host_source or blk.is_host_sink:
@@ -518,10 +589,23 @@ class CompiledFlowgraph:
             aux_all.update(aux_l)
             return
         n_it = region.n_iters
-        xs = {
-            k: jtu.tree_map(lambda a: a.reshape(n_it, -1), vals[k])
-            for k in ext_keys
-        }
+        import jax.numpy as jnp
+
+        # items live on the LAST axis (the host-boundary convention —
+        # leading axes are batch/channels): split that axis into n_it
+        # scan slices and lead with the iteration axis. A bare
+        # reshape(n_it, -1) would interleave batch and time for
+        # multi-dim streams (channel-0's samples first), silently
+        # scrambling the region's inputs.
+        def _split(a):
+            a = a.reshape(*a.shape[:-1], n_it, -1)
+            return jnp.moveaxis(a, -2, 0)
+
+        def _join(a):  # [n_it, *lead, G] → [*lead, n_it·G]
+            a = jnp.moveaxis(a, 0, -2)
+            return a.reshape(*a.shape[:-2], -1)
+
+        xs = {k: jtu.tree_map(_split, vals[k]) for k in ext_keys}
 
         def body(carry, x):
             fb, sts = carry
@@ -532,10 +616,7 @@ class CompiledFlowgraph:
 
         (fb_f, sts_f), (outs_s, aux_s) = lax.scan(body, (fb0, sts0), xs)
         vals.update(
-            {
-                k: jtu.tree_map(lambda a: a.reshape(-1), v)
-                for k, v in outs_s.items()
-            }
+            {k: jtu.tree_map(_join, v) for k, v in outs_s.items()}
         )
         new_states.update(fb_f)
         new_states.update(sts_f)
@@ -714,6 +795,10 @@ def compile_flowgraph(
         bid: [edge_latency[e] for e in fg.in_edges(bid)] for bid in host_sink_ids
     }
     regions = find_feedback_regions(fg, order, edge_items)
+    if regions:
+        # re-order so each region's members sit consecutively (the whole
+        # region evaluates as one scan at a single point in the order)
+        order = _region_consecutive_order(fg, order, regions)
 
     cfg = CompiledFlowgraph(
         fg=fg,

@@ -69,7 +69,6 @@ class _Inflight:
     aux: Dict[str, Any]
     sink_valid: Dict[str, int]
     sink_tags: Dict[str, List[ItemTag]]
-    any_valid: bool
 
 
 @dataclass
@@ -286,6 +285,13 @@ class Executor:
         replyq: Optional[queue.Queue] = queue.Queue(1) if wait else None
         self._msgq.put((bid, handler, pmt, replyq))
         self._wake.set()
+        if not self.running:
+            # the run thread may have completed its FINAL drain between
+            # our running check and the put — service the queue from
+            # this thread instead of letting the message rot (the Queue
+            # hands each message to exactly one drainer, so racing the
+            # loop thread is safe)
+            self._drain_messages()
         if wait:
             try:
                 kind, val = replyq.get(timeout=timeout)
@@ -366,7 +372,7 @@ class Executor:
         self,
         src_valid: Dict[str, int],
         src_tags: Dict[str, List[ItemTag]],
-    ) -> Tuple[Dict[str, int], Dict[str, List[ItemTag]], bool]:
+    ) -> Tuple[Dict[str, int], Dict[str, List[ItemTag]]]:
         cfg, fg = self.cfg, self.fg
         # steady-state fast path: valid counts repeat every chunk (full
         # chunks, no tags) but the walk below costs ~200 µs of Python per
@@ -377,12 +383,8 @@ class Executor:
             cache_key = tuple(sorted(src_valid.items()))
             hit = self._pv_cache.get(cache_key)
             if hit is not None:
-                sink_valid, sink_tags, any_valid = hit
-                return (
-                    dict(sink_valid),
-                    {k: [] for k in sink_tags},
-                    any_valid,
-                )
+                sink_valid, sink_tags = hit
+                return dict(sink_valid), {k: [] for k in sink_tags}
         valid: Dict[str, int] = dict(src_valid)
         tags: Dict[str, List[ItemTag]] = {k: list(v) for k, v in src_tags.items()}
         for bid in cfg.order:
@@ -413,13 +415,18 @@ class Executor:
                 v = min(n_out, math.floor(units * n_out))
                 v = b.host_limit(p, v)
                 valid[cfg.pkey(bid, p)] = v
-                if b.tag_propagation == TagPropagation.DROP or not in_tags:
+                if b.tag_propagation == TagPropagation.DROP:
                     tags[cfg.pkey(bid, p)] = []
                 elif b.tag_propagation == TagPropagation.CUSTOM:
+                    # ALWAYS called — even with no input edges/tags: a
+                    # CUSTOM block may SYNTHESIZE tags each chunk (the
+                    # mocker calls it unconditionally too)
                     out_t = b.propagate_tags(
                         in_tags, cfg.in_chunks[bid], cfg.out_chunks[bid]
                     )
                     tags[cfg.pkey(bid, p)] = out_t[p]
+                elif not in_tags:
+                    tags[cfg.pkey(bid, p)] = []
                 else:
                     # PROPAGATE merges tags from EVERY input port, each
                     # rescaled by its own port's rate (the reference
@@ -434,24 +441,20 @@ class Executor:
                     tags[cfg.pkey(bid, p)] = merged
         sink_valid: Dict[str, int] = {}
         sink_tags: Dict[str, List[ItemTag]] = {}
-        any_valid = False
         for bid in cfg.host_sink_ids:
             for e in fg.in_edges(bid):
                 key = cfg.pkey(bid, e.dst_port)
                 up = cfg.pkey(e.src, e.src_port)
                 sink_valid[key] = valid.get(up, 0)
                 sink_tags[key] = tags.get(up, [])
-                if sink_valid[key] > 0:
-                    any_valid = True
         if cache_key is not None:
             if len(self._pv_cache) > 256:  # EOS ramps vary the counts
                 self._pv_cache.clear()
             self._pv_cache[cache_key] = (
                 dict(sink_valid),
                 {k: [] for k in sink_tags},
-                any_valid,
             )
-        return sink_valid, sink_tags, any_valid
+        return sink_valid, sink_tags
 
     # ---- delivery --------------------------------------------------------
     def _deliver(self, flight: _Inflight, lat_left: Dict[str, int]) -> None:
@@ -767,6 +770,8 @@ class Executor:
     def _run_loop_impl(self) -> None:
         cfg, fg = self.cfg, self.fg
         self._t_start = time.monotonic()
+        self._t_stop = None  # else a RE-ENTERED run (restart, bench
+        # rounds) computes elapsed from the previous run's stop time
         self._nofetch_steps = 0
         self._probes.clear()
         self._probe_cadence = None  # re-measure dispatch rate per run
@@ -878,8 +883,12 @@ class Executor:
         params_cache = getattr(self, "_params_cache", None)
         params_ver = getattr(self, "_params_ver", -1)
         while not self._stop.is_set():
-            if self._drain_messages():
-                params_cache = None  # a handler may have retuned params
+            # handlers retune through Block.set_param, which bumps
+            # _params_version — the version-sum check below re-uploads
+            # exactly when something changed. Unconditionally dropping
+            # the cache per message would re-device_put ALL params on
+            # every GUI poll/post (a ResidentSource's whole buffer).
+            self._drain_messages()
             if self._snap_req is not None:
                 # consistent point: deliver all in-flight steps first so
                 # sink accumulation matches the carried device state
@@ -936,6 +945,13 @@ class Executor:
                         src_tags[key] = tags_
                 if any_eos:
                     eos = True
+                    # another source may have produced REAL items in
+                    # this same collection pass (two files of different
+                    # lengths): dispatch the partial chunk — the valid
+                    # counts already mark the finished source's lane
+                    # empty — instead of silently dropping consumed data
+                    if any(src_valid.values()):
+                        batch.append((src_host, src_valid, src_tags))
                     break
                 if has_host_sources and not any(src_valid.values()):
                     break  # live sources idle: dispatch what we have
@@ -970,8 +986,7 @@ class Executor:
                     # valid/tag propagation per chunk, in stream order
                     per_chunk = []
                     for _, sv, stg in batch:
-                        pv, pt, _ = self._propagate_valid(sv, stg)
-                        per_chunk.append((pv, pt))
+                        per_chunk.append(self._propagate_valid(sv, stg))
                     if unroll_ok and batch[0][0]:
                         # host-fed big chunks: K separate operands through
                         # the UNROLLED step — a stacked [K, n] operand
@@ -1021,8 +1036,8 @@ class Executor:
                     )
                 else:
                     for src_host, sv, stg in batch:
-                        sink_valid, sink_tags, any_valid = (
-                            self._propagate_valid(sv, stg)
+                        sink_valid, sink_tags = self._propagate_valid(
+                            sv, stg
                         )
                         src_arrays = {
                             key: cplx.from_numpy(a)
@@ -1037,7 +1052,6 @@ class Executor:
                                 aux=aux,
                                 sink_valid=sink_valid,
                                 sink_tags=sink_tags,
-                                any_valid=any_valid,
                             )
                         )
                 step_no += len(batch)

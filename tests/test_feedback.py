@@ -259,3 +259,47 @@ def test_feedback_region_rate_change_rejected():
     fg.stream(add, snk)
     with pytest.raises(RateError, match="common rate"):
         compile_flowgraph(fg, chunk_size=64)
+
+
+def test_region_external_producer_after_first_member():
+    """A region member whose only input is the feedback edge has
+    in-degree 0 and can topo-sort BEFORE the producer of another
+    member's external input; the region must still compile (the order
+    is condensed so regions evaluate after all external producers).
+    Regression: this graph raised KeyError at trace time."""
+    x = np.arange(64, dtype=np.float32)
+    fg = Flowgraph()
+    src = VectorSource(x)
+    xb = Apply(lambda v: v + 1.0, in_dtype=np.float32)
+    a = Apply(lambda v: np.float32(0.5) * v, in_dtype=np.float32)
+    add = Combine(lambda p, q: p + q, a_dtype=np.float32)
+    snk = VectorSink(np.float32)
+    for blk in (src, xb, a, add, snk):
+        fg.add(blk)
+    fg.stream(src, xb)
+    fg.stream(a, add, dst_port=0)
+    fg.stream(xb, add, dst_port=1)
+    fg.close_circuit(add, a, delay=1)
+    fg.stream(add, snk)
+    run(fg, chunk=32)
+    ref = np.zeros(64, np.float64)
+    for n in range(64):
+        ref[n] = (x[n] + 1.0) + 0.5 * (ref[n - 1] if n else 0.0)
+    np.testing.assert_allclose(
+        snk.data(), ref.astype(np.float32), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_comb_feedback_delay6_nondivisor_granularity():
+    """delay=6 with 128-item chunks: granularity is now 4 (largest
+    divisor of the chunk <= delay; gcd gave 2). Any G <= D is exact —
+    each iteration reads the oldest G of the D-deep buffer, which are
+    precisely the D-delayed values for its G outputs."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(1000).astype(np.float32)
+    a = 0.8
+    fg, snk = _build_loop(x, a, delay=6)
+    run(fg, chunk=128)
+    np.testing.assert_allclose(
+        snk.data(), _leaky_ref(x, a, delay=6), rtol=2e-4, atol=1e-6
+    )

@@ -633,3 +633,65 @@ def test_nofetch_pacing_bounds_probe_window():
         assert snk.n_received == 120 * 4096
     finally:
         config.set("settle_every_steps", old)
+
+
+def test_multi_source_eos_delivers_partial_collection():
+    """When one source EOSes, chunks already produced by OTHER sources
+    in the same collection pass must still be dispatched and delivered
+    (regression: they were silently dropped at flowgraph termination)."""
+    xa = np.arange(96, dtype=np.float32)
+    xb = np.arange(64, dtype=np.float32) * 10
+    fg = Flowgraph()
+    a, b = VectorSource(xa), VectorSource(xb)
+    s1, s2 = VectorSink(np.float32), VectorSink(np.float32)
+    for blk in (a, b, s1, s2):
+        fg.add(blk)
+    fg.stream(a, s1)
+    fg.stream(b, s2)
+    Runtime(chunk_size=32).run(fg)
+    np.testing.assert_allclose(s2.data(), xb)
+    got = s1.data()
+    assert len(got) >= 64  # at least everything up to B's EOS point
+    np.testing.assert_allclose(got, xa[: len(got)])
+
+
+def test_custom_tag_synthesis_without_input_tags():
+    """A CUSTOM-propagation block with NO input edges (device source)
+    must still get its propagate_tags called each chunk so it can
+    SYNTHESIZE tags (regression: `or not in_tags` skipped it)."""
+    from futuresdr_tpu.runtime.block import Block, PortSpec
+    from futuresdr_tpu.runtime.tags import TagPropagation
+
+    class TaggingSource(Block):
+        """Emits zeros and one synthesized tag at index 0 per chunk."""
+
+        def __init__(self):
+            super().__init__(None)
+            self.stream_outputs = [PortSpec("out", np.float32)]
+            self.rate_out = (1,)
+            self.tag_propagation = TagPropagation.CUSTOM
+            self.chunks_seen = 0
+
+        def make_state(self, in_sizes, out_sizes):
+            self._n = out_sizes[0]
+            return ()
+
+        def apply(self, state, inputs, params):
+            import jax.numpy as jnp
+
+            return state, [jnp.zeros((self._n,), jnp.float32)], {}
+
+        def propagate_tags(self, tags_in, in_items, out_items):
+            self.chunks_seen += 1
+            return [[ItemTag(0, Tag.named_usize("chunk", self.chunks_seen))]]
+
+    src = TaggingSource()
+    head = Head(96, np.float32)
+    snk = VectorSink(np.float32)
+    fg = Flowgraph()
+    connect(fg, src, head, snk)
+    Runtime(chunk_size=32).run(fg)
+    got = snk.tags()
+    assert len(got) == 3  # one synthesized tag per 32-item chunk
+    assert [t.index for t in got] == [0, 32, 64]
+    assert [t.tag.value for t in got] == [1, 2, 3]
