@@ -53,12 +53,6 @@ class BankConfig:
     audio_taps: int = 32
     demod_gain: float = 1.0
 
-    @property
-    def branch_len(self) -> int:
-        # analysis_branch_taps: L = ceil((T + M - 1)/M), T = n_ch*taps_per_ch
-        T = self.n_ch * self.taps_per_ch
-        return -(-(T + self.n_ch - 1) // self.n_ch)
-
 
 def _design(cfg: BankConfig):
     proto = default_channelizer_taps(cfg.n_ch, cfg.taps_per_ch)
@@ -98,6 +92,7 @@ def make_bank_step(cfg: BankConfig = BankConfig()):
         )
 
     def step(state, x: CArray):
+        _validate_step_chunk(x.shape[-1], M, cfg.audio_decim)
         pfb_st, last, ah = state
         pfb_st, y = pfb_channelize(x, branch_taps, M, pfb_st)  # [R, M]
         z = cplx.apply1(lambda t: t.T, y)  # [M, R]
@@ -111,6 +106,19 @@ def make_bank_step(cfg: BankConfig = BankConfig()):
 # ---------------------------------------------------------------------------
 # Sharded variants — boundary-tail recompute + ONE packed ppermute per step
 # ---------------------------------------------------------------------------
+
+
+def _validate_step_chunk(n: int, M: int, decim: int) -> None:
+    """Single-chip steps need the same chunk contract the sharded
+    variants enforce: a non-multiple of n_ch·audio_decim would
+    permanently desync the audio decimation grid at the chunk seam
+    (window spacing jumps mid-stream) with no error."""
+    if n % (M * decim):
+        raise ValueError(
+            f"chunk of {n} samples must be a multiple of "
+            f"n_ch·audio_decim = {M * decim} (otherwise the audio "
+            "decimation grid silently desyncs at chunk seams)"
+        )
 
 
 def _validate_shard_chunk(n_loc: int, M: int, decim: int, min_rows: int):
@@ -326,14 +334,17 @@ def make_sharded_bank_step_2d_partial(
 
     row_spec = NamedSharding(mesh, P(ch_axis, None))
     bt = np.asarray(branch_taps)
-    w_rev = jax.device_put(
-        np.ascontiguousarray(bt[:, ::-1]).astype(np.float32), row_spec
-    )  # [M, L]
-    k = np.arange(M, dtype=np.float64)[:, None]
-    p = np.arange(M, dtype=np.float64)[None, :]
-    ang = -2.0 * np.pi * k * p / M
-    d_re = jax.device_put(np.cos(ang).astype(np.float32), row_spec)
-    d_im = jax.device_put(np.sin(ang).astype(np.float32), row_spec)
+    # full replicated reversed taps: a trace-time CONSTANT used by the
+    # boundary recompute (shard_map closures must not capture the
+    # sharded operand below — multi-process meshes would have to
+    # reshard it)
+    w_full = np.ascontiguousarray(bt[:, ::-1]).astype(np.float32)
+    w_rev = jax.device_put(w_full, row_spec)  # [M, L]
+    from futuresdr_tpu.ops.fft import _dft_consts
+
+    d_re_np, d_im_np = _dft_consts(M, -1)
+    d_re = jax.device_put(d_re_np, row_spec)
+    d_im = jax.device_put(d_im_np, row_spec)
 
     def init_carry():
         return jnp.zeros((C, n_t, K), jnp.float32)
@@ -360,7 +371,12 @@ def make_sharded_bank_step_2d_partial(
         # DFT-row slice + demod — matching its own steady-state numerics
         tail = x[..., n - (Ha + L) * M :]
         tb = cplx.apply1(lambda t: t.reshape(Ha + L, M).T, tail)  # [M,Ha+L]
-        v_b = conv1d_valid_branches(tb, branch_taps)  # [M, Ha+1]
+        # the _w form is ALWAYS f32 — the same numerics as the sharded
+        # steady-state FIR below. conv1d_valid_branches here would read
+        # the fir_dtype config: under bfloat16 the halo-carried state
+        # diverges from what neighbors compute themselves, breaking
+        # serial parity at every shard boundary (measured 5.8e-3)
+        v_b = conv1d_valid_branches_w(tb, w_full)  # [M, Ha+1]
         z_b = _zrows(v_b, dre, dim)  # [Mc, Ha+1]
         _, a_b = quadrature_demod(
             z_b[..., 1:], z_b[..., :1], cfg.demod_gain
@@ -372,7 +388,7 @@ def make_sharded_bank_step_2d_partial(
         hw = CArray(hw_re, hw_im)
         hb = cplx.apply1(lambda t: t.reshape(L, M).T, hw)  # [M, L]
         hist = hb[..., 1:]  # [M, L-1]
-        v_prev = conv1d_valid_branches(hb, branch_taps)  # [M, 1]
+        v_prev = conv1d_valid_branches_w(hb, w_full)  # [M, 1]
         z_prev = _zrows(v_prev, dre, dim)  # [Mc, 1]
         # main pipeline: branch-sharded FIR + all_gather + DFT row-slice
         xb = cplx.apply1(lambda t: t.reshape(r_loc, M).T, x)  # [M, R_loc]
@@ -491,6 +507,25 @@ def _fused_rows_dft(v_r, v_i, dre, dim):
     return y_r, y_i
 
 
+def _fir_rows(xr, xi, w_rev, L):
+    """Row-major shifted-FMA branch FIR in tap order over ``xr/xi``
+    ``[rows, cols]`` → ``[rows-(L-1), cols]``.
+
+    THE canonical copy of the loop whose exact op order makes every
+    boundary recompute bit-match the Pallas kernel's FIR stage —
+    boundary-tail, halo-front, and branch-sharded callers all share it
+    (an accumulation-order change applied to one copy but not the
+    others would silently break shard-boundary parity). ``w_rev``
+    columns select whatever branch subset xr/xi carry."""
+    n = xr.shape[0] - (L - 1)
+    v_r = w_rev[0, :] * xr[0:n, :]
+    v_i = w_rev[0, :] * xi[0:n, :]
+    for s in range(1, L):
+        v_r = v_r + w_rev[s, :] * xr[s : s + n, :]
+        v_i = v_i + w_rev[s, :] * xi[s : s + n, :]
+    return v_r, v_i
+
+
 def _fused_boundary_tails(xt_re, xt_im, w_rev, dre, dim, L, Ha, gain):
     """Last ``Ha`` demod rows ``[Ha, M]`` of this shard, recomputed with
     the fused kernel's exact math (f32 VPU branch FIR in tap order, bf16
@@ -498,14 +533,7 @@ def _fused_boundary_tails(xt_re, xt_im, w_rev, dre, dim, L, Ha, gain):
     from futuresdr_tpu.ops.pallas_bank import _atan2_poly
 
     R = xt_re.shape[0]
-    ext_r = xt_re[R - (Ha + L) :]  # [Ha+L, M]
-    ext_i = xt_im[R - (Ha + L) :]
-    n = Ha + 1
-    v_r = w_rev[0, :] * ext_r[0:n, :]
-    v_i = w_rev[0, :] * ext_i[0:n, :]
-    for s in range(1, L):
-        v_r = v_r + w_rev[s, :] * ext_r[s : s + n, :]
-        v_i = v_i + w_rev[s, :] * ext_i[s : s + n, :]
+    v_r, v_i = _fir_rows(xt_re[R - (Ha + L) :], xt_im[R - (Ha + L) :], w_rev, L)
     y_r, y_i = _fused_rows_dft(v_r, v_i, dre, dim)  # [Ha+1, M]
     d_r = y_r[1:] * y_r[:-1] + y_i[1:] * y_i[:-1]
     d_i = y_i[1:] * y_r[:-1] - y_r[1:] * y_i[:-1]
@@ -515,11 +543,7 @@ def _fused_boundary_tails(xt_re, xt_im, w_rev, dre, dim, L, Ha, gain):
 def _fused_halo_front(hw_r, hw_i, w_rev, dre, dim, L):
     """Receiver-side: (hist rows [L-1, M]×2, yprev [1, M]×2) from the L
     wideband halo rows."""
-    v_r = w_rev[0, :] * hw_r[0:1, :]
-    v_i = w_rev[0, :] * hw_i[0:1, :]
-    for s in range(1, L):
-        v_r = v_r + w_rev[s, :] * hw_r[s : s + 1, :]
-        v_i = v_i + w_rev[s, :] * hw_i[s : s + 1, :]
+    v_r, v_i = _fir_rows(hw_r, hw_i, w_rev, L)  # [1, M]
     yp_r, yp_i = _fused_rows_dft(v_r, v_i, dre, dim)  # [1, M]
     return hw_r[1:], hw_i[1:], yp_r, yp_i
 
@@ -552,6 +576,7 @@ def make_bank_step_fused(cfg: BankConfig = BankConfig(), tile_rows: int = 128,
         )
 
     def step(state, x: CArray):
+        _validate_step_chunk(x.shape[-1], M, cfg.audio_decim)
         hr, hi, ypr, ypi, ah = state
         R = x.shape[-1] // M
         xt_re = x.re.reshape(R, M)
@@ -674,22 +699,17 @@ def make_sharded_bank_step_2d_partial_fused(
     from jax.sharding import NamedSharding
 
     col_spec = NamedSharding(mesh, P(None, ch_axis))
-    w_rev = jax.device_put(np.asarray(w_rev), col_spec)
+    # w_full stays a host-numpy trace CONSTANT for the boundary
+    # recompute inside shard_fn: the closure must not capture the
+    # column-SHARDED operand below (a multi-process mesh would have to
+    # reshard/gather it — the very copy the sharding avoids)
+    w_full = np.asarray(w_rev)
+    w_rev = jax.device_put(w_full, col_spec)
     dre = jax.device_put(np.asarray(dre), col_spec)
     dim = jax.device_put(np.asarray(dim), col_spec)
 
     def init_carry():
         return jnp.zeros((C, n_t, K), jnp.float32)
-
-    def _fir_rows(xr, xi, w):
-        """Row-major branch FIR over whatever columns xr/xi/w carry."""
-        n = xr.shape[0] - (L - 1)
-        v_r = w[0, :] * xr[0:n, :]
-        v_i = w[0, :] * xi[0:n, :]
-        for s in range(1, L):
-            v_r = v_r + w[s, :] * xr[s : s + n, :]
-            v_i = v_i + w[s, :] * xi[s : s + n, :]
-        return v_r, v_i
 
     def shard_fn(carry, x, w_loc, dre_loc, dim_loc):
         r_loc = _validate_shard_chunk(
@@ -703,7 +723,7 @@ def make_sharded_bank_step_2d_partial_fused(
         # atan2 — so the audio-FIR state a neighbor receives equals what
         # it would compute itself
         vb_r, vb_i = _fir_rows(
-            xt_re[r_loc - (Ha + L) :], xt_im[r_loc - (Ha + L) :], w_rev
+            xt_re[r_loc - (Ha + L) :], xt_im[r_loc - (Ha + L) :], w_full, L
         )  # [Ha+1, M]
         yb_r, yb_i = _fused_rows_dft(vb_r, vb_i, dre_loc, dim_loc)
         d_r = yb_r[1:] * yb_r[:-1] + yb_i[1:] * yb_i[:-1]
@@ -715,7 +735,7 @@ def make_sharded_bank_step_2d_partial_fused(
             carry.reshape(-1),
         )
         # yprev for the kernel: DFT row of the last pre-shard v row
-        vp_r, vp_i = _fir_rows(hw_r, hw_i, w_rev)  # [1, M]
+        vp_r, vp_i = _fir_rows(hw_r, hw_i, w_full, L)  # [1, M]
         yp_r, yp_i = _fused_rows_dft(vp_r, vp_i, dre_loc, dim_loc)
         # branch-sharded FIR on this device's wideband columns
         cols_r = jax.lax.dynamic_slice_in_dim(
@@ -724,7 +744,7 @@ def make_sharded_bank_step_2d_partial_fused(
         cols_i = jax.lax.dynamic_slice_in_dim(
             jnp.concatenate([hw_i[1:], xt_im], axis=0), ci * Mc, Mc, axis=1
         )
-        v_r, v_i = _fir_rows(cols_r, cols_i, w_loc)  # [R_loc, Mc]
+        v_r, v_i = _fir_rows(cols_r, cols_i, w_loc, L)  # [R_loc, Mc]
         both = jax.lax.all_gather(
             jnp.stack([v_r, v_i]), ch_axis, axis=2, tiled=True
         )  # [2, R_loc, M]

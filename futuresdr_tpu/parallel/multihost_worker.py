@@ -138,6 +138,30 @@ def main() -> int:
     )
     fused_ok = ef < 1e-5
 
+    # --- partial-DFT FUSED variant over the 2D host×chip mesh: the one
+    # layout whose shard closures must never capture a sharded operand
+    # (its boundary recompute uses a replicated full-taps CONSTANT) —
+    # only a real multi-process mesh exercises that distinction
+    from futuresdr_tpu.models.pfb_fm_bank import (
+        make_sharded_bank_step_2d_partial_fused,
+    )
+
+    init_pf, pfstep = make_sharded_bank_step_2d_partial_fused(
+        cfg, mesh, ch_axis="ici", time_axis="dcn", interpret=True
+    )
+    cpf = init_pf()
+    pfstep_j = jax.jit(pfstep)
+    cpf, pf1 = pfstep_j(cpf, x)
+    cpf, pf2 = pfstep_j(cpf, x)
+    stf2 = init_sf()
+    stf2, sg1 = jax.jit(sfstep)(stf2, xc)
+    stf2, sg2 = jax.jit(sfstep)(stf2, xc)
+    epf = max(
+        float(np.max(np.abs(np.asarray(sg1) - _gth(pf1)))),
+        float(np.max(np.abs(np.asarray(sg2) - _gth(pf2)))),
+    )
+    pfused_ok = epf < 1e-5
+
     # --- sharded WLAN sync front across hosts (flat time axis over every
     # device of every process; ppermute halos ride the DCN boundary) ----
     from futuresdr_tpu.models.wlan.sharded import (
@@ -158,13 +182,17 @@ def main() -> int:
         wlan_rx_ok = True
     except AssertionError:
         wlan_rx_ok = False
-    ok = ok and wlan_ok and wlan_rx_ok and partial_ok and fused_ok
+    ok = (
+        ok and wlan_ok and wlan_rx_ok and partial_ok and fused_ok
+        and pfused_ok
+    )
 
     if args.process_id == 0:
         print(
             f"MULTIHOST_{'OK' if ok else 'FAIL'} maxerr={max(e1, e2):.3e} "
             f"partial={'ok' if partial_ok else 'FAIL'}({ep:.1e}) "
             f"fused={'ok' if fused_ok else 'FAIL'}({ef:.1e}) "
+            f"pfused={'ok' if pfused_ok else 'FAIL'}({epf:.1e}) "
             f"wlan_front={'ok' if wlan_ok else 'FAIL'} "
             f"wlan_rx={'ok' if wlan_rx_ok else 'FAIL'} "
             f"procs={jax.process_count()} devices={len(jax.devices())}",

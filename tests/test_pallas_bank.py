@@ -154,3 +154,32 @@ def test_atan2_poly_accuracy():
     got = np.asarray(_atan2_poly(jnp.asarray(y), jnp.asarray(x)))
     ref = np.arctan2(y, x)
     assert np.max(np.abs(got - ref)) < 1e-6
+
+
+def test_single_chip_steps_reject_nonmultiple_chunk():
+    """Both single-chip steps must reject chunks that are not a multiple
+    of n_ch·audio_decim — the sharded variants always did, but the
+    single-chip paths silently desynced the audio decimation grid at
+    the chunk seam (window spacing jumps mid-stream)."""
+    import pytest
+
+    from futuresdr_tpu.models.pfb_fm_bank import (
+        BankConfig,
+        make_bank_step,
+        make_bank_step_fused,
+    )
+    from futuresdr_tpu.ops import cplx
+
+    cfg = BankConfig(n_ch=8, taps_per_ch=4, audio_decim=4, audio_taps=16)
+    n_bad = 8 * 31  # 31 channelized rows — not a multiple of decim=4
+    x = cplx.from_numpy(
+        (np.random.default_rng(0).standard_normal(n_bad) * (1 + 0j)).astype(
+            np.complex64
+        )
+    )
+    init_e, step_e = make_bank_step(cfg)
+    with pytest.raises(ValueError, match="audio_decim"):
+        step_e(init_e(), x)
+    init_f, step_f = make_bank_step_fused(cfg, interpret=True)
+    with pytest.raises(ValueError, match="audio_decim"):
+        step_f(init_f(), x)

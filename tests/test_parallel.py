@@ -299,3 +299,41 @@ def test_sharded_fused_bank_2d_partial_matches_serial_fused():
 
     np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-5)
+
+
+def test_sharded_bank_2d_partial_shardcount_invariant_under_bf16():
+    """The 2d-partial variant's steady-state channelizer FIR is always
+    f32 (conv1d_valid_branches_w); its boundary recompute must use the
+    SAME numerics, or the halo-carried state diverges from what the
+    receiving shard would compute itself and the output depends on
+    where the time-shard seams fall. Regression: under
+    fir_dtype=bfloat16 the boundary used the config-sensitive conv
+    (bf16) while steady state stayed f32 — outputs shifted ~6e-3
+    between shard counts. The audio stage legitimately reads the
+    config, but identically per output sample, so with consistent
+    boundaries the output is bit-identical across mesh shapes."""
+    from futuresdr_tpu import config
+    from futuresdr_tpu.models.pfb_fm_bank import (
+        make_sharded_bank_step_2d_partial,
+    )
+
+    cfg = BankConfig(n_ch=8, taps_per_ch=4, audio_decim=4, audio_taps=16)
+    N = 8 * 8 * 16
+    xc = cplx.from_numpy(_rand_c64(N, seed=13))
+
+    def run_two_steps(n_time):
+        mesh = make_mesh((2, n_time), ("ch", "time"))
+        initc, sstep = make_sharded_bank_step_2d_partial(cfg, mesh)
+        carry = initc()
+        carry, b1 = jax.jit(sstep)(carry, xc)
+        carry, b2 = jax.jit(sstep)(carry, xc)
+        return np.asarray(b1), np.asarray(b2)
+
+    config.set("fir_dtype", "bfloat16")
+    try:
+        t2_1, t2_2 = run_two_steps(2)
+        t4_1, t4_2 = run_two_steps(4)
+    finally:
+        config.set("fir_dtype", "float32")
+    np.testing.assert_allclose(t2_1, t4_1, atol=1e-6)
+    np.testing.assert_allclose(t2_2, t4_2, atol=1e-6)
