@@ -168,7 +168,22 @@ class ResidentSource(Block):
     def __init__(self, data, name: Optional[str] = None):
         super().__init__(name)
         data = np.asarray(data)
-        self._complex = data.dtype == np.complex64
+        # normalize to the device dtypes up front: complex128 must not
+        # fall into the real-path branch (it would bypass the CArray
+        # re/im split and rely on an implicit downcast at upload), and
+        # float64 would silently double upload bytes
+        if np.iscomplexobj(data):
+            data = np.ascontiguousarray(data, dtype=np.complex64)
+            self._complex = True
+        elif np.issubdtype(data.dtype, np.floating):
+            data = np.ascontiguousarray(data, dtype=np.float32)
+            self._complex = False
+        elif np.issubdtype(data.dtype, np.integer):
+            self._complex = False  # int wire formats pass through as-is
+        else:
+            raise TypeError(
+                f"ResidentSource: unsupported dtype {data.dtype}"
+            )
         self._data = data
         self._prepared_n = -1
         self.stream_outputs = [PortSpec("out", data.dtype)]

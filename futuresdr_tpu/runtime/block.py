@@ -67,6 +67,50 @@ def message_handler(name: Optional[str] = None):
     return deco
 
 
+class _ParamDict(dict):
+    """Device-param dict that bumps the owning block's
+    ``_params_version`` on every mutation. The executor's device params
+    cache is invalidated by the version SUM across blocks, so a handler
+    that writes ``self._params[k] = v`` directly (instead of going
+    through :meth:`Block.set_param`) must still be seen — otherwise the
+    retune silently never reaches the device."""
+
+    def __init__(self, owner: "Block"):
+        super().__init__()
+        self._owner = owner
+
+    def _bump(self) -> None:
+        self._owner._params_version += 1
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, v)
+        self._bump()
+
+    def __delitem__(self, k):
+        super().__delitem__(k)
+        self._bump()
+
+    def update(self, *a, **kw):
+        super().update(*a, **kw)
+        self._bump()
+
+    def pop(self, *a):
+        r = super().pop(*a)
+        self._bump()
+        return r
+
+    def clear(self):
+        super().clear()
+        self._bump()
+
+    def setdefault(self, k, default=None):
+        had = k in self
+        r = super().setdefault(k, default)
+        if not had:
+            self._bump()
+        return r
+
+
 class Block:
     """Base class for all blocks.
 
@@ -90,8 +134,11 @@ class Block:
         # arrives: the executor then sleeps event-driven instead of
         # falling back to a short poll when the graph goes idle.
         self.notifies = False
-        self._params: Dict[str, np.ndarray] = {}
         self._params_version = 0
+        # auto-versioning: ANY mutation path (set_param or a handler's
+        # direct ``self._params[k] = v``) invalidates the executor's
+        # device params cache
+        self._params: Dict[str, np.ndarray] = _ParamDict(self)
         self._finished_requested = False
         self._wake_fn = None  # executor wakeup (set while running)
         self.last_aux: Dict[str, np.ndarray] = {}
@@ -172,10 +219,11 @@ class Block:
         return dict(self._params)
 
     def set_param(self, key: str, value) -> None:
-        """Update a device param. THE retune contract: all mutation of
-        ``_params`` after construction must go through here (or bump
-        ``_params_version`` manually) — the executor re-uploads its
-        device params cache exactly when the version sum changes."""
+        """Update a device param. Preferred retune path: coerces the new
+        value to the existing entry's dtype/shape. Direct writes to
+        ``self._params[...]`` also work (``_params`` auto-bumps
+        ``_params_version`` on mutation, which is what invalidates the
+        executor's device params cache), but skip the coercion."""
         if key in self._params:
             old = np.asarray(self._params[key])
             new = np.asarray(value, dtype=old.dtype).reshape(old.shape)

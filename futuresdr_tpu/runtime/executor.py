@@ -160,6 +160,7 @@ class Executor:
         self._lat_left: Dict[str, int] = {}
         self._in_loop = False  # run_loop actively processing
         self._snap_lock = threading.Lock()
+        self._drain_lock = threading.Lock()
         self._nofetch_steps = 0
         self._inflight: "deque" = deque()
         self._lat_live: Dict[str, int] = {}
@@ -303,22 +304,27 @@ class Executor:
         return None
 
     def _drain_messages(self) -> int:
-        n = 0
-        while True:
-            try:
-                bid, handler, pmt, replyq = self._msgq.get_nowait()
-            except queue.Empty:
-                return n
-            n += 1
-            try:
-                result = self.fg.blocks[bid].call_handler(handler, pmt)
-                if replyq is not None:
-                    replyq.put(("ok", result))
-            except BaseException as exc:  # noqa: BLE001 - forwarded to caller
-                if replyq is not None:
-                    replyq.put(("err", exc))
-                else:
-                    raise
+        # serialized: enqueue_call's shutdown-race self-drain may run on
+        # the caller thread concurrently with the run thread's final
+        # drain — the Queue hands each message to exactly one drainer,
+        # but two HANDLERS mutating shared block state must not overlap
+        with self._drain_lock:
+            n = 0
+            while True:
+                try:
+                    bid, handler, pmt, replyq = self._msgq.get_nowait()
+                except queue.Empty:
+                    return n
+                n += 1
+                try:
+                    result = self.fg.blocks[bid].call_handler(handler, pmt)
+                    if replyq is not None:
+                        replyq.put(("ok", result))
+                except BaseException as exc:  # noqa: BLE001 - forwarded
+                    if replyq is not None:
+                        replyq.put(("err", exc))
+                    else:
+                        raise
 
     # ---- lifecycle -------------------------------------------------------
     def start(self) -> FlowgraphHandle:

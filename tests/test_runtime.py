@@ -695,3 +695,56 @@ def test_custom_tag_synthesis_without_input_tags():
     assert len(got) == 3  # one synthesized tag per 32-item chunk
     assert [t.index for t in got] == [0, 32, 64]
     assert [t.tag.value for t in got] == [1, 2, 3]
+
+
+def test_direct_params_write_reaches_device():
+    """A handler writing ``self._params[...]`` DIRECTLY (not via
+    set_param) must still invalidate the executor's device params cache
+    (regression for the _params_version retune contract: _params is an
+    auto-versioning dict)."""
+    from futuresdr_tpu import Flowgraph, Runtime
+    from futuresdr_tpu.blocks import VectorSink, VectorSource
+    from futuresdr_tpu.runtime.block import (
+        Block,
+        PortSpec,
+        message_handler,
+    )
+    from futuresdr_tpu.types.pmt import Pmt
+
+    class RawGain(Block):
+        def __init__(self):
+            super().__init__()
+            self.stream_inputs = [PortSpec("in", np.float32)]
+            self.stream_outputs = [PortSpec("out", np.float32)]
+            self.rate_in = (1,)
+            self.rate_out = (1,)
+            self._params["g"] = np.float32(1.0)
+
+        @message_handler("gain")
+        def _g(self, pmt):
+            # deliberately NOT set_param — the out-of-tree style write
+            self._params["g"] = np.float32(float(pmt.to_py()))
+            return Pmt.ok()
+
+        def apply(self, state, inputs, params):
+            return state, [inputs[0] * params["g"]], {}
+
+    g = RawGain()
+    v0 = g._params_version
+    g._params["probe"] = np.float32(0.0)
+    assert g._params_version > v0  # any mutation bumps
+    del g._params["probe"]
+
+    src = VectorSource(np.ones(64, np.float32))
+    snk = VectorSink(np.float32)
+    fg = Flowgraph()
+    fg.stream(src, g)
+    fg.stream(g, snk)
+    rt = Runtime(chunk_size=16)
+    h = rt.start(fg)
+    h.call(g, "gain", 3.0)
+    h.wait()
+    out = snk.data()
+    assert out.shape == (64,)
+    # at least the tail chunks must see the retuned gain
+    assert out[-1] == 3.0
