@@ -6,6 +6,8 @@ Golden criterion: TX → channel impairments → RX reproduces the PSDU with
 CRC intact.
 """
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -651,3 +653,91 @@ def test_speculative_bucket_widens_on_frame_growth():
     out_c = rx.process(capture(64 + 6 * nf0, 9, 80))
     assert len(out_c) == 9 and all(f.crc_ok for f in out_c)
     assert rx._spec == (name1, nf1)
+
+
+# ---------------------------------------------------------------------------
+# Interop against the reference's SHIPPED IQ captures — third-party ground
+# truth (the reference repo ships these under examples/wlan/data/; they are
+# recorded waveforms, not code). Decoding another implementation's samples
+# is what catches conjugate/bit-order/scaling conventions that loopback
+# tests are structurally blind to.
+# ---------------------------------------------------------------------------
+_REF_WLAN_DATA = Path("/root/reference/examples/wlan/data")
+
+needs_ref_captures = pytest.mark.skipif(
+    not _REF_WLAN_DATA.is_dir(), reason="reference captures not present"
+)
+
+
+@needs_ref_captures
+def test_reference_capture_bpsk12_15db():
+    """bpsk-1-2-15db.cf32: 59848 samples holding 17 frame bursts
+    (verified by burst-edge count on the envelope). All 17 must decode
+    CRC-valid as bpsk12 with the exact MAC content: broadcast data
+    frames from 'BBBBBB' to '######', 10-byte 'x' bodies, sequence
+    numbers incrementing 0..16."""
+    cap = np.fromfile(
+        _REF_WLAN_DATA / "bpsk-1-2-15db.cf32", np.complex64
+    )
+    assert cap.size == 59848
+    rx = WlanReceiver(max_frames_per_chunk=64)
+    frames = [f for f in rx.process(cap) if f.crc_ok]
+    assert len(frames) == 17
+    frames.sort(key=lambda f: f.start)
+    for i, f in enumerate(frames):
+        assert f.mcs == "bpsk12"
+        assert len(f.psdu) == 38
+        # MAC header: frame control 0x0008 (data), duration 0, then
+        # addr1=broadcast? No: reference TX order dst/BBBBBB/######
+        assert f.psdu[0:2] == b"\x08\x00"
+        assert f.psdu[4:10] == b"BBBBBB"
+        assert f.psdu[10:16] == b"######"
+        assert f.psdu[16:22] == b"\xff" * 6
+        seq = int.from_bytes(f.psdu[22:24], "little") >> 4
+        assert seq == i
+        assert f.psdu[24:34] == b"x" * 10
+        assert f.snr > 10.0  # the capture is labeled 15 dB
+
+
+@needs_ref_captures
+def test_reference_capture_bpsk34_30db():
+    """bpsk-3-4-30db.cf32 contains a SINGLE frame burst (1.8% duty
+    cycle, one envelope rising edge at ~29972) — decode it: bpsk34,
+    29-byte PSDU, same MAC framing, 1-byte body."""
+    cap = np.fromfile(
+        _REF_WLAN_DATA / "bpsk-3-4-30db.cf32", np.complex64
+    )
+    assert cap.size == 61032
+    rx = WlanReceiver(max_frames_per_chunk=64)
+    frames = [f for f in rx.process(cap) if f.crc_ok]
+    assert len(frames) == 1
+    f = frames[0]
+    assert f.mcs == "bpsk34"
+    assert len(f.psdu) == 29
+    assert f.psdu[0:2] == b"\x08\x00"
+    assert f.psdu[4:10] == b"BBBBBB"
+    assert f.psdu[10:16] == b"######"
+    assert f.psdu[16:22] == b"\xff" * 6
+    assert abs(f.start - 30009) < 64
+    assert f.snr > 25.0
+
+
+@needs_ref_captures
+def test_reference_sync_word_fixture():
+    """sync.cf32 is the reference's generated 320-sample STF+LTF
+    preamble (examples/wlan/sync_words.py reads it as its own ground
+    truth). Our TX preamble must match it to a complex scale factor:
+    normalized correlation >= 0.995 at lag 0 and << at +-1 sample."""
+    sync = np.fromfile(_REF_WLAN_DATA / "sync.cf32", np.complex64)
+    assert sync.size == 320
+    iq = np.asarray(encode_frame(make_mac_frame(b"x"), "bpsk12"))
+    ours = iq[:320]
+
+    def ncorr(a, b):
+        return abs(np.vdot(b, a)) / (
+            np.linalg.norm(a) * np.linalg.norm(b)
+        )
+
+    assert ncorr(ours, sync) > 0.995
+    assert ncorr(ours, np.roll(sync, 1)) < 0.5
+    assert ncorr(ours, np.roll(sync, -1)) < 0.5
