@@ -39,6 +39,10 @@ def _sync(audio) -> None:
 
 WARM_S = {}  # per-rung compile+warm seconds (reported in the JSON line)
 STALLS = {}  # per-rung reps retried on a >3x tenancy/compile stall
+RANGES = {}  # per-rung [lo, hi] over the reps — the ladder honesty field:
+# every official rung must be saturated enough that range <= ~10% of
+# median (the r4 verdict: unsaturated rungs swung 1.9-3.5x on tenancy
+# and meant nothing; they are gone from the ladder)
 
 
 def _bench_median(step_j, state, x, n_samples: int, label: str, reps: int = 5):
@@ -85,6 +89,7 @@ def _bench_median(step_j, state, x, n_samples: int, label: str, reps: int = 5):
     STALLS[label] = retried
     vals.sort()
     med = vals[len(vals) // 2]
+    RANGES[label] = [round(vals[0], 4), round(vals[-1], 4)]
     print(
         f"# {label}: median {med:.3f} GS/s  "
         f"range [{vals[0]:.3f}, {vals[-1]:.3f}] over {reps} reps"
@@ -136,11 +141,19 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - report and continue
             print(f"# {label}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
 
-    # headline rung FIRST: fused Pallas channelizer+demod kernel
-    def _build_fused():
-        init_f, step_f = make_bank_step_fused(cfg, tile_rows=128)
-        _, x = example_args(cfg, r=r_fused)
-        return jax.jit(step_f, donate_argnums=(0,)), init_f(), x
+    # key → stderr label, for the ladder_range field
+    _RUNG_LABELS = {
+        "fused_scan4_raw": "raw fused step + K=4 scan (operand form)",
+        "flowgraph_fused_scan4": (
+            "flowgraph/Executor DEFAULT config (auto steps_per_call)"
+        ),
+        "fused_sharded_scan4": "hand-built sharded bank + K=4 scan",
+        "flowgraph_sharded_scan4": (
+            "flowgraph/Executor mesh-1 (default config)"
+        ),
+        "f32_scan4": "f32 einsum + mixed-radix FFT (K=4 scan)",
+        "bf16_scan4": "bf16 FIR + dft_bf16 (K=4 scan)",
+    }
 
     # the same pipeline composed from BLOCKS and run through the full
     # Flowgraph/Executor product surface: ResidentSource → PfbChannelizer
@@ -156,8 +169,14 @@ def main() -> None:
     # 0.66-0.84 paired K=1 ratio where the resident-fed graph runs at
     # parity; under scan the fill is loop-invariant and hoists, which is
     # why the K=4 rung never showed it)
-    def _build_flowgraph_runner(label, steps_per_call=1):
-        """Composed-bank Executor; returns ``run_steps(n)`` + items/step."""
+    def _build_flowgraph_runner(label, steps_per_call=None, mesh=None):
+        """Composed-bank Executor; returns ``run_steps(n)`` + items/step.
+
+        ``steps_per_call=None`` leaves the DEFAULT config untouched — the
+        executor's auto gate picks K itself (r5: the default-config path
+        must deliver the saturated rate without manual tuning).
+        ``mesh`` compiles the same composed graph through the mesh tier
+        (runtime/mesh.py)."""
         from futuresdr_tpu.blocks import (
             Fir,
             NullSink,
@@ -186,7 +205,7 @@ def main() -> None:
         from futuresdr_tpu.runtime.executor import Executor
 
         n_per_step = r_fused * M
-        ex = Executor(fg, chunk_size=n_per_step)
+        ex = Executor(fg, chunk_size=n_per_step, mesh=mesh)
         assert any(
             "bank+sinks" in line for line in ex.cfg.fusion_log
         ), "fusion pass did not fire on the composed bank graph"
@@ -198,8 +217,8 @@ def main() -> None:
             )
 
         def run_steps(n):
-            config.set("steps_per_call", steps_per_call)
-            config.set("scan_max_chunk", 1 << 24)
+            if steps_per_call is not None:
+                config.set("steps_per_call", steps_per_call)
             ex.max_steps = n
             ex.running = True
             try:
@@ -213,44 +232,14 @@ def main() -> None:
     # measured PAIRED — alternating within each round — so the
     # flowgraph_vs_raw ratio is a same-tenancy number (sequential rungs
     # measured it anywhere from 69% to 112% purely on session swings).
-    # Two pairings: K=1 (informational — through this tunnel both sides
-    # are dispatch-RTT-bound and the ratio still swings 2x within a
-    # session) and K=4 scan SATURATED (the honest abstraction-cost
-    # number: both sides run at machine rate with ±0.3% noise; the raw
-    # side is the loop-invariant-operand scan, the exact feed the
-    # executor's device-source scan produces)
-    def _paired_raw_vs_flowgraph(reps=5):
-        raw_label = "fused pallas channelizer+demod"
-        fg_label = "flowgraph/Executor composed bank (fusion pass)"
-        step_j, state, x = _build_fused()
-        n_raw = x.shape[-1]
-        run_fg, n_fg = _build_flowgraph_runner(fg_label)
-
-        t0 = time.perf_counter()
-        for _ in range(2):
-            state, audio = step_j(state, x)
-        _sync(audio)
-        WARM_S[raw_label] = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        run_fg(4)
-        WARM_S[fg_label] = round(time.perf_counter() - t0, 2)
-
-        def time_raw(iters):
-            nonlocal state
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                state, audio = step_j(state, x)
-            _sync(audio)
-            return time.perf_counter() - t0
-
-        def time_fg(iters):
-            t0 = time.perf_counter()
-            run_fg(iters)
-            return time.perf_counter() - t0
-
-        return _paired_rounds(
-            time_raw, n_raw, raw_label, time_fg, n_fg, fg_label, reps
-        )
+    # Both sides run SATURATED (K=4): the raw side as the loop-invariant-
+    # operand scan (the exact feed the executor's device-source scan
+    # produces), the flowgraph side at DEFAULT config — the executor's
+    # auto steps_per_call gate must reach the machine rate without any
+    # tuning (r5; the r4 artifact's K=1 73.8% row was the cost of the
+    # old opt-in default). Unsaturated K=1 rungs are gone from the
+    # ladder entirely: their r4 ranges spanned 1.9-3.5x on tenancy and
+    # invited mis-citation (ladder honesty rule, see RANGES).
 
     def _paired_rounds(time_a, n_a, label_a, time_b, n_b, label_b, reps):
         """Alternate A and B within each round; per-side adaptive iters,
@@ -287,6 +276,7 @@ def main() -> None:
             STALLS[label] = retried
         for label, vals in ((label_a, a_vals), (label_b, b_vals)):
             v = sorted(vals)
+            RANGES[label] = [round(v[0], 4), round(v[-1], 4)]
             print(
                 f"# {label}: median {v[len(v) // 2]:.3f} GS/s  "
                 f"range [{v[0]:.3f}, {v[-1]:.3f}] over {reps} paired reps"
@@ -307,11 +297,12 @@ def main() -> None:
         av, bv = sorted(a_vals), sorted(b_vals)
         return av[len(av) // 2], bv[len(bv) // 2], ratio
 
-    def _paired_scan4(reps=5, K=4):
-        raw_label = "raw fused step + K=4 scan (operand form)"
-        fg_label = "flowgraph/Executor + steps_per_call=4 scan"
-        init_f, step_f = make_bank_step_fused(cfg, tile_rows=128)
-        _, x = example_args(cfg, r=r_fused)
+    def _op_scan(step_f, K=4):
+        """Operand-form K-step scan: the same chunk re-fed each
+        iteration. NOT a stacked-xs scan — slicing a [K, n] operand per
+        iteration measured ~40% slower at 4.2M-sample chunks (8.8 vs
+        14.8 GS/s, r4 diagnosis); the loop-invariant operand matches the
+        executor's device-source scan, which has no stacked operand."""
 
         def scanned(carry, x):
             def body(c, _):
@@ -320,16 +311,18 @@ def main() -> None:
 
             return jax.lax.scan(body, carry, None, length=K)
 
-        raw_j = jax.jit(scanned, donate_argnums=(0,))
-        state = init_f()
-        run_fg, n_fg = _build_flowgraph_runner(fg_label, steps_per_call=4)
+        return jax.jit(scanned, donate_argnums=(0,))
+
+    def _paired_fg(raw_j, state, x, raw_label, fg_label, K, fg_kw, reps=5):
+        """Paired rounds: a raw K-step scan vs a flowgraph runner."""
+        run_fg, n_fg = _build_flowgraph_runner(fg_label, **fg_kw)
         t0 = time.perf_counter()
         for _ in range(2):
             state, audio = raw_j(state, x)
         _sync(audio)
         WARM_S[raw_label] = round(time.perf_counter() - t0, 2)
         t0 = time.perf_counter()
-        run_fg(8)
+        run_fg(2 * K)
         WARM_S[fg_label] = round(time.perf_counter() - t0, 2)
         n_raw = K * x.shape[-1]
 
@@ -350,26 +343,45 @@ def main() -> None:
             time_raw, n_raw, raw_label, time_fg, n_fg, fg_label, reps
         )
 
-    ratio_k1 = ratio_sat = None
-    try:
-        (
-            results["fused_pallas"],
-            results["flowgraph_fused"],
-            ratio_k1,
-        ) = _paired_raw_vs_flowgraph()
-    except Exception as e:  # noqa: BLE001 - report and continue
-        print(
-            f"# paired raw/flowgraph rungs: FAILED {type(e).__name__}: {e}",
-            file=sys.stderr,
+    def _paired_scan4(reps=5, K=4):
+        raw_label = "raw fused step + K=4 scan (operand form)"
+        fg_label = "flowgraph/Executor DEFAULT config (auto steps_per_call)"
+        init_f, step_f = make_bank_step_fused(cfg, tile_rows=128)
+        _, x = example_args(cfg, r=r_fused)
+        return _paired_fg(
+            _op_scan(step_f, K), init_f(), x, raw_label, fg_label, K, {}, reps
         )
-        _rung("fused_pallas", "fused pallas channelizer+demod", _build_fused)
 
-    # same composed graph with steps_per_call=4: the executor scans 4
-    # chunks per dispatch, amortizing the per-dispatch tunnel overhead
-    # that still binds even 4 ms steps (r4 measured ~2x over K=1 — the
-    # framework's own executor is the fastest path to the kernel).
-    # Paired against the raw step's own K=4 operand scan: the saturated
-    # abstraction-cost ratio.
+    def _paired_sharded_scan4(reps=5, K=4):
+        """The r5 mesh tier vs the hand-built sharded step, paired: the
+        composed flowgraph compiled with mesh= (runtime/mesh.py — auto
+        state reconstruction, one ppermute carry) against
+        make_sharded_bank_step_fused's hand-written halo math, both on a
+        1-device mesh (the one real chip), both saturated."""
+        from futuresdr_tpu.models.pfb_fm_bank import (
+            make_sharded_bank_step_fused,
+        )
+        from futuresdr_tpu.parallel import make_mesh
+
+        raw_label = "hand-built sharded bank + K=4 scan"
+        fg_label = "flowgraph/Executor mesh-1 (default config)"
+        mesh = make_mesh((1,), ("time",), devices=jax.devices()[:1])
+        init_c, step = make_sharded_bank_step_fused(
+            cfg, mesh, tile_rows=128, interpret=False
+        )
+        _, x = example_args(cfg, r=r_fused)
+        return _paired_fg(
+            _op_scan(step, K),
+            init_c(),
+            x,
+            raw_label,
+            fg_label,
+            K,
+            {"mesh": mesh},
+            reps,
+        )
+
+    ratio_sat = ratio_sharded = None
     try:
         (
             results["fused_scan4_raw"],
@@ -381,95 +393,57 @@ def main() -> None:
             f"# flowgraph_fused_scan4: FAILED {type(e).__name__}: {e}",
             file=sys.stderr,
         )
+        def _build_raw_scan4():
+            init_f, step_f = make_bank_step_fused(cfg, tile_rows=128)
+            _, x = example_args(cfg, r=r_fused)
+            return _op_scan(step_f), init_f(), x, 4 * x.shape[-1]
+
+        _rung(
+            "fused_scan4_raw",
+            "raw fused step + K=4 scan (operand form)",
+            _build_raw_scan4,
+        )
     finally:
-        config.set("steps_per_call", 1)
+        config.set("steps_per_call", "auto")
 
-    # the north-star SHARDED config on a mesh of 1 (the one real chip):
-    # same fused kernel inside shard_map + packed-ppermute halo machinery —
-    # bounds the sharding-wrapper cost vs the rung above (VERDICT r2 #1)
-    def _build_fused_sharded():
-        from futuresdr_tpu.models.pfb_fm_bank import (
-            make_sharded_bank_step_fused,
+    try:
+        (
+            results["fused_sharded_scan4"],
+            results["flowgraph_sharded_scan4"],
+            ratio_sharded,
+        ) = _paired_sharded_scan4()
+    except Exception as e:  # noqa: BLE001 - report and continue
+        print(
+            f"# flowgraph_sharded_scan4: FAILED {type(e).__name__}: {e}",
+            file=sys.stderr,
         )
-        from futuresdr_tpu.parallel import make_mesh
-
-        mesh = make_mesh((1,), ("time",), devices=jax.devices()[:1])
-        init_c, step = make_sharded_bank_step_fused(
-            cfg, mesh, tile_rows=128, interpret=False
-        )
-        _, x = example_args(cfg, r=r_fused)
-        return jax.jit(step, donate_argnums=(0,)), init_c(), x
+    finally:
+        config.set("steps_per_call", "auto")
 
     if ladder:
-        _rung(
-            "fused_sharded_mesh1",
-            "fused kernel sharded (shard_map, 1-device mesh)",
-            _build_fused_sharded,
-        )
-
-        # the north-star sharded config SATURATED: lax.scan over K=4
-        # chunks per dispatch (the same amortization the executor's
-        # steps_per_call applies) — the per-chip rate the multi-chip
-        # deployment would deliver once dispatch stops being the limit
-        def _build_fused_sharded_scan():
-            from futuresdr_tpu.models.pfb_fm_bank import (
-                make_sharded_bank_step_fused,
-            )
-            from futuresdr_tpu.parallel import make_mesh
-
-            K = 4
-            mesh = make_mesh((1,), ("time",), devices=jax.devices()[:1])
-            init_c, step = make_sharded_bank_step_fused(
-                cfg, mesh, tile_rows=128, interpret=False
-            )
-
-            # operand form, NOT a stacked-xs scan: slicing a [K, n]
-            # operand per iteration measured ~40% slower at 4.2M-sample
-            # chunks (8.8 vs 14.8 GS/s, r4 diagnosis) — the same chunk
-            # re-fed each iteration is the honest saturated-rate harness
-            # (matches the executor's device-source scan, which has no
-            # stacked operand at all)
-            def scanned(carry, x):
-                def body(c, _):
-                    c, a = step(c, x)
-                    return c, a
-
-                return jax.lax.scan(body, carry, None, length=K)
-
-            _, x = example_args(cfg, r=r_fused)
-            return (
-                jax.jit(scanned, donate_argnums=(0,)),
-                init_c(),
-                x,
-                K * x.shape[-1],
-            )
-
-        _rung(
-            "fused_sharded_scan4",
-            "fused sharded mesh-1 + K=4 scan (saturated north-star)",
-            _build_fused_sharded_scan,
-        )
-
-        def _build_einsum(fir_dtype, fft):
+        # einsum reference rungs, SATURATED like every other ladder rung
+        # (r4's unsaturated forms ranged 1.5x-1.7x on tenancy — useless
+        # as published numbers)
+        def _build_einsum_scan4(fir_dtype, fft, K=4):
             def build():
                 config.set("fft_precision", "high")
                 config.set("fir_dtype", fir_dtype)
                 config.set("channelizer_fft", fft)
                 _, step = make_bank_step(cfg)
                 state, x = example_args(cfg, r=r)
-                return jax.jit(step, donate_argnums=(0,)), state, x
+                return _op_scan(step, K), state, x, K * x.shape[-1]
 
             return build
 
         _rung(
-            "f32_mixed_radix",
-            "f32 einsum + mixed-radix FFT",
-            _build_einsum("float32", "mixed_radix"),
+            "f32_scan4",
+            "f32 einsum + mixed-radix FFT (K=4 scan)",
+            _build_einsum_scan4("float32", "mixed_radix"),
         )
         _rung(
-            "bf16_dft",
-            "bf16 FIR + dft_bf16",
-            _build_einsum("bfloat16", "dft_bf16"),
+            "bf16_scan4",
+            "bf16 FIR + dft_bf16 (K=4 scan)",
+            _build_einsum_scan4("bfloat16", "dft_bf16"),
         )
 
     if not results:
@@ -498,23 +472,33 @@ def main() -> None:
             100.0 * gsps * bytes_per_sample / V5E_HBM_GBS, 1
         ),
         "ladder": {k: round(v, 4) for k, v in results.items()},
+        # ladder honesty: per-rung [lo, hi] over the reps — every
+        # official rung is a SATURATED (K=4 scan) form; the r4
+        # unsaturated K=1 rungs (fused_pallas, flowgraph_fused,
+        # fused_sharded_mesh1) spanned 1.9-3.5x on tenancy and are gone
+        "ladder_range": {
+            k: RANGES[label]
+            for k, label in _RUNG_LABELS.items()
+            if k in results and label in RANGES
+        },
         "warm_s": WARM_S,
         "stalled_reps_retried": {k: v for k, v in STALLS.items() if v},
         "protocol": "median of 5 x >=0.5s steady-state loops (2-call "
         "warm first; a rep >3x below best is a tunnel stall, retried "
-        "once and counted); "
+        "once and counted); every rung saturated via K=4 operand scan; "
         f"chunk r={r} einsum rungs / r={r_fused} fused "
         f"({r_fused * 1024 / 1e6:.1f}M samples/step)",
     }
     # medians of PER-ROUND interleaved ratios — same-tenancy pairing,
-    # not a quotient of two independently-noisy medians. The SATURATED
-    # (K=4 scan) ratio is the abstraction-cost number; the K=1 ratio is
-    # informational (dispatch-RTT-bound on both sides through this
-    # tunnel, it swings 2x within a session even paired)
+    # not a quotient of two independently-noisy medians. Both ratios
+    # are DEFAULT-config flowgraph sides (auto steps_per_call): the
+    # abstraction must deliver the machine rate without tuning.
     if ratio_sat is not None:
         out["flowgraph_vs_raw_pct"] = round(100.0 * ratio_sat, 1)
-    if ratio_k1 is not None:
-        out["flowgraph_vs_raw_k1_pct"] = round(100.0 * ratio_k1, 1)
+    if ratio_sharded is not None:
+        out["flowgraph_sharded_vs_hand_pct"] = round(
+            100.0 * ratio_sharded, 1
+        )
     print(json.dumps(out))
 
 

@@ -138,7 +138,7 @@ class Fir(Block):
             taps = firdes.kaiser_multirate(interp, decim)
         return cls(taps, interp=interp, decim=decim, dtype=dtype, name=name)
 
-    def make_state(self, in_sizes, out_sizes):
+    def _state_hist(self) -> int:
         hist = self._hist
         if self.interp == 1 and self.decim > 1:
             # mirror fir_decimate's history formula (phase may need
@@ -147,7 +147,17 @@ class Fir(Block):
             hist = -(-(T - 1) // self.decim) * self.decim if T > 1 else 0
             if T == 1 and self._phase:
                 hist = self.decim
-        return _zeros_state(self._complex, hist)
+        return hist
+
+    @property
+    def state_suffix_in(self):
+        # mesh protocol: the state IS the last `hist` input items
+        # (evaluated lazily — decimating phase is set by absorb_latency
+        # during compilation, before the mesh tier reads this)
+        return (self._state_hist(),)
+
+    def make_state(self, in_sizes, out_sizes):
+        return _zeros_state(self._complex, self._state_hist())
 
     def apply(self, state, inputs, params):
         x = inputs[0]
@@ -364,6 +374,7 @@ class QuadratureDemod(Block):
         self.rate_in = (1,)
         self.rate_out = (1,)
         self.latency_out = (1,)
+        self.state_suffix_in = (1,)  # state = previous input sample
 
     def make_state(self, in_sizes, out_sizes):
         return cplx.czeros((1,))

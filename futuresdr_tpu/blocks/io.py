@@ -188,6 +188,9 @@ class ResidentSource(Block):
         self._prepared_n = -1
         self.stream_outputs = [PortSpec("out", data.dtype)]
         self.rate_out = (1,)
+        # mesh protocol: the resident buffer spans the FULL chunk and is
+        # split across shards on its sample axis
+        self.sharded_params = ("re", "im") if self._complex else ("data",)
 
     def make_state(self, in_sizes, out_sizes):
         n = out_sizes[0]

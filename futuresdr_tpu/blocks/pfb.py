@@ -70,6 +70,8 @@ class PfbChannelizer(Block):
         self.rate_in = (self.n_ch,)
         self.rate_out = (1,) * self.n_ch
         self.latency_out = (L - 1,) * self.n_ch
+        # mesh protocol: state = the last (L-1) polyphase window rows
+        self.state_suffix_in = ((L - 1) * self.n_ch,)
 
     def make_state(self, in_sizes, out_sizes):
         L = self.branch_taps.shape[-1]
@@ -170,6 +172,12 @@ class PfbFmBank(Block):
         self.latency_out = (
             math.ceil((Ld + T - 1 - self._phase) / D),
         ) * n_out
+        # mesh protocol: the state (branch history L-1 rows, prev DFT row,
+        # audio history Ha rows) rebuilds exactly from the last
+        # (Ha + L) wideband rows — the last Ha demod rows each need an
+        # L-row branch window, Ha + L - 1 rows suffice and one extra row
+        # keeps the bound independent of off-by-grid phase details
+        self.state_suffix_in = ((self.Ha + L) * M,)
         self._w_cache = {}  # bounded: only built under the 64 MB gate
 
     def absorb_latency(self, in_lats):

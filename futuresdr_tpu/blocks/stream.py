@@ -88,6 +88,7 @@ class Delay(Block):
         self.rate_in = (1,)
         self.rate_out = (1,)
         self._complex = np.dtype(dtype) == np.complex64
+        self.state_suffix_in = (self.n,)  # state = last n input items
 
     def make_state(self, in_sizes, out_sizes):
         shape = (self.n,)
@@ -127,6 +128,7 @@ class MovingAvg(Block):
         self.rate_out = (1,)
         self.latency_out = (self.width - 1,)
         self._complex = np.dtype(dtype) == np.complex64
+        self.state_suffix_in = (self.width - 1,)  # sliding window tail
 
     def make_state(self, in_sizes, out_sizes):
         shape = (self.width - 1,)

@@ -13,11 +13,16 @@ key                default   meaning
 ================== ========= =====================================================
 chunk_size         32768     items per compiled step on the base-rate edge
                              (replaces ``buffer_size`` bytes of the ring buffers)
-steps_per_call     1         chunks fused into one device dispatch via lax.scan.
-                             Use >1 only in the small-chunk (dispatch-bound)
-                             regime: measured +35% at 16k-sample chunks but a
-                             large LOSS at 128k chunks (scan serializes what
-                             the async dispatch queue already overlaps)
+steps_per_call     auto      chunks fused into one device dispatch via lax.scan.
+                             "auto" (default): the executor picks K itself for
+                             device-source pipelines with no per-chunk host
+                             interactivity (K = clamp(auto_batch_items/chunk,
+                             4, auto_batch_max_k) — measured 2x at flagship
+                             4.2M-sample chunks, 4-9x at small chunks); any
+                             graph with host sources, message edges, tickers
+                             or live drivers keeps K=1. An explicit integer
+                             always overrides (set 1 for latency-sensitive
+                             control loops — see docs/book/latency.md)
 queue_size         8192      host-side bounded queue depth (source/sink staging)
 precision          highest   matmul/conv precision for DSP paths (60 dB SNR target)
 fir_dtype          float32   branch-FIR input dtype; bfloat16 = 1.74x faster
@@ -53,7 +58,7 @@ ENV_PREFIX = "FUTURESDR_TPU_"
 
 _DEFAULTS: Dict[str, Any] = {
     "chunk_size": 32768,
-    "steps_per_call": 1,
+    "steps_per_call": "auto",
     "queue_size": 8192,
     "precision": "highest",
     "fir_dtype": "float32",

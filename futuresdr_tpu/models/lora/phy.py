@@ -179,6 +179,23 @@ def chirp(sf: int, sym: int) -> np.ndarray:
     return np.roll(u, -int(sym))
 
 
+@lru_cache(maxsize=None)
+def chirp_os(sf: int, sym: int, os: int) -> np.ndarray:
+    """Oversampled CSS symbol at fs = os·BW: the folded-frequency chirp
+    (parity: ``utils.rs:884-914`` build_upchirp — frequency ramps from
+    ``sym/N − 0.5`` cycles/sample, wrapping at the fold ``(N−sym)·os``).
+    At os=1, sym=0 this reduces exactly to :func:`base_upchirp`."""
+    n = 1 << sf
+    j = np.arange(n * os, dtype=np.float64)
+    t = j / os
+    fold = (n - sym) * os
+    ph_lo = 2.0 * np.pi * (t * t / (2.0 * n) + (sym / n - 0.5) * t)
+    ph_hi = 2.0 * np.pi * (t * t / (2.0 * n) + (sym / n - 1.5) * t)
+    return np.exp(1j * np.where(j < fold, ph_lo, ph_hi)).astype(
+        np.complex64
+    )
+
+
 @dataclass(frozen=True)
 class LoraConfig:
     sf: int = 7

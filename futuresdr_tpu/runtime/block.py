@@ -119,6 +119,21 @@ class Block:
     (:meth:`host_produce` / :meth:`host_consume`).
     """
 
+    # ---- mesh (time-sharded) execution protocol -------------------------
+    # state_suffix_in: per input port, the number of TRAILING input items
+    # sufficient to rebuild this block's device state exactly by running
+    # `apply` over them from the `make_state` initial state (FIR history,
+    # demod continuity, PFB window rows). None = either stateless (fine)
+    # or not time-shardable (IIR, NCO phase accumulators — state depends
+    # on absolute stream position). See runtime/mesh.py.
+    state_suffix_in: Optional[Tuple[int, ...]] = None
+    # sharded_params: names of params split along their last axis across
+    # the mesh (e.g. a ResidentSource's whole-chunk buffer). Blocks that
+    # declare any get `make_state` called with FULL chunk sizes under a
+    # mesh (their params span the global chunk); all others see their
+    # per-shard segment sizes.
+    sharded_params: Tuple[str, ...] = ()
+
     # ---- interface (set by subclass __init__) --------------------------
     def __init__(self, name: Optional[str] = None):
         self.instance_name = name or type(self).__name__

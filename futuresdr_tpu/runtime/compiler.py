@@ -638,6 +638,15 @@ class CompiledFlowgraph:
                 continue  # outputs already in vals via src_arrays
             if bid in self.host_sink_ids:
                 continue  # inputs collected below
+            if (
+                b.stream_outputs
+                and not b.stream_inputs
+                and self.pkey(bid, 0) in vals
+            ):
+                # pure device source pre-seeded by the caller (mesh
+                # execution evaluates sources once at segment size and
+                # re-uses their values for the suffix run)
+                continue
             if not b.stream_outputs and not b.stream_inputs:
                 continue  # pure message block: no stream work
             region = self._region_of(bid)
@@ -687,12 +696,19 @@ def compile_flowgraph(
     chunk_size: Optional[int] = None,
     jit: bool = True,
     fusion: Optional[bool] = None,
+    mesh=None,
+    mesh_axis: str = "time",
 ) -> CompiledFlowgraph:
     """Solve rates/chunks/latency and trace the step function.
 
     ``fusion`` (default: config key ``fusion``, on) first canonicalizes
     known block patterns onto fused kernels — see
-    :mod:`futuresdr_tpu.runtime.fusion`. The rewrite mutates ``fg``."""
+    :mod:`futuresdr_tpu.runtime.fusion`. The rewrite mutates ``fg``.
+
+    ``mesh`` (a ``jax.sharding.Mesh``) compiles the step for mesh
+    execution: every stream edge is time-sharded over ``mesh_axis`` with
+    automatic state reconstruction at shard boundaries — see
+    :mod:`futuresdr_tpu.runtime.mesh`."""
 
     if not fg.blocks:
         raise RateError("empty flowgraph")
@@ -736,6 +752,11 @@ def compile_flowgraph(
         mult = (mult // 128) * 128
     else:
         mult = 1 << (mult.bit_length() - 1)
+    if mesh is not None:
+        # every edge chunk must split evenly across the mesh axis
+        S = int(mesh.shape[mesh_axis])
+        if mult % S:
+            mult = -(-mult // S) * S
 
     edge_items: Dict[StreamEdge, int] = {}
     for e in fg.stream_edges:
@@ -816,6 +837,14 @@ def compile_flowgraph(
         regions=regions,
     )
     cfg.fusion_log = fusion_log
+    if mesh is not None:
+        from futuresdr_tpu.runtime.mesh import shard_compiled
+
+        mcfg = shard_compiled(cfg, mesh, mesh_axis)
+        mcfg.fusion_log = fusion_log
+        if not jit:
+            mcfg.step = mcfg._eval
+        return mcfg
     if jit:
         cfg.step = jax.jit(cfg._eval, donate_argnums=(0,))
     else:

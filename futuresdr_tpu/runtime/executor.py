@@ -131,9 +131,13 @@ class Executor:
         max_inflight: int = 2,
         max_steps: Optional[int] = None,
         restore: Optional[str] = None,
+        mesh=None,
+        mesh_axis: str = "time",
     ):
         self.fg = fg
-        self.cfg: CompiledFlowgraph = compile_flowgraph(fg, chunk_size=chunk_size)
+        self.cfg: CompiledFlowgraph = compile_flowgraph(
+            fg, chunk_size=chunk_size, mesh=mesh, mesh_axis=mesh_axis
+        )
         self.max_inflight = max(1, max_inflight)
         self.max_steps = max_steps
         self.running = False
@@ -692,6 +696,7 @@ class Executor:
             "chunk_items": {
                 str(k): v for k, v in self.cfg.edge_items.items()
             },
+            "steps_per_call": getattr(self, "_k_used", None),
         }
         if self._block_costs:
             out["block_cost_pct"] = dict(self._block_costs)
@@ -773,6 +778,42 @@ class Executor:
         finally:
             self._in_loop = False
 
+    def _auto_steps_per_call(self, tickers) -> int:
+        """Pick the scan-batch depth K for the default config.
+
+        Engages only where batching is pure win — device/resident-source
+        pipelines with no per-chunk host interactivity:
+
+        * host-fed graphs keep K=1 (their batching is an explicit opt-in:
+          stacking/unrolled dispatch changes the host feed path);
+        * message edges, tickers, blocking/notifying sources keep K=1
+          (messages and tickers run once per BATCH, so batching trades
+          control latency for throughput — the latency chapter's knob).
+
+        The depth itself comes from the measured operating curve
+        (docs/book/latency.md, NOTES r3/r4): per-dispatch overhead through
+        tunneled backends is 200-600 µs regardless of work, so small
+        chunks want deep batches (K=32 at 4k-item chunks measured 9x);
+        at multi-M-sample chunks the win plateaus by K=4 (14.09 / 14.91 /
+        14.89 GS/s at K=2/4/8 on the flagship bank). K = clamp(
+        auto_batch_items/widest, 4, 32) reproduces both endpoints;
+        ``auto_batch_max_k`` / ``auto_batch_items`` tune it, an explicit
+        ``steps_per_call`` bypasses it entirely.
+        """
+        cfg, fg = self.cfg, self.fg
+        if not fg.stream_edges or cfg.host_source_ids:
+            return 1
+        if fg.message_edges or tickers:
+            return 1
+        if any(b.is_blocking or b.notifies for b in fg.blocks):
+            return 1
+        widest = max(cfg.edge_items.values(), default=0)
+        if widest <= 0 or widest > int(config.get("scan_max_chunk", 1 << 23)):
+            return 1
+        target = int(config.get("auto_batch_items", 1 << 22))
+        kmax = max(1, int(config.get("auto_batch_max_k", 32)))
+        return max(1, min(kmax, max(4, -(-target // widest))))
+
     def _run_loop_impl(self) -> None:
         cfg, fg = self.cfg, self.fg
         self._t_start = time.monotonic()
@@ -832,7 +873,16 @@ class Executor:
         # steps_per_call > 1: fuse K chunks into one lax.scan dispatch.
         # Amortizes the per-dispatch host/tunnel overhead; the tradeoff is
         # control granularity — messages/tickers run once per batch.
-        K = max(1, int(config.get("steps_per_call", 1)))
+        # Default "auto": the executor picks K itself for device-source
+        # pipelines (see _auto_steps_per_call) — the measured 2x at
+        # flagship chunks and 4-9x at small chunks must not require the
+        # user to have read the latency chapter. An explicit integer
+        # always overrides.
+        k_cfg = config.get("steps_per_call", "auto")
+        if k_cfg in (None, "auto"):
+            K = self._auto_steps_per_call(tickers)
+        else:
+            K = max(1, int(k_cfg))
         widest = max(cfg.edge_items.values(), default=0)
         scan_max = int(config.get("scan_max_chunk", 1 << 23))
         if K > 1 and widest > scan_max:
@@ -857,6 +907,7 @@ class Executor:
                 scan_max,
             )
             K = 1
+        self._k_used = K  # surfaced in stats(); pinned by tests
         scan_step = cfg.make_scan_step() if K > 1 else None
         # host-FED batches above this OPERAND size dispatch through the
         # UNROLLED K-step instead of lax.scan: scan dynamic-slices its
@@ -983,8 +1034,10 @@ class Executor:
                     # device_put once per retune: raw numpy params would be
                     # re-uploaded on EVERY dispatch (jax does not cache
                     # host-array transfers), which serializes each step on
-                    # H2D round-trips through the TPU tunnel
-                    params_cache = jax.device_put(cfg.gather_params())
+                    # H2D round-trips through the TPU tunnel. Mesh-compiled
+                    # graphs place params with explicit shardings.
+                    put = getattr(cfg, "put_params", jax.device_put)
+                    params_cache = put(cfg.gather_params())
                     params_ver = ver
                     self._params_cache = params_cache
                     self._params_ver = params_ver
@@ -1120,9 +1173,17 @@ def _enable_compile_cache() -> None:
 class Runtime:
     """Top-level entry (parity: ``Runtime`` at ``runtime.rs:55-207``)."""
 
-    def __init__(self, chunk_size: Optional[int] = None, max_inflight: int = 2):
+    def __init__(
+        self,
+        chunk_size: Optional[int] = None,
+        max_inflight: int = 2,
+        mesh=None,
+        mesh_axis: str = "time",
+    ):
         self.chunk_size = chunk_size
         self.max_inflight = max_inflight
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         _enable_compile_cache()
 
     def run(
@@ -1140,6 +1201,8 @@ class Runtime:
             max_inflight=self.max_inflight,
             max_steps=max_steps,
             restore=restore,
+            mesh=self.mesh,
+            mesh_axis=self.mesh_axis,
         )
         ex.running = True
         try:
@@ -1163,6 +1226,8 @@ class Runtime:
             max_inflight=self.max_inflight,
             max_steps=max_steps,
             restore=restore,
+            mesh=self.mesh,
+            mesh_axis=self.mesh_axis,
         )
         handle = ex.start()
         from futuresdr_tpu.runtime.ctrl_port import global_ctrl_port

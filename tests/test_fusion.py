@@ -221,7 +221,7 @@ def test_fusion_scan_batching_matches_k1():
             Runtime(chunk_size=1024).run(fg)
             out[K] = np.stack([s.data() for s in sinks])
         finally:
-            config.set("steps_per_call", 1)
+            config.set("steps_per_call", "auto")
     assert out[1].shape == out[3].shape
     np.testing.assert_allclose(out[1], out[3], atol=1e-6)
 

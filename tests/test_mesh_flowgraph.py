@@ -1,0 +1,254 @@
+"""Mesh execution for composed flowgraphs (``runtime/mesh.py``).
+
+The r4 verdict's top item: sharding must be part of the product — a user
+composing blocks gets shard_map execution from ``Runtime(mesh=...)``, with
+state reconstruction at shard boundaries auto-derived from the compiler's
+latency calculus (the generalization of the hand-built packed-halo bank
+steps in ``models/pfb_fm_bank.py``). Parity anchor: the reference hands
+every composed graph its full concurrency machinery automatically
+(``src/runtime/scheduler/smol.rs:108-137``); SURVEY §2.5 names
+shard_map + ppermute as this framework's collective tier.
+
+All tests run on the 8-device virtual CPU mesh from conftest.
+"""
+
+import os
+import tempfile
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from futuresdr_tpu import Flowgraph, Runtime, config
+from futuresdr_tpu.blocks import (
+    Apply,
+    Combine,
+    Fir,
+    Iir,
+    NullSink,
+    PfbChannelizer,
+    QuadratureDemod,
+    ResidentSource,
+    VectorSink,
+    VectorSource,
+)
+from futuresdr_tpu.dsp import firdes, windows
+from futuresdr_tpu.runtime.compiler import RateError
+from futuresdr_tpu.runtime.executor import Executor
+
+
+def mesh8():
+    return Mesh(np.array(jax.devices()[:8]), ("time",))
+
+
+def _iq(n, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return (
+        (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * scale
+    ).astype(np.complex64)
+
+
+def _simple_chain(x, taps):
+    fg = Flowgraph()
+    src = VectorSource(x.copy())
+    f = Fir(taps)
+    d = QuadratureDemod(2.0)
+    snk = VectorSink(np.float32)
+    fg.stream(src, f)
+    fg.stream(f, d)
+    fg.stream(d, snk)
+    return fg, snk
+
+
+def test_mesh_simple_chain_matches_single_device():
+    """VectorSource → Fir → QuadratureDemod → VectorSink on the 8-shard
+    mesh is BIT-EXACT vs the single-device Executor (stateful blocks:
+    FIR history + demod continuity reconstructed at shard boundaries)."""
+    x = _iq(1 << 15)
+    taps = np.random.default_rng(2).standard_normal(31).astype(np.float32)
+    fg1, s1 = _simple_chain(x, taps)
+    Runtime(chunk_size=4096).run(fg1)
+    ref = s1.data()
+    fg2, s2 = _simple_chain(x, taps)
+    Runtime(chunk_size=4096, mesh=mesh8()).run(fg2)
+    got = s2.data()
+    assert ref.shape == got.shape
+    assert np.array_equal(ref, got)
+
+
+def test_mesh_rate_changing_chain():
+    """Decimating FIR (rate change + phase-anchored grid) across shard
+    boundaries: mesh == single-device."""
+    x = _iq(1 << 15, seed=5)
+    taps = firdes.lowpass(0.1, windows.hamming(40))
+
+    def build():
+        fg = Flowgraph()
+        src = VectorSource(x.copy())
+        f = Fir.decimating(taps, 4)
+        snk = VectorSink(np.complex64)
+        fg.stream(src, f)
+        fg.stream(f, snk)
+        return fg, snk
+
+    fg1, s1 = build()
+    Runtime(chunk_size=4096).run(fg1)
+    fg2, s2 = build()
+    Runtime(chunk_size=4096, mesh=mesh8()).run(fg2)
+    assert s1.data().shape == s2.data().shape
+    np.testing.assert_allclose(s1.data(), s2.data(), atol=2e-6, rtol=0)
+
+
+def _bank_graph(x, M, D, audio_taps, sink_cls):
+    fg = Flowgraph()
+    src = ResidentSource(x.copy())
+    ch = PfbChannelizer(M)
+    fg.stream(src, ch)
+    sinks = []
+    for k in range(M):
+        d = QuadratureDemod(1.0)
+        f = Fir.decimating(audio_taps, D, dtype=np.float32)
+        snk = sink_cls(np.float32)
+        fg.stream(ch, d, src_port=k)
+        fg.stream(d, f)
+        fg.stream(f, snk)
+        sinks.append(snk)
+    return fg, sinks
+
+
+def test_mesh_composed_bank_through_fusion():
+    """THE target graph: composed PfbChannelizer → M×QuadratureDemod →
+    M×Fir.decimating, canonicalized by the fusion pass onto the fused
+    PfbFmBank kernel, runs on the 8-device mesh numerically equal to the
+    single-device Executor — multi-step, so the cross-chunk carry (the
+    ppermute wrap edge) is exercised."""
+    M, D = 16, 4
+    n = M * D * 512
+    x = _iq(n, seed=1, scale=0.1)
+    audio_taps = firdes.lowpass(0.4 / D, windows.hamming(32))
+
+    fg1, s1 = _bank_graph(x, M, D, audio_taps, VectorSink)
+    Runtime(chunk_size=n).run(fg1, max_steps=4)
+    assert any(b.type_name == "PfbFmBank" for b in fg1.blocks)  # fused
+    fg2, s2 = _bank_graph(x, M, D, audio_taps, VectorSink)
+    Runtime(chunk_size=n, mesh=mesh8()).run(fg2, max_steps=4)
+    assert any(b.type_name == "PfbFmBank" for b in fg2.blocks)
+    for k in range(M):
+        a, b = s1[k].data(), s2[k].data()
+        assert a.shape == b.shape and a.size > 3 * 512  # 4 chunks - trim
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=0)
+
+
+def test_mesh_bank_null_sinks_device_reduce():
+    """NullSink (device_reduce) under the mesh: the keep-alive scalar is
+    psum-reduced instead of concatenated; item accounting matches."""
+    M, D = 16, 4
+    n = M * D * 256
+    x = _iq(n, seed=3, scale=0.1)
+    audio_taps = firdes.lowpass(0.4 / D, windows.hamming(32))
+    fg1, _ = _bank_graph(x, M, D, audio_taps, NullSink)
+    Runtime(chunk_size=n).run(fg1, max_steps=3)
+    ref = sum(b.n_received for b in fg1.blocks if isinstance(b, NullSink))
+    fg2, _ = _bank_graph(x, M, D, audio_taps, NullSink)
+    Runtime(chunk_size=n, mesh=mesh8()).run(fg2, max_steps=3)
+    got = sum(b.n_received for b in fg2.blocks if isinstance(b, NullSink))
+    assert ref > 0 and got == ref
+
+
+def test_mesh_scan_batching():
+    """steps_per_call=4 (lax.scan over the sharded step) equals the
+    unbatched mesh run and the single-device run."""
+    x = _iq(1 << 15)
+    taps = np.random.default_rng(2).standard_normal(31).astype(np.float32)
+    fg1, s1 = _simple_chain(x, taps)
+    Runtime(chunk_size=4096).run(fg1)
+    ref = s1.data()
+    config.set("steps_per_call", 4)
+    try:
+        fg2, s2 = _simple_chain(x, taps)
+        Runtime(chunk_size=4096, mesh=mesh8()).run(fg2)
+    finally:
+        config.set("steps_per_call", "auto")
+    got = s2.data()
+    assert ref.shape == got.shape
+    np.testing.assert_allclose(ref, got, atol=2e-6, rtol=0)
+
+
+def test_mesh_snapshot_resume_bit_exact():
+    """Snapshot after 3 steps under the mesh, resume in a fresh executor
+    on the same mesh: the combined output is bit-identical to an
+    uninterrupted single-device run (the carried state IS the ppermute
+    carry package — saved and restored like any other state pytree)."""
+    x = _iq(1 << 15)
+    taps = np.random.default_rng(2).standard_normal(31).astype(np.float32)
+    fg1, s1 = _simple_chain(x, taps)
+    Runtime(chunk_size=4096).run(fg1)
+    ref = s1.data()
+
+    fg3, _ = _simple_chain(x, taps)
+    ex = Executor(fg3, chunk_size=4096, mesh=mesh8(), max_steps=3)
+    ex.running = True
+    ex.run_loop()
+    ex.running = False
+    path = tempfile.mktemp(suffix=".npz")
+    ex.snapshot(path)
+    try:
+        fg4, s4 = _simple_chain(x, taps)
+        ex2 = Executor(fg4, chunk_size=4096, mesh=mesh8(), restore=path)
+        ex2.running = True
+        ex2.run_loop()
+        ex2.running = False
+        resumed = s4.data()
+        assert ref.shape == resumed.shape
+        assert np.array_equal(ref, resumed)
+    finally:
+        os.unlink(path)
+
+
+def test_mesh_eos_partial_chunk():
+    """A capture that is not a chunk multiple: the padded EOS tail under
+    the mesh delivers exactly the single-device output."""
+    x = _iq(40000 - 1234, seed=7)
+    taps = np.hamming(17).astype(np.float32)
+
+    def run(mesh=None):
+        fg = Flowgraph()
+        s = VectorSource(x.copy())
+        f = Fir(taps)
+        k = VectorSink(np.complex64)
+        fg.stream(s, f)
+        fg.stream(f, k)
+        Runtime(chunk_size=4096, mesh=mesh).run(fg)
+        return k.data()
+
+    r1, r2 = run(), run(mesh8())
+    assert r1.shape == r2.shape
+    assert np.array_equal(r1, r2)
+
+
+def test_mesh_rejects_undeclared_stateful_block():
+    """IIR state is not suffix-reconstructable — the mesh compiler must
+    refuse with a clear error, not produce wrong numbers."""
+    fg = Flowgraph()
+    src = VectorSource(np.ones(8192, np.float32))
+    ii = Iir([1.0], [1.0, -0.5])
+    snk = VectorSink(np.float32)
+    fg.stream(src, ii)
+    fg.stream(ii, snk)
+    with pytest.raises(RateError, match="state_suffix_in"):
+        Runtime(chunk_size=4096, mesh=mesh8()).run(fg)
+
+
+def test_mesh_rejects_feedback_regions():
+    fg = Flowgraph()
+    src = VectorSource(np.ones(8192, np.float32))
+    add = Combine(lambda p, q: p + q, a_dtype=np.float32)
+    g = Apply(lambda v: np.float32(0.5) * v, in_dtype=np.float32)
+    snk = VectorSink(np.float32)
+    fg.stream(src, add, dst_port=0)
+    fg.stream(add, g)
+    fg.stream(add, snk)
+    fg.close_circuit(g, add, dst_port=1, delay=16)
+    with pytest.raises(RateError, match="feedback regions"):
+        Runtime(chunk_size=4096, mesh=mesh8()).run(fg)

@@ -125,7 +125,7 @@ def test_random_chain_scan_batching_identical(seed):
     try:
         Runtime(chunk_size=8192).run(fg2)
     finally:
-        config.set("steps_per_call", 1)
+        config.set("steps_per_call", "auto")
     np.testing.assert_array_equal(s1.data(), s2.data())
 
 
@@ -160,7 +160,7 @@ def test_aux_delivery_identical_across_dispatch_modes():
         try:
             Runtime(chunk_size=8192).run(fg)
         finally:
-            config.set("steps_per_call", 1)
+            config.set("steps_per_call", "auto")
             config.set("scan_unroll_min_chunk", 1 << 19)
         return snk.data(), np.concatenate(seen)
 
@@ -209,6 +209,6 @@ def test_random_chain_unrolled_batching_identical(seed):
     try:
         Runtime(chunk_size=8192).run(fg2)
     finally:
-        config.set("steps_per_call", 1)
+        config.set("steps_per_call", "auto")
         config.set("scan_unroll_min_chunk", 1 << 19)
     np.testing.assert_array_equal(s1.data(), s2.data())

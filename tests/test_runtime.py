@@ -520,7 +520,7 @@ def test_tags_preserved_under_scan_batching():
         try:
             Runtime(chunk_size=4096).run(fg)
         finally:
-            config.set("steps_per_call", 1)
+            config.set("steps_per_call", "auto")
         return snk.data(), [(t.index, t.tag) for t in snk.tags()]
 
     d1, t1 = run(1)
@@ -748,3 +748,70 @@ def test_direct_params_write_reaches_device():
     assert out.shape == (64,)
     # at least the tail chunks must see the retuned gain
     assert out[-1] == 3.0
+
+
+def test_auto_steps_per_call_device_source():
+    """Default config: the executor picks K itself for device-source
+    pipelines (VERDICT r4 #4 — the measured scan-batch win must not
+    require reading the latency chapter), and the batched output
+    accounting matches K=1 exactly."""
+    from futuresdr_tpu import config
+    from futuresdr_tpu.blocks import (
+        Fir,
+        NullSink,
+        QuadratureDemod,
+        ResidentSource,
+    )
+    from futuresdr_tpu.runtime.executor import Executor
+
+    x = (
+        np.random.default_rng(0).standard_normal(65536) + 0j
+    ).astype(np.complex64)
+
+    def run(steps_per_call=None):
+        if steps_per_call is not None:
+            config.set("steps_per_call", steps_per_call)
+        try:
+            fg = Flowgraph()
+            src = ResidentSource(x)
+            f = Fir(np.hamming(33).astype(np.float32))
+            d = QuadratureDemod(1.0)
+            snk = NullSink(np.float32)
+            fg.stream(src, f)
+            fg.stream(f, d)
+            fg.stream(d, snk)
+            ex = Executor(fg, chunk_size=65536, max_steps=8)
+            ex.running = True
+            ex.run_loop()
+            ex.running = False
+            return ex.stats()["steps_per_call"], snk.n_received
+        finally:
+            config.set("steps_per_call", "auto")
+
+    k_auto, n_auto = run()
+    assert k_auto == 32  # clamp(ceil(4M/64k)=64, 4, 32)
+    k_one, n_one = run(steps_per_call=1)  # explicit override respected
+    assert k_one == 1
+    assert n_auto == n_one == 8 * 65536
+
+
+def test_auto_steps_per_call_stays_one_for_interactive_graphs():
+    """Host-fed graphs, message edges, tickers and live sources keep
+    K=1 under the auto default (batching would trade their control/feed
+    granularity for throughput without being asked)."""
+    from futuresdr_tpu.blocks import Apply, VectorSink, VectorSource
+    from futuresdr_tpu.runtime.executor import Executor
+
+    # host-fed
+    fg = Flowgraph()
+    src = VectorSource(np.ones(32768, np.float32))
+    a = Apply(lambda v: v * 2, in_dtype=np.float32)
+    snk = VectorSink(np.float32)
+    fg.stream(src, a)
+    fg.stream(a, snk)
+    ex = Executor(fg, chunk_size=4096)
+    ex.running = True
+    ex.run_loop()
+    ex.running = False
+    assert ex.stats()["steps_per_call"] == 1
+    assert np.array_equal(snk.data(), np.full(32768, 2.0, np.float32))
