@@ -314,20 +314,32 @@ def encode_symbols(cfg: LoraConfig, payload: bytes) -> np.ndarray:
 def modulate_frame(
     cfg: LoraConfig, payload: bytes, oversample: int = 1
 ) -> np.ndarray:
-    """Full baseband frame at fs = BW (oversample=1): preamble +
-    sync + 2.25 downchirps + data chirps."""
-    if oversample != 1:
-        raise NotImplementedError("round 1: fs == BW")
+    """Full baseband frame at fs = oversample·BW: preamble + sync +
+    2.25 downchirps + data chirps. ``oversample=1`` keeps the exact
+    round-1 waveform (roll-based chirps); ``oversample>1`` uses the
+    folded-frequency chirp (``utils.rs:884-914`` parity) — real LoRa
+    captures are essentially always fs > BW
+    (``frame_sync.rs:83`` m_os_factor)."""
     n = cfg.n
-    u = base_upchirp(cfg.sf)
-    d = np.conj(u)
-    parts = [np.tile(u, cfg.preamble_len)]
+    os = int(oversample)
     s1 = ((cfg.sync_word >> 4) & 0xF) << 3
     s2 = (cfg.sync_word & 0xF) << 3
-    parts += [chirp(cfg.sf, s1), chirp(cfg.sf, s2)]
-    parts += [d, d, d[: n // 4]]
+    if os == 1:
+        u = base_upchirp(cfg.sf)
+        d = np.conj(u)
+        parts = [np.tile(u, cfg.preamble_len)]
+        parts += [chirp(cfg.sf, s1), chirp(cfg.sf, s2)]
+        parts += [d, d, d[: n // 4]]
+        for s in encode_symbols(cfg, payload):
+            parts.append(chirp(cfg.sf, int(s)))
+        return np.concatenate(parts).astype(np.complex64)
+    u = chirp_os(cfg.sf, 0, os)
+    d = np.conj(u)
+    parts = [np.tile(u, cfg.preamble_len)]
+    parts += [chirp_os(cfg.sf, s1, os), chirp_os(cfg.sf, s2, os)]
+    parts += [d, d, d[: (n * os) // 4]]
     for s in encode_symbols(cfg, payload):
-        parts.append(chirp(cfg.sf, int(s)))
+        parts.append(chirp_os(cfg.sf, int(s), os))
     return np.concatenate(parts).astype(np.complex64)
 
 
@@ -515,9 +527,31 @@ def _window_fn(nw: int, wsym: int, sf: int, sf_app: int):
 
 
 class LoraReceiver(StreamingReceiver):
-    """Frame sync + demod + decode over an IQ buffer (fs = BW)."""
+    """Frame sync + demod + decode over an IQ buffer.
 
-    def __init__(self, cfg: LoraConfig, soft: bool = True):
+    ``os_factor=1`` (fs = BW): the round-1 symbol-grid receiver.
+    ``os_factor>=2`` (fs = os·BW — how real captures arrive): coarse
+    detection on the center decimation phase, then per candidate a
+    batched CFO/STO estimate from the preamble the way
+    ``frame_sync.rs`` does sequentially (``:83`` m_os_factor, ``:317-345``
+    k_hat / m_sto_frac / cfo_int-from-downchirp):
+
+    * fractional CFO from the phase slope between consecutive dechirped
+      preamble upchirps (exact mod 1 bin);
+    * integer CFO from the downchirp bin — on the walk-aligned grid the
+      residual timing equals the CFO, so ``down_bin ≈ 2·f`` and
+      ``f_int = round((down − 2·f_frac)/2)`` (signed, ±N/4 range — the
+      reference's ``down_val/2`` rule);
+    * timing: the CFO-induced offset ``f`` chips is re-absorbed by
+      re-picking the DECIMATION PHASE (``q = p0 + round(f·os)``) —
+      fractional STO resolution 1/os chip, the reference's
+      ``compute_sto_index`` quantization — then the stream is derotated
+      by ``exp(−j2πf·k/N)`` and handed to the fs=BW receiver unchanged.
+    """
+
+    def __init__(
+        self, cfg: LoraConfig, soft: bool = True, os_factor: int = 1
+    ):
         # soft-decision decoding (build_lora_rx_soft_decoding parity):
         # per-bit max-log LLRs from the full dechirp spectrum + ML
         # Hamming decoding; hard argmax-bin path kept for A/B
@@ -528,6 +562,9 @@ class LoraReceiver(StreamingReceiver):
             )
         self.cfg = cfg
         self.soft = bool(soft)
+        self.os_factor = int(os_factor)
+        if self.os_factor < 1:
+            raise ValueError("os_factor must be >= 1")
         self.frames: List[LoraFrame] = []
 
     # -- sync: find preamble runs on symbol-aligned grid offsets ---------
@@ -703,9 +740,143 @@ class LoraReceiver(StreamingReceiver):
     # grid fetch + staged window decode land in _collect, so streaming
     # overlaps a chunk's scan with the previous chunk's decode.
 
+    # -- oversampled path (os_factor >= 2) -------------------------------
+    def _estimate_cfo_sto(self, y: np.ndarray, t0: int):
+        """On the walk-aligned decimated grid: returns total CFO ``f``
+        in bins (float) or None. Host numpy — the windows are a dozen
+        N-sample symbols per candidate (the batched device programs
+        carry the data decode, which dominates)."""
+        cfg = self.cfg
+        n = cfg.n
+        d = np.conj(base_upchirp(cfg.sf))
+        u = base_upchirp(cfg.sf)
+        seg = y[t0:]
+        k = len(seg) // n
+        if k < cfg.preamble_len + 5:
+            return None
+        w = seg[: k * n].reshape(k, n)
+        spec = np.fft.fft(w[: cfg.preamble_len + 4] * d[None, :], axis=-1)
+        p = np.abs(spec) ** 2
+        bins = np.argmax(p, axis=-1)
+        peak = p.max(axis=-1)
+        mean = p.mean(axis=-1)
+        strong = peak > 4.0 * np.maximum(mean, 1e-12)
+        if not strong[0]:
+            return None
+        # preamble run on the dominant bin b0 — NOT necessarily 0: when
+        # (CFO−τ) sits near a half bin the walk's alignment quantizes a
+        # chip off and the residual shows up here; the fractional
+        # estimate below re-centers it
+        b0 = int(bins[0])
+        z = 0
+        while z < len(bins) and strong[z] and bins[z] == b0:
+            z += 1
+        if z < 2:
+            return None
+        # fractional CFO: phase slope across the preamble run (exact
+        # mod 1 bin, independent of timing)
+        acc = 0j
+        for i in range(1, z):
+            acc += np.conj(spec[i - 1, b0]) * spec[i, b0]
+        f_frac = float(np.angle(acc) / (2.0 * np.pi)) if z >= 2 else 0.0
+        # fractional residual up-bin U = f − τ on this grid, at half-bin
+        # FFT resolution + parabolic interpolation (the reference keeps a
+        # 2N FFT for exactly this STO-frac estimate,
+        # frame_sync.rs fft_forward_two_times_number_of_bins)
+        wz = w[:z] * d[None, :]
+        pad2 = np.zeros((z, 2 * n), np.complex64)
+        pad2[:, :n] = wz
+        p2 = np.abs(np.fft.fft(pad2, axis=-1)) ** 2
+        p2 = p2.sum(axis=0)
+        b2 = int(np.argmax(p2))
+        pl, pc, pr = (
+            p2[(b2 - 1) % (2 * n)],
+            p2[b2],
+            p2[(b2 + 1) % (2 * n)],
+        )
+        denom = pl - 2 * pc + pr
+        db = 0.5 * (pl - pr) / denom if denom != 0 else 0.0
+        u_pos = (b2 + db) / 2.0  # bins, in [0, n)
+        u_res = ((u_pos + n / 2) % n) - n / 2  # signed, aligned ⇒ small
+        # integer CFO from the first full downchirp (windows z+2, z+3):
+        # dechirp with the UPCHIRP → bin ≈ f + τ; with U = f − τ,
+        # down + U ≈ 2f pins the integer part
+        di = z + 4  # sync(2) then first full downchirp
+        if (di + 1) * n > len(seg):
+            return None
+        dspec = np.fft.fft(seg[di * n : (di + 1) * n] * u)
+        down = int(np.argmax(np.abs(dspec)))
+        down_signed = down if down < n // 2 else down - n
+        m = int(np.round((down_signed + u_res - 2.0 * f_frac) / 2.0))
+        f = m + f_frac
+        tau = f - u_res  # residual timing on this grid, in chips
+        return f, tau
+
+    def _demod_frame_os(
+        self, x_os: np.ndarray, t0: int, p0: int
+    ) -> Optional[LoraFrame]:
+        os = self.os_factor
+        n = self.cfg.n
+        y = x_os[p0::os]
+        est = self._estimate_cfo_sto(y, t0)
+        if est is None:
+            return None
+        f, tau = est
+        # re-pick the decimation phase to absorb the residual timing
+        # offset (resolution 1/os chip — compute_sto_index parity)
+        qq = p0 + int(np.round(tau * os))
+        t_shift, q = divmod(qq, os)
+        t_corr = t0 + t_shift
+        if t_corr < 0:
+            return None
+        yq = x_os[q::os]
+        kk = np.arange(len(yq), dtype=np.float64)
+        yc = (yq * np.exp(-2j * np.pi * f * kk / n)).astype(np.complex64)
+        frame = self._demod_frame(yc, t_corr)
+        if frame is not None:
+            # report the start in OS samples (the capture's own clock)
+            frame.start = t_corr * os + q
+        return frame
+
+    def _collect_os(self, x_os: np.ndarray) -> List[LoraFrame]:
+        os = self.os_factor
+        # scan TWO decimation phases half a chip apart: a combined
+        # (CFO_frac − STO_frac) near ±0.5 bin makes the dechirp argmax
+        # alternate between adjacent bins and breaks the equal-bin run
+        # walk — the other phase is then >= 0.25 bin from the boundary
+        phases = [os // 2] if os == 1 else sorted({os // 2, 0})
+        out: List[LoraFrame] = []
+        claimed: List[int] = []  # OS-sample starts of decoded frames
+        for p0 in phases:
+            y0 = x_os[p0::os]
+            for t0 in self._find_frames(y0):
+                approx = t0 * os + p0
+                if any(
+                    abs(approx - c) < 2 * self.cfg.n * os for c in claimed
+                ):
+                    continue  # same frame found on the other phase
+                fr = self._demod_frame_os(x_os, t0, p0)
+                if fr is not None:
+                    out.append(fr)
+                    claimed.append(fr.start)
+                else:
+                    # remember the attempt so the other phase's duplicate
+                    # candidate gets its own chance only if this one died
+                    pass
+        out.sort(key=lambda f: f.start)
+        self.frames.extend(out)
+        return out
+
     def _dispatch(self, iq):
         cfg = self.cfg
         n, sf = cfg.n, cfg.sf
+        if self.os_factor > 1:
+            if isinstance(iq, cplx.CArray):
+                raise ValueError(
+                    "device-resident ingest requires os_factor=1 (decimate"
+                    " + CFO-correct on the host first, or feed fs=BW IQ)"
+                )
+            return {"os": np.asarray(iq, dtype=np.complex64)}
         if isinstance(iq, cplx.CArray):
             # device-resident ingest — batched soft path only; refuse
             # rather than silently soft-decode a hard-path A/B receiver
@@ -731,6 +902,8 @@ class LoraReceiver(StreamingReceiver):
         return {"xc": xc, "grid": _grid_fn(bucket // n, sf)(xc)}
 
     def _collect(self, d) -> List[LoraFrame]:
+        if "os" in d:
+            return self._collect_os(d["os"])
         if "hard" in d:
             x = d["hard"]
             out: List[LoraFrame] = []

@@ -235,3 +235,113 @@ def test_implicit_header_tx_rejects_length_mismatch():
     with pytest.raises(ValueError):
         modulate_frame(cfg, b"only 7 b")
     assert len(modulate_frame(cfg, b"10 bytes!!")) > 0
+
+
+# ---------------------------------------------------------------------------
+# Oversampled RX (os_factor >= 2) + CFO/STO — the r4 verdict's missing #3:
+# real LoRa captures are essentially always fs > BW (frame_sync.rs:83
+# m_os_factor, :317-345 k_hat/m_sto_frac compensation).
+# ---------------------------------------------------------------------------
+
+
+def _impair_os(iq, n, os, f_bins, tau_os, snr_db=None, seed=0):
+    """Apply CFO (in bins at fs=BW) and a fractional-sample delay (in
+    OS samples) to an oversampled frame, plus optional AWGN."""
+    k = np.arange(len(iq))
+    y = iq * np.exp(2j * np.pi * f_bins * k / (n * os))
+    X = np.fft.fft(y)
+    fr = np.fft.fftfreq(len(y))
+    y = np.fft.ifft(X * np.exp(-2j * np.pi * fr * tau_os))
+    if snr_db is not None:
+        rng = np.random.default_rng(seed)
+        p_sig = np.mean(np.abs(iq) ** 2)
+        sigma = np.sqrt(p_sig / (10 ** (snr_db / 10)) / 2)
+        y = y + sigma * (
+            rng.standard_normal(len(y)) + 1j * rng.standard_normal(len(y))
+        )
+    return y.astype(np.complex64)
+
+
+@pytest.mark.parametrize(
+    "f_bins,tau_os",
+    [
+        (0.0, 0.0),
+        (0.3, 1.0),  # ~0.34 ppm at 868 MHz / 125 kHz BW, frac offset
+        (-0.45, 2.5),  # half-bin-edge CFO — the walk-quantization case
+        (3.3, 3.7),  # integer+frac CFO
+        (-17.8, 1.3),  # ~20 ppm crystal (17.4 kHz at 868 MHz)
+        (30.0, 2.0),  # beyond any sane crystal; stresses the int wrap
+    ],
+)
+def test_lora_oversampled_cfo_sto(f_bins, tau_os):
+    cfg = LoraConfig(sf=7)
+    os = 4
+    payload = b"oversampled lora!"
+    iq = modulate_frame(cfg, payload, oversample=os)
+    pad = np.zeros(os * 300, np.complex64)
+    x = _impair_os(
+        np.concatenate([pad, iq, pad]), cfg.n, os, f_bins, tau_os
+    )
+    rx = LoraReceiver(cfg, os_factor=os)
+    frames = rx.process(x)
+    good = [f for f in frames if f.crc_ok and f.payload == payload]
+    assert len(good) == 1, (f_bins, tau_os, frames)
+
+
+def test_lora_oversampled_noise():
+    cfg = LoraConfig(sf=7)
+    os = 4
+    payload = b"noisy os frame"
+    iq = modulate_frame(cfg, payload, oversample=os)
+    pad = np.zeros(os * 300, np.complex64)
+    x = _impair_os(
+        np.concatenate([pad, iq, pad]), cfg.n, os, -5.7, 1.25, snr_db=8.0
+    )
+    rx = LoraReceiver(cfg, os_factor=os)
+    good = [
+        f for f in rx.process(x) if f.crc_ok and f.payload == payload
+    ]
+    assert len(good) == 1
+
+
+@pytest.mark.parametrize("os", [2, 8])
+def test_lora_other_os_factors(os):
+    cfg = LoraConfig(sf=7)
+    payload = b"os sweep"
+    iq = modulate_frame(cfg, payload, oversample=os)
+    pad = np.zeros(os * 257, np.complex64)
+    x = _impair_os(np.concatenate([pad, iq, pad]), cfg.n, os, 2.4, 1.0)
+    rx = LoraReceiver(cfg, os_factor=os)
+    good = [
+        f for f in rx.process(x) if f.crc_ok and f.payload == payload
+    ]
+    assert len(good) == 1
+
+
+def test_lora_oversampled_multi_frame():
+    """Two frames with DIFFERENT CFOs in one capture: per-candidate
+    estimation must track each frame separately."""
+    cfg = LoraConfig(sf=7)
+    os = 4
+    p1, p2 = b"frame one", b"frame two .."
+    gap = np.zeros(os * 700, np.complex64)
+    iq1 = modulate_frame(cfg, p1, oversample=os)
+    iq2 = modulate_frame(cfg, p2, oversample=os)
+    k1 = np.arange(len(iq1))
+    k2 = np.arange(len(iq2))
+    y1 = iq1 * np.exp(2j * np.pi * 4.3 * k1 / (cfg.n * os))
+    y2 = iq2 * np.exp(2j * np.pi * -11.6 * k2 / (cfg.n * os))
+    x = np.concatenate([gap, y1, gap, y2, gap]).astype(np.complex64)
+    rx = LoraReceiver(cfg, os_factor=os)
+    frames = rx.process(x)
+    payloads = [f.payload for f in frames if f.crc_ok]
+    assert payloads == [p1, p2]
+
+
+def test_lora_os1_waveform_unchanged():
+    """oversample=1 must keep the exact round-1 waveform (roll-based
+    chirps) so every existing fixture and loopback stays bit-identical."""
+    cfg = LoraConfig(sf=7)
+    a = modulate_frame(cfg, b"abc", oversample=1)
+    b_ = modulate_frame(cfg, b"abc")
+    assert np.array_equal(a, b_)
