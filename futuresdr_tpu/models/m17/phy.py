@@ -366,6 +366,19 @@ class M17Receiver(StreamingReceiver):
         )
         p_peak = int(np.argmax(score_p))
         have_preamble = score_p[p_peak] > 0.5
+        if have_preamble:
+            # CFO appears at the discriminator as a constant symbol
+            # offset (Δf / 800 Hz per unit). The preamble's alternating
+            # ±3 averages to zero, so the mean over the matched window
+            # IS that offset — subtract it before the sync-word
+            # correlation (whose template has nonzero sum, so a DC bias
+            # shifts its normalized score) and before slicing. Extends
+            # the CFO operating range ~±100 Hz → ~±800 Hz (1 symbol
+            # unit; beyond that the ±4.5 discriminator clip and the
+            # channel filter start eating the outer symbols).
+            dc = float(np.mean(d[p_peak : p_peak + len(pre_t)]))
+            if abs(dc) <= 2.0:
+                d = d - dc
 
         # normalized LSF sync correlation (energy-gated so noise bursts
         # with high power but no structure score low)

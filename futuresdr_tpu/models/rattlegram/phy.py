@@ -210,19 +210,54 @@ class RattlegramReceiver(StreamingReceiver):
             return None
         ref = np.fft.rfft(x[sync_pos : sync_pos + SYMBOL_LEN])
         prev = ref[CAR0 : CAR0 + PAY_CAR_CNT]
-        llrs = np.empty((SYMBOL_COUNT, PAY_CAR_CNT, MOD_BITS), np.float64)
+        diffs = np.empty((SYMBOL_COUNT, PAY_CAR_CNT), np.complex128)
         pos = sync_pos + SYMBOL_LEN + GUARD_LEN
         for s in range(SYMBOL_COUNT):
             spec = np.fft.rfft(x[pos : pos + SYMBOL_LEN])
             cur = spec[CAR0 : CAR0 + PAY_CAR_CNT]
-            d = cur * np.conj(prev)
-            # Gray DQPSK soft bits for the TX map θ(00,01,11,10) =
-            # (0, π/2, π, 3π/2): b0 ⇔ sign(cosθ+sinθ), b1 ⇔ sign(cosθ−sinθ)
-            scale = np.abs(d) + 1e-12
-            llrs[s, :, 0] = (d.real + d.imag) / scale
-            llrs[s, :, 1] = (d.real - d.imag) / scale
+            diffs[s] = cur * np.conj(prev)
             prev = cur
             pos += EXT_LEN
+
+        # sample-clock-offset compensation: a constant timing slip of δ
+        # samples between consecutive symbol windows rotates carrier k's
+        # differential by 2π·k·δ/N — at the top payload carrier this
+        # crosses the DQPSK π/4 decision boundary near ~150 ppm, the
+        # cliff both this and the reference decoder (which has no drift
+        # handling; decoder.rs:385 is sync peak-picking only) fall off.
+        # δ is one unknown shared by every (symbol, carrier) cell, so a
+        # HYPOTHESIS SEARCH beats per-symbol phase estimation (whose 4×
+        # quadrupling noise, extrapolated ×CAR0 carriers, was worse than
+        # the drift): quadrupled DQPSK phases are 0 mod 2π at the true
+        # δ, so M(δ) = Σ_s |Σ_k (d·e^{-j2πkδ/N})⁴/|d|⁴| peaks there.
+        # 49 hypotheses × 1024 cells of host math per candidate.
+        k_abs = CAR0 + np.arange(PAY_CAR_CNT)
+        u = diffs / (np.abs(diffs) + 1e-12)
+        deltas = np.arange(-10.0, 10.01, 0.25)
+        rot = np.exp(
+            -1j * 2.0 * np.pi * np.outer(deltas, k_abs) / SYMBOL_LEN
+        )  # [nd, C]
+        z4 = (u[None, :, :] * rot[:, None, :]) ** 4  # [nd, S, C]
+        metric = np.abs(z4.sum(axis=2)).sum(axis=1)  # [nd]
+        i0 = int(np.argmin(np.abs(deltas)))  # δ = 0
+        best = int(np.argmax(metric))
+        # margin gate: near the decode threshold the metric is noisy and
+        # a spurious δ costs real SNR — only leave δ=0 when the drift
+        # hypothesis clearly wins (a true slip's margin is large: the
+        # top carriers cross the π/4 boundary)
+        delta = (
+            float(deltas[best])
+            if metric[best] > 1.10 * metric[i0]
+            else 0.0
+        )
+        d = diffs * np.exp(-1j * 2.0 * np.pi * k_abs * delta / SYMBOL_LEN)
+
+        # Gray DQPSK soft bits for the TX map θ(00,01,11,10) =
+        # (0, π/2, π, 3π/2): b0 ⇔ sign(cosθ+sinθ), b1 ⇔ sign(cosθ−sinθ)
+        scale = np.abs(d) + 1e-12
+        llrs = np.empty((SYMBOL_COUNT, PAY_CAR_CNT, MOD_BITS), np.float64)
+        llrs[:, :, 0] = (d.real + d.imag) / scale
+        llrs[:, :, 1] = (d.real - d.imag) / scale
         llr = llrs.reshape(-1)
 
         def crc_fn(msg_bits: np.ndarray) -> bool:
