@@ -177,7 +177,9 @@ def _decode_via_ffmpeg(path: Path):
 class AudioFileSource(Block):
     """Decode an audio file into f32 samples (parity: audio/file_source.rs
     — rodio decodes mp3/flac there). PCM WAV decodes in-process via the
-    stdlib; compressed formats (mp3/flac/ogg/…) decode through
+    stdlib; IMA ADPCM WAV (format 0x11 — a real 4:1 compressed format)
+    decodes in-process via :mod:`futuresdr_tpu.dsp.adpcm`; other
+    compressed formats (mp3/flac/ogg/…) decode through
     :func:`_decode_via_ffmpeg` when ffmpeg is on PATH."""
 
     def __init__(self, path, repeat: bool = False, name: Optional[str] = None):
@@ -187,6 +189,12 @@ class AudioFileSource(Block):
         self.is_blocking = True
         if self.path.suffix.lower() != ".wav":
             data, self.sample_rate, self.channels = _decode_via_ffmpeg(
+                self.path
+            )
+        elif self._wav_format_tag() == 0x11:
+            from futuresdr_tpu.dsp.adpcm import read_ima_wav
+
+            data, self.sample_rate, self.channels = read_ima_wav(
                 self.path
             )
         else:
@@ -213,6 +221,27 @@ class AudioFileSource(Block):
         self._pos = 0
         self.stream_outputs = [PortSpec("out", np.float32)]
         self.rate_out = (1,)
+
+    def _wav_format_tag(self) -> int:
+        """Peek the RIFF fmt chunk's format tag (1 = PCM, 0x11 = IMA
+        ADPCM, …) without decoding; 1 on any parse surprise so the
+        stdlib path raises its own clearer error."""
+        import struct
+
+        try:
+            raw = self.path.read_bytes()
+            if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                return 1
+            pos = 12
+            while pos + 8 <= len(raw):
+                cid = raw[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", raw, pos + 4)
+                if cid == b"fmt " and size >= 2:
+                    return struct.unpack_from("<H", raw, pos + 8)[0]
+                pos += 8 + size + (size & 1)
+        except Exception:  # noqa: BLE001 - fall through to stdlib
+            pass
+        return 1
 
     def host_produce(self, n: int, port: int = 0):
         total = len(self._data)
