@@ -526,6 +526,159 @@ def _window_fn(nw: int, wsym: int, sf: int, sf_app: int):
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
+def _frontier_fn(
+    nw: int,
+    wa: int,
+    wp: int,
+    sf: int,
+    sf_app_hdr: int,
+    sf_p: int,
+    s1: int,
+    s2: int,
+):
+    """Fused decode frontier: per candidate, the WHOLE post-detection
+    chain in ONE device program — stage-A preamble walk (z = remaining
+    upchirps, computed ON DEVICE), sync-word gate, header windows, and
+    ``wp`` speculative payload windows.
+
+    Why: the staged path (stage A → fetch → header → fetch → payload →
+    fetch) pays one ~24 ms tunnel round-trip per stage; a profiled
+    20-frame capture spent 94 of 116 ms in those fetches (host decode
+    math was 7 ms). With z/sync/data_start computed in-program and the
+    payload length SPECULATED from the previous capture (the WLAN
+    receiver's gate, models/wlan/rx.py), the per-chunk cost drops to
+    grid + ONE combined fetch. Frames longer than the speculated ``wp``
+    fall back to the staged window fetch."""
+    one = _make_frontier_one(wa, wp, sf, sf_app_hdr, sf_p, s1, s2)
+
+    def fn(xc: CArray, starts):
+        return jax.vmap(lambda s: one(xc, s))(starts)
+
+    return jax.jit(fn)
+
+
+def _make_frontier_one(
+    wa: int, wp: int, sf: int, sf_app_hdr: int, sf_p: int, s1: int, s2: int
+):
+    """Build the per-candidate frontier body (see :func:`_frontier_fn`);
+    shared by the starts-operand variant and the fully fused
+    detect+frontier program."""
+    n = 1 << sf
+    d = np.conj(base_upchirp(sf))
+    tab_h = jnp.asarray(_soft_bit_table(sf, sf_app_hdr).T)
+    tab_p = jnp.asarray(_soft_bit_table(sf, sf_p).T)
+    dca = cplx.from_numpy(np.tile(d, wa))
+    dch = cplx.from_numpy(np.tile(d, 8))
+    dcp = cplx.from_numpy(np.tile(d, wp)) if wp else None
+    guard_len = (wa + 13 + wp) * n
+
+    def one(xc: CArray, s):
+        guard = cplx.CArray(
+            jnp.concatenate([xc.re, jnp.zeros(guard_len, jnp.float32)]),
+            jnp.concatenate([xc.im, jnp.zeros(guard_len, jnp.float32)]),
+        )
+        s_ok = s >= 0  # detect-path padding slots carry -1
+        s = jnp.maximum(s, 0)
+
+        def dechirp(st, w, dc):
+            win = cplx.apply1(
+                lambda t: jax.lax.dynamic_slice_in_dim(t, st, w * n),
+                guard,
+            )
+            v = (win * dc).reshape(w, n)
+            return fft_c(v).abs2()
+
+        def llrs_from(p, tab):
+            a = jnp.sqrt(p)
+            m1 = jnp.max(
+                jnp.where(tab[None, :, :], a[:, None, :], -jnp.inf), -1
+            )
+            m0 = jnp.max(
+                jnp.where(~tab[None, :, :], a[:, None, :], -jnp.inf), -1
+            )
+            return m1 - m0
+
+        pa = dechirp(s, wa, dca)
+        bins = jnp.argmax(pa, -1)
+        peak = jnp.max(pa, -1)
+        mean = jnp.mean(pa, -1)
+        strong = peak > 4.0 * jnp.maximum(mean, 1e-12)
+        ok0 = strong & (bins == 0)
+        z = jnp.where(jnp.all(ok0), wa, jnp.argmin(ok0)).astype(jnp.int32)
+        # sync-word gate, exactly the staged host semantics: checked
+        # only when both sync windows exist inside stage A (±1 bin
+        # slack; indices clipped — the where() masks the result)
+        zi = jnp.minimum(z, wa - 1)
+        zj = jnp.minimum(z + 1, wa - 1)
+        b1 = bins[zi].astype(jnp.int32)
+        b2 = bins[zj].astype(jnp.int32)
+        sync_ok = (jnp.abs(b1 - s1) <= 1) & (jnp.abs(b2 - s2) <= 1)
+        valid = s_ok & (z >= 2) & ((z + 1 >= wa) | sync_ok)
+        dstart = s + (z + 2) * n + 2 * n + n // 4
+        ph = dechirp(dstart, 8, dch)
+        hpk = jnp.max(ph, -1)
+        hmn = jnp.mean(ph, -1)
+        hllr = llrs_from(ph, tab_h)
+        if wp:
+            pp = dechirp(dstart + 8 * n, wp, dcp)
+            ppk = jnp.max(pp, -1)
+            pmn = jnp.mean(pp, -1)
+            pllr = llrs_from(pp, tab_p)
+        else:
+            ppk = pmn = jnp.zeros((0,), jnp.float32)
+            pllr = jnp.zeros((0, sf_p), jnp.float32)
+        return z, valid, dstart, hpk, hmn, hllr, ppk, pmn, pllr
+
+    return one
+
+
+@lru_cache(maxsize=None)
+def _detect_frontier_fn(
+    k: int,
+    sf: int,
+    run_len: int,
+    kmax: int,
+    wa: int,
+    wp: int,
+    sf_app_hdr: int,
+    sf_p: int,
+    s1: int,
+    s2: int,
+):
+    """The fully fused LoRa decode program: symbol-grid run DETECTION
+    (the host ``_walk_grid`` vectorized — a preamble is a run of
+    ``run_len`` equal strong dechirp bins; the run start's bin gives the
+    chirp-aligned grid) chained into the per-candidate frontier, all ON
+    DEVICE. One dispatch, one combined fetch per capture — the WLAN
+    receiver's detect→decode device chain applied to LoRa (the staged
+    path paid 4 tunnel round-trips; measured 94 of 116 ms on a 20-frame
+    capture)."""
+    n = 1 << sf
+    one = _make_frontier_one(wa, wp, sf, sf_app_hdr, sf_p, s1, s2)
+
+    def fn(xc: CArray, bins, peak, mean):
+        strong = peak > 4.0 * jnp.maximum(mean, 1e-12)
+        val = jnp.where(strong, bins.astype(jnp.int32), -1)
+        m = k - run_len + 1
+        v0 = val[:m]
+        cond = v0 >= 0
+        for j in range(1, run_len):
+            cond = cond & (val[j : j + m] == v0)
+        prev = jnp.concatenate([jnp.zeros((1,), bool), cond[:-1]])
+        rs = cond & ~prev  # run STARTS (the walk emits once per run)
+        n_cand = jnp.sum(rs.astype(jnp.int32))
+        idx = jnp.nonzero(rs, size=kmax, fill_value=-1)[0]
+        b = val[jnp.maximum(idx, 0)]
+        starts = jnp.where(
+            idx >= 0, idx.astype(jnp.int32) * n + (n - b) % n, -1
+        ).astype(jnp.int32)
+        outs = jax.vmap(lambda s: one(xc, s))(starts)
+        return (starts, n_cand) + outs
+
+    return jax.jit(fn)
+
+
 class LoraReceiver(StreamingReceiver):
     """Frame sync + demod + decode over an IQ buffer.
 
@@ -917,15 +1070,48 @@ class LoraReceiver(StreamingReceiver):
                     out.append(f)
             self.frames.extend(out)
             return out
-        bins, peak, mean = jax.device_get(d["grid"])
-        out = self._batched_collect(
-            d["xc"], self._walk_grid(bins, peak, mean)
-        )
+        out = self._fused_collect(d["xc"], d["grid"])
         self.frames.extend(out)
         return out
 
-    # -- batched soft path: every frame in the capture decodes from four
-    # device programs total (grid / preamble-tail / header / payload) ----
+    def _fused_collect(self, xc, grid_dev) -> List[LoraFrame]:
+        """Soft path, ONE fetch per capture: the grid scan's device
+        outputs chain straight into the detect+frontier program
+        (:func:`_detect_frontier_fn`) — detection, preamble walk, sync
+        gate, header and speculative payload windows all on device. A
+        candidate overflow (> kmax run starts) re-runs at the next pow2
+        budget (program cached per bucket, WLAN's adaptive rule)."""
+        cfg = self.cfg
+        sf = cfg.sf
+        sf_app_hdr = sf - 2
+        sf_p = sf - 2 if cfg.ldro else sf
+        wa = cfg.preamble_len + 4
+        s1 = ((cfg.sync_word >> 4) & 0xF) << 3
+        s2 = (cfg.sync_word & 0xF) << 3
+        run_len = max(3, cfg.preamble_len - 2)
+        wp_spec = self._spec_wp_for(sf_app_hdr, sf_p)
+        bins_d, peak_d, mean_d = grid_dev
+        k = int(bins_d.shape[0])
+        kmax = int(getattr(self, "_kmax", 32))
+        hard_cap = max(16, 1 << (k - 1).bit_length())
+        while True:
+            res = jax.device_get(
+                _detect_frontier_fn(
+                    k, sf, run_len, kmax, wa, wp_spec,
+                    sf_app_hdr, sf_p, s1, s2,
+                )(xc, bins_d, peak_d, mean_d)
+            )
+            starts, n_cand = res[0], int(res[1])
+            if n_cand <= kmax or kmax >= hard_cap:
+                break
+            kmax = min(hard_cap, 1 << (n_cand - 1).bit_length())
+            self._kmax = kmax
+        return self._decode_frontier_arrays(xc, starts, res[2:], wp_spec)
+
+    # -- batched soft path: the fused frontier decodes every frame from
+    # TWO device programs steady state (grid scan + frontier); frames
+    # longer than the speculated payload window fall back to one staged
+    # window fetch per length group --------------------------------------
     def _batched_collect(self, xc, cand_starts) -> List[LoraFrame]:
         cfg = self.cfg
         n, sf = cfg.n, cfg.sf
@@ -939,6 +1125,61 @@ class LoraReceiver(StreamingReceiver):
             return []
         sf_app_hdr = sf - 2
         sf_p = sf - 2 if cfg.ldro else sf
+        wa = cfg.preamble_len + 4
+        s1 = ((cfg.sync_word >> 4) & 0xF) << 3
+        s2 = (cfg.sync_word & 0xF) << 3
+        # speculative payload window count, learned from the previous
+        # capture (the WLAN receiver's (mcs, nf) gate translated to
+        # LoRa: traffic is near-constant frame lengths, so the frontier
+        # carries the payload windows of the COMMON case and only
+        # mismatches pay a staged fetch). Implicit-header mode knows wp
+        # exactly from the config.
+        wp_spec = self._spec_wp_for(sf_app_hdr, sf_p)
+        kba = 1 << (len(starts0) - 1).bit_length()
+        sa = np.full(kba, -1, np.int32)  # pad slots are INVALID starts
+        sa[: len(starts0)] = starts0
+        fetched = jax.device_get(
+            _frontier_fn(kba, wa, wp_spec, sf, sf_app_hdr, sf_p, s1, s2)(
+                xc, jnp.asarray(sa)
+            )
+        )
+        return self._decode_frontier_arrays(
+            xc, np.asarray(sa), fetched, wp_spec
+        )
+
+    def _spec_wp_for(self, sf_app_hdr: int, sf_p: int) -> int:
+        cfg = self.cfg
+        if cfg.implicit_header:
+            n_body = cfg.payload_len + (2 if cfg.has_crc else 0)
+            remaining = 2 * n_body - sf_app_hdr
+            return max(0, -(-remaining // sf_p)) * (4 + cfg.cr)
+        # default speculation covers common short-frame traffic (48
+        # payload symbols ≈ a 30-byte cr1 frame) so even a COLD receiver
+        # runs the one-fetch fused path; the first capture then adapts
+        # the bucket to the observed traffic
+        return int(getattr(self, "_spec_wp", 48))
+
+    def _decode_frontier_arrays(
+        self, xc, starts_arr, fetched, wp_spec
+    ) -> List[LoraFrame]:
+        """Decode frames from the frontier program's fetched arrays
+        (slot-indexed; invalid slots carry valid=False)."""
+        cfg = self.cfg
+        n, sf = cfg.n, cfg.sf
+        sf_app_hdr = sf - 2
+        sf_p = sf - 2 if cfg.ldro else sf
+        (
+            z_a,
+            valid_a,
+            dstart_a,
+            peakH,
+            meanH,
+            llrH,
+            peakP,
+            meanP,
+            llrP,
+        ) = fetched
+        starts0 = [int(s) for s in starts_arr]
 
         def pad_pow2(vals):
             kb = 1 << (len(vals) - 1).bit_length()
@@ -946,42 +1187,13 @@ class LoraReceiver(StreamingReceiver):
             a[: len(vals)] = vals
             return a, kb
 
-        # stage A: remaining preamble + sync words on the aligned grid
-        wa = cfg.preamble_len + 4
-        sa, kba = pad_pow2(starts0)
-        binsA, peakA, meanA, _ = jax.device_get(
-            _window_fn(kba, wa, sf, sf_app_hdr)(xc, jnp.asarray(sa))
-        )
-        cands: List[tuple] = []  # (t_align, data_start)
-        s1 = ((cfg.sync_word >> 4) & 0xF) << 3
-        s2 = (cfg.sync_word & 0xF) << 3
+        # header decode (host: tiny codebook matmuls)
+        plan = []  # (cand_idx, length, cr, has_crc, hdr_nib, wp)
         for i, t0 in enumerate(starts0):
-            strong = peakA[i] > 4.0 * np.maximum(meanA[i], 1e-12)
-            z = 0
-            while z < wa and strong[z] and binsA[i, z] == 0:
-                z += 1
-            if z < 2:
+            if not valid_a[i]:
                 continue
-            if z + 1 < wa and (
-                abs(int(binsA[i, z]) - s1) > 1
-                or abs(int(binsA[i, z + 1]) - s2) > 1
-            ):
-                continue
-            # sync(2) + 2.25 downchirps → header/data grid
-            cands.append((t0, t0 + (z + 2) * n + 2 * n + n // 4))
-        if not cands:
-            return []
-
-        # stage B1: the 8 header symbols
-        sh, kbh = pad_pow2([c[1] for c in cands])
-        binsH, peakH, meanH, llrH = jax.device_get(
-            _window_fn(kbh, 8, sf, sf_app_hdr)(xc, jnp.asarray(sh))
-        )
-        hdr: List[Optional[tuple]] = []
-        for i in range(len(cands)):
             validh = peakH[i] > 4.0 * np.maximum(meanH[i], 1e-12)
             if not validh.all():
-                hdr.append(None)
                 continue
             llr_cw = np.empty((sf_app_hdr, 8))
             for j in range(8):
@@ -989,89 +1201,129 @@ class LoraReceiver(StreamingReceiver):
                     llr_cw[b, j] = llrH[i, j, (b + j) % sf_app_hdr]
             nibs = hamming_soft_decode(llr_cw, 4)
             if cfg.implicit_header:
-                hdr.append(
-                    (cfg.payload_len, cfg.cr, cfg.has_crc, nibs[:sf_app_hdr])
+                length, cr, has_crc = (
+                    cfg.payload_len,
+                    cfg.cr,
+                    cfg.has_crc,
                 )
-                continue
-            length = int((nibs[0] << 4) | nibs[1])
-            cr = int(nibs[2] >> 1) & 0x7
-            has_crc = bool(nibs[2] & 1)
-            chk = (nibs[0] ^ nibs[1] ^ nibs[2]) & 0xF
-            if chk != nibs[3] or not (1 <= cr <= 4) or length == 0:
-                hdr.append(None)
-                continue
-            hdr.append((length, cr, has_crc, nibs[5:sf_app_hdr]))
-
-        # stage B2: payload symbol windows, grouped by bucketed length
-        plan = []  # (cand_idx, length, cr, has_crc, hdr_nib, wp)
-        for i, h in enumerate(hdr):
-            if h is None:
-                continue
-            length, cr, has_crc, nib0 = h
+                nib0 = nibs[:sf_app_hdr]
+            else:
+                length = int((nibs[0] << 4) | nibs[1])
+                cr = int(nibs[2] >> 1) & 0x7
+                has_crc = bool(nibs[2] & 1)
+                chk = (nibs[0] ^ nibs[1] ^ nibs[2]) & 0xF
+                if chk != nibs[3] or not (1 <= cr <= 4) or length == 0:
+                    continue
+                nib0 = nibs[5:sf_app_hdr]
             n_body = length + (2 if has_crc else 0)
             remaining = 2 * n_body - len(nib0)
             n_blocks = max(0, -(-remaining // sf_p))
-            wp = n_blocks * (4 + cr)
-            plan.append((i, length, cr, has_crc, nib0, wp))
+            plan.append(
+                (i, length, cr, has_crc, nib0, n_blocks * (4 + cr))
+            )
+
+        def decode_payload(nib0, llr_pay, length, cr, has_crc, wp):
+            cw_len = 4 + cr
+            nib: List[int] = list(nib0)
+            pos = 0
+            for _ in range(wp // cw_len):
+                llr_cw = np.empty((sf_p, cw_len))
+                for j in range(cw_len):
+                    for b in range(sf_p):
+                        llr_cw[b, j] = llr_pay[pos + j, (b + j) % sf_p]
+                nib.extend(hamming_soft_decode(llr_cw, cr).tolist())
+                pos += cw_len
+            n_body = length + (2 if has_crc else 0)
+            body = _nibbles_to_bytes(np.asarray(nib[: 2 * n_body]))
+            wh = whitening_sequence(length)
+            payload = bytes(
+                np.frombuffer(body[:length], np.uint8) ^ wh[:length]
+            )
+            crc_ok = True
+            if has_crc:
+                rx_crc = body[length] | (body[length + 1] << 8)
+                crc_ok = _crc16(payload) == rx_crc
+            return payload, crc_ok
+
         out: List[LoraFrame] = []
-        groups: dict = {}
+        fallback: dict = {}  # wpb -> items needing a staged fetch
+        max_wp = 0
         for item in plan:
-            wpb = max(8, -(-item[5] // 8) * 8) if item[5] else 0
-            groups.setdefault(wpb, []).append(item)
-        for wpb, items in groups.items():
-            if wpb:
-                sp, kbp = pad_pow2([cands[it[0]][1] + 8 * n for it in items])
-                binsP, peakP, meanP, llrP = jax.device_get(
-                    _window_fn(kbp, wpb, sf, sf_p)(xc, jnp.asarray(sp))
-                )
-            for gi, (i, length, cr, has_crc, nib0, wp) in enumerate(items):
-                cw_len = 4 + cr
-                nib: List[int] = list(nib0)
+            i, length, cr, has_crc, nib0, wp = item
+            max_wp = max(max_wp, wp)
+            if wp <= wp_spec:
                 if wp:
-                    validp = peakP[gi, :wp] > 4.0 * np.maximum(
-                        meanP[gi, :wp], 1e-12
+                    validp = peakP[i, :wp] > 4.0 * np.maximum(
+                        meanP[i, :wp], 1e-12
                     )
                     if not validp.all():
                         continue
-                    pos = 0
-                    for _ in range(wp // cw_len):
-                        llr_cw = np.empty((sf_p, cw_len))
-                        for j in range(cw_len):
-                            for b in range(sf_p):
-                                llr_cw[b, j] = llrP[
-                                    gi, pos + j, (b + j) % sf_p
-                                ]
-                        nib.extend(
-                            hamming_soft_decode(llr_cw, cr).tolist()
-                        )
-                        pos += cw_len
-                n_body = length + (2 if has_crc else 0)
-                body = _nibbles_to_bytes(np.asarray(nib[: 2 * n_body]))
-                wh = whitening_sequence(length)
-                payload = bytes(
-                    np.frombuffer(body[:length], np.uint8) ^ wh[:length]
+                payload, crc_ok = decode_payload(
+                    nib0, llrP[i], length, cr, has_crc, wp
                 )
-                crc_ok = True
-                if has_crc:
-                    rx_crc = body[length] | (body[length + 1] << 8)
-                    crc_ok = _crc16(payload) == rx_crc
                 pk = [peakH[i].mean()] + (
-                    [peakP[gi, :wp].mean()] if wp else []
+                    [peakP[i, :wp].mean()] if wp else []
                 )
                 mn = [meanH[i].mean()] + (
-                    [meanP[gi, :wp].mean()] if wp else []
-                )
-                snr = float(
-                    10.0 * np.log10(np.mean(pk) / (np.mean(mn) + 1e-12))
+                    [meanP[i, :wp].mean()] if wp else []
                 )
                 out.append(
                     LoraFrame(
                         payload=payload,
                         crc_ok=crc_ok,
-                        snr=snr,
-                        start=cands[i][0],
+                        snr=float(
+                            10.0
+                            * np.log10(
+                                np.mean(pk) / (np.mean(mn) + 1e-12)
+                            )
+                        ),
+                        start=starts0[i],
                         cr=cr,
                     )
                 )
+            else:
+                wpb = max(8, -(-wp // 8) * 8)
+                fallback.setdefault(wpb, []).append(item)
+
+        for wpb, items in fallback.items():
+            sp, kbp = pad_pow2(
+                [int(dstart_a[it[0]]) + 8 * n for it in items]
+            )
+            _, peakF, meanF, llrF = jax.device_get(
+                _window_fn(kbp, wpb, sf, sf_p)(xc, jnp.asarray(sp))
+            )
+            for gi, (i, length, cr, has_crc, nib0, wp) in enumerate(
+                items
+            ):
+                validp = peakF[gi, :wp] > 4.0 * np.maximum(
+                    meanF[gi, :wp], 1e-12
+                )
+                if not validp.all():
+                    continue
+                payload, crc_ok = decode_payload(
+                    nib0, llrF[gi], length, cr, has_crc, wp
+                )
+                pk = [peakH[i].mean(), peakF[gi, :wp].mean()]
+                mn = [meanH[i].mean(), meanF[gi, :wp].mean()]
+                out.append(
+                    LoraFrame(
+                        payload=payload,
+                        crc_ok=crc_ok,
+                        snr=float(
+                            10.0
+                            * np.log10(
+                                np.mean(pk) / (np.mean(mn) + 1e-12)
+                            )
+                        ),
+                        start=starts0[i],
+                        cr=cr,
+                    )
+                )
+        # widen the speculative window when this capture overflowed it
+        # (bucketed to 8 symbols so the frontier program caches per
+        # step); never shrink below the default — stable traffic must
+        # not oscillate the compiled shape set
+        if max_wp > wp_spec and not cfg.implicit_header:
+            self._spec_wp = max(8, -(-max_wp // 8) * 8)
         out.sort(key=lambda f: f.start)
         return out

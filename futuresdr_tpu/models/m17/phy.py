@@ -314,6 +314,101 @@ def _demod_fn(n: int):
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
+def _front_fn(n: int):
+    """The whole acquisition front ON DEVICE, one small fetch.
+
+    Fetching the full discriminator stream for the host walk measured
+    707 of 756 ms on a 60-frame capture (4.6 MB of f32 through a
+    ~25 MB/s tunnel) — the floor was D2H transport, not compute. The
+    host walk only ever reads ``d`` on the SPS-strided symbol grid
+    anchored at sym0, so this program runs the discriminator, both
+    normalized correlations (preamble + LSF sync), the carrier-power
+    gate, the preamble-mean DC/CFO estimate and the grid gather
+    in-program and returns ``(have_preamble, peak_score, sym0,
+    grid[ncap])`` — ~10× fewer bytes, one round-trip."""
+    import jax.numpy as jnp
+
+    from futuresdr_tpu.ops.fir import conv1d_valid, moving_sum
+
+    h = rrc_taps()
+    taps = jnp.asarray(h[::-1])
+    chan = jnp.asarray(_channel_taps())
+    pre_syms = 64
+    pre_t = np.repeat(
+        np.tile(np.array([3.0, -3.0], np.float32), pre_syms // 2), SPS
+    )
+    pre_rev = jnp.asarray(pre_t[::-1].copy())
+    pre_e = float(np.sum(pre_t * pre_t))
+    tmpl_np = np.repeat(sync_symbols(SYNC_LSF).astype(np.float32), SPS)
+    tmpl_rev = jnp.asarray(tmpl_np[::-1].copy())
+    tmpl_e = float(np.sum(tmpl_np * tmpl_np))
+    ncap = n // SPS  # symbol-grid capacity (host trims to valid)
+
+    def fn(xc):
+        xf = conv1d_valid(xc, chan)
+        draw = (xf[1:] * xf[:-1].conj()).angle() * (
+            FS / (2.0 * np.pi * SYM_HZ)
+        )
+        d = jnp.clip(conv1d_valid(draw, taps), -4.5, 4.5)
+        nd = d.shape[0]
+        # preamble correlation (normalized, energy-gated)
+        cor_p = conv1d_valid(d, pre_rev)
+        en_p = moving_sum(d * d, pre_t.shape[0])
+        score_p = jnp.abs(cor_p) / (jnp.sqrt(en_p * pre_e) + 1e-9)
+        # energy floor: in silent regions the Toeplitz correlation
+        # leaves ~1e-4 of rounding junk where np.correlate gives exact
+        # zeros — dividing by the ~0 window energy inflates the
+        # normalized score by ~1e5 (the host form never saw this)
+        score_p = jnp.where(
+            en_p > 1e-3 * jnp.max(en_p), score_p, 0.0
+        )
+        p_peak = jnp.argmax(score_p).astype(jnp.int32)
+        sp = score_p[p_peak]
+        have = sp > 0.5
+        dcw = jax.lax.dynamic_slice_in_dim(d, p_peak, pre_t.shape[0])
+        dc = jnp.mean(dcw)
+        dc = jnp.where(have & (jnp.abs(dc) <= 2.0), dc, 0.0)
+        d = d - dc
+        # LSF sync correlation + carrier-envelope gate
+        cor = conv1d_valid(d, tmpl_rev)
+        energy = moving_sum(d * d, tmpl_np.shape[0])
+        score = cor / (jnp.sqrt(energy * tmpl_e) + 1e-9)
+        power = moving_sum(xc.abs2(), tmpl_np.shape[0]) / tmpl_np.shape[0]
+        active = power > 0.25 * jnp.max(power)
+        ns = score.shape[0]
+        score = jnp.where(active[:ns], score, 0.0)
+        ar = jnp.arange(ns)
+        lo = p_peak + (pre_syms // 2) * SPS
+        hi = p_peak + (192 + 24) * SPS
+        gated = jnp.where((ar >= lo) & (ar < hi), score, -jnp.inf)
+        peak_g = jnp.argmax(gated).astype(jnp.int32)
+        peak_a = jnp.argmax(score).astype(jnp.int32)
+        peak = jnp.where(have, peak_g, peak_a)
+        sval = jnp.where(
+            have & jnp.isfinite(gated[peak_g]),
+            score[peak_g],
+            jnp.where(have, -1.0, score[peak_a]),
+        )
+        sym0 = peak + SPS // 2
+        idx = jnp.clip(sym0 + SPS * jnp.arange(ncap), 0, nd - 1)
+        grid = d[idx]
+        # ONE packed leaf: a multi-leaf fetch paid one ~20 ms round-trip
+        # PER LEAF through the tunnel (measured 5×20 ms for 4 scalars +
+        # the grid); f32 carries sym0/nd exactly (24-bit, buffers ≪ 16M)
+        hdr = jnp.stack(
+            [
+                have.astype(jnp.float32),
+                sval.astype(jnp.float32),
+                sym0.astype(jnp.float32),
+                jnp.float32(nd),
+            ]
+        )
+        return jnp.concatenate([hdr, grid])
+
+    return jax.jit(fn)
+
+
 @dataclass
 class M17Frame:
     dst: str
@@ -339,88 +434,30 @@ class M17Receiver(StreamingReceiver):
         pad = (-len(x)) % 16384
         if pad:
             x = np.concatenate([x, np.zeros(pad, np.complex64)])
-        return x, _demod_fn(len(x))(cplx.from_numpy(x))
+        return _front_fn(len(x))(cplx.from_numpy(x))
 
     def _collect(self, handle) -> List[M17Frame]:
-        x, dev = handle
-        d = np.asarray(dev)
-        # the discriminator slams to ±π·FS/(2π·800) ≈ ±30 in no-signal
-        # regions; clip to the symbol range so noise can't dominate
-        d = np.clip(d, -4.5, 4.5)
-
-        # --- preamble-assisted acquisition -------------------------------
-        # The TX leads with 192 alternating ±3 symbols; correlating over 64
-        # of them integrates 8x longer than the 8-symbol LSF sync word
-        # (~9 dB more processing gain), so acquisition holds to ~0 dB and
-        # the sync-word search only has to resolve position inside a small
-        # gated window (the round-1 global 8-symbol search was the
-        # sensitivity floor below ~7 dB).
-        pre_syms = 64
-        pre_t = np.repeat(
-            np.tile(np.array([3.0, -3.0], np.float32), pre_syms // 2), SPS
-        )
-        cor_p = np.correlate(d, pre_t, mode="valid")
-        en_p = np.convolve(d * d, np.ones(len(pre_t), np.float32), "valid")
-        score_p = np.abs(cor_p) / (
-            np.sqrt(en_p * float(np.sum(pre_t * pre_t))) + 1e-9
-        )
-        p_peak = int(np.argmax(score_p))
-        have_preamble = score_p[p_peak] > 0.5
-        if have_preamble:
-            # CFO appears at the discriminator as a constant symbol
-            # offset (Δf / 800 Hz per unit). The preamble's alternating
-            # ±3 averages to zero, so the mean over the matched window
-            # IS that offset — subtract it before the sync-word
-            # correlation (whose template has nonzero sum, so a DC bias
-            # shifts its normalized score) and before slicing. Extends
-            # the CFO operating range ~±100 Hz → ~±800 Hz (1 symbol
-            # unit; beyond that the ±4.5 discriminator clip and the
-            # channel filter start eating the outer symbols).
-            dc = float(np.mean(d[p_peak : p_peak + len(pre_t)]))
-            if abs(dc) <= 2.0:
-                d = d - dc
-
-        # normalized LSF sync correlation (energy-gated so noise bursts
-        # with high power but no structure score low)
-        tmpl = np.repeat(sync_symbols(SYNC_LSF).astype(np.float32), SPS)
-        cor = np.correlate(d, tmpl, mode="valid")
-        energy = np.convolve(d * d, np.ones(len(tmpl), np.float32), "valid")
-        score = cor / (
-            np.sqrt(energy * float(np.sum(tmpl * tmpl))) + 1e-9
-        )
-        # carrier-envelope gate: matched-filtered noise is smooth enough to
-        # fake a high normalized score, but it has no carrier under it
-        power = np.convolve(
-            np.abs(x[: len(d)]) ** 2,
-            np.ones(len(tmpl), np.float32) / len(tmpl),
-            "valid",
-        )
-        active = power > 0.25 * float(np.max(power))
-        score = np.where(active[: len(score)], score, 0.0)
-        if have_preamble:
-            # the preamble peak can land anywhere inside the 192-symbol
-            # preamble, so the sync word lies at most a full preamble
-            # (+margin) later; a gated search tolerates a far lower
-            # threshold at equal false-alarm rate
-            lo = p_peak + (pre_syms // 2) * SPS
-            hi = min(len(score), p_peak + (192 + 24) * SPS)
-            win = score[lo:hi]
-            if len(win) == 0:
-                return []
-            peak = lo + int(np.argmax(win))
-            if score[peak] < 0.25:
-                return []
-        else:
-            peak = int(np.argmax(score))
-            if score[peak] < 0.5:
-                return []
-        sym0 = peak + SPS // 2  # center of first sync symbol
+        # the whole acquisition front (discriminator, preamble-assisted
+        # sync — ~9 dB more processing gain than the 8-symbol word
+        # alone — DC/CFO estimate, carrier gate, symbol-grid gather)
+        # ran ON DEVICE in _front_fn; one small fetch delivers the
+        # symbol-grid samples the walk below actually reads
+        packed = np.asarray(jax.device_get(handle))
+        have_preamble = packed[0] > 0.5
+        sval = float(packed[1])
+        sym0, nd = int(packed[2]), int(packed[3])
+        grid = packed[4:]
+        if sval < (0.25 if have_preamble else 0.5):
+            return []
+        ds = np.asarray(grid)
+        nvalid = max(0, (nd - 1 - sym0) // SPS + 1) if sym0 < nd else 0
+        ds = ds[:nvalid]
 
         def read_raw(start: int, n: int) -> Optional[np.ndarray]:
-            idx = start + SPS * np.arange(n)
-            if idx[-1] >= len(d):
+            # start/n in SYMBOLS on the sym0-anchored grid
+            if start + n > nvalid:
                 return None
-            return d[idx]
+            return ds[start : start + n]
 
         def read_syms(start: int, n: int) -> Optional[np.ndarray]:
             raw = read_raw(start, n)
@@ -437,8 +474,8 @@ class M17Receiver(StreamingReceiver):
             return g if 0.2 < g < 5.0 else 1.0
 
         # LSF frame: 8 sync + 184 data symbols (soft-decision decode)
-        raw = read_raw(sym0 + 8 * SPS, 184)
-        sync_lsf_raw = read_raw(sym0, 8)
+        raw = read_raw(8, 184)
+        sync_lsf_raw = read_raw(0, 8)
         if raw is None or sync_lsf_raw is None:
             return []
         g = sync_gain(
@@ -488,7 +525,7 @@ class M17Receiver(StreamingReceiver):
 
         out: List[M17Frame] = []
         # stream frames follow back-to-back
-        pos = sym0 + FRAME_SYMS * SPS
+        pos = FRAME_SYMS  # symbol index on the grid
         while True:
             raw_f0 = read_raw(pos, FRAME_SYMS)
             if raw_f0 is None:
@@ -520,7 +557,7 @@ class M17Receiver(StreamingReceiver):
                     lsf_crc_ok=crc_ok,
                 )
             )
-            pos += FRAME_SYMS * SPS
+            pos += FRAME_SYMS
             if fn & 0x8000:
                 break
 
