@@ -10,7 +10,8 @@ echo "== lint: compile all sources =="
 python -m compileall -q futuresdr_tpu examples perf tests bench.py __graft_entry__.py
 
 echo "== lint: no stray debugging/scratch artifacts =="
-! git ls-files | grep -E '_tmp\.py$|\.wav$|\.orig$' || {
+! git ls-files | grep -E '_tmp\.py$|\.wav$|\.orig$' \
+    | grep -v '^tests/data/' || {
     echo "scratch artifacts tracked in git"; exit 1; }
 
 echo "== tests (virtual 8-device CPU mesh) =="

@@ -200,6 +200,10 @@ class XlatingFir(Block):
         T = self.taps.shape[0]
         self.latency_out = (math.ceil((T - 1) / self.decim),)
         self._hist = -(-(T - 1) // self.decim) * self.decim
+        # mesh protocol: hist = last _hist DOWN-MIXED input items —
+        # suffix-reconstructable once the NCO accumulator is positioned
+        # (advance_state); see runtime/mesh.py
+        self.state_suffix_in = (self._hist,)
         self._params["dphi"] = np.asarray(
             freq_to_fxp(-center_freq / sample_rate)
         )
@@ -212,6 +216,13 @@ class XlatingFir(Block):
 
     def make_state(self, in_sizes, out_sizes):
         return (jnp.uint32(0), _zeros_state(True, self._hist))
+
+    def advance_state(self, state, n_items, params):
+        """Mesh hook: the fxpt NCO is position-affine — the phase after
+        n more items is acc + n·dphi (uint32 wrap = mod 2^32 turns).
+        The FIR history part is left for suffix reconstruction."""
+        acc, hist = state
+        return (acc + params["dphi"] * jnp.uint32(n_items), hist)
 
     def apply(self, state, inputs, params):
         acc, hist = state
@@ -251,6 +262,10 @@ class FreqShift(Block):
     def make_state(self, in_sizes, out_sizes):
         return jnp.uint32(0)
 
+    def advance_state(self, state, n_items, params):
+        # mesh hook: position-affine fxpt NCO (see runtime/mesh.py)
+        return state + params["dphi"] * jnp.uint32(n_items)
+
     def apply(self, state, inputs, params):
         acc, y = rotator_apply(inputs[0], state, params["dphi"])
         if self.scale != 1.0:
@@ -283,6 +298,10 @@ class WeaverDecode(Block):
 
     def make_state(self, in_sizes, out_sizes):
         return jnp.uint32(0)
+
+    def advance_state(self, state, n_items, params):
+        # mesh hook: position-affine fxpt NCO (see runtime/mesh.py)
+        return state + params["dphi"] * jnp.uint32(n_items)
 
     def apply(self, state, inputs, params):
         x = inputs[0]
@@ -428,6 +447,11 @@ class SignalSource(Block):
     def make_state(self, in_sizes, out_sizes):
         self._n = out_sizes[0]
         return jnp.uint32(self._phase0)
+
+    def advance_state(self, state, n_items, params):
+        # mesh hook: position-affine fxpt NCO (see runtime/mesh.py) —
+        # lets the mesh place each shard's oscillator phase directly
+        return state + params["dphi"] * jnp.uint32(n_items)
 
     def apply(self, state, inputs, params):
         amp = params["amplitude"]

@@ -151,6 +151,25 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
         self._carried_ids = [
             bid for bid in self.pure_ids if bid not in self.source_pure_ids
         ]
+        # position-affine blocks (advance_state hook): their
+        # state's position-dependent part (NCO phase accumulators)
+        # advances deterministically with the stream position, so the
+        # mesh keeps a per-block BASE state advanced by chunk_items each
+        # step (no collective) and positions every suffix-run/seed from
+        # it. ipu = items per multiplier unit on the block's own clock
+        # (input port 0, or output port 0 for sources).
+        self._affine_ids = [
+            bid
+            for bid in self.pure_ids
+            if callable(getattr(fg.blocks[bid], "advance_state", None))
+        ]
+        self._aff_ipu: Dict[int, int] = {}
+        for bid in self._affine_ids:
+            b = fg.blocks[bid]
+            chunks = (
+                self.in_chunks[bid] if b.stream_inputs else self.out_chunks[bid]
+            )
+            self._aff_ipu[bid] = chunks[0] // self.multiplier
         src_units: Dict[str, int] = {}
         for e in fg.stream_edges:
             if e.src in self.host_source_ids or e.src in self.source_pure_ids:
@@ -162,6 +181,7 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
         # ---- per-block shardability + suffix solve -----------------------
         seg = self._segment_chunks
         templates: Dict[str, Any] = {}
+        aff: Dict[str, Any] = {}
         for bid in self.pure_ids:
             b = fg.blocks[bid]
             full_params = bool(getattr(b, "sharded_params", ()))
@@ -171,17 +191,21 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
                 else (seg(self.in_chunks[bid]), seg(self.out_chunks[bid]))
             )
             st = b.make_state(ic, oc)
+            if bid in self._affine_ids:
+                aff[self.bkey(bid)] = st
             if bid in self.source_pure_ids:
-                if jtu.tree_leaves(st):
+                if jtu.tree_leaves(st) and bid not in self._affine_ids:
                     raise RateError(
                         f"{b.instance_name}: stateful device sources "
-                        "cannot run under a mesh (their state depends on "
-                        "absolute stream position); feed the stream from "
-                        "a host source or a ResidentSource instead"
+                        "cannot run under a mesh unless their state is "
+                        "position-affine (advance_state hook — NCO "
+                        "phases); feed the stream from a host source or "
+                        "a ResidentSource instead"
                     )
                 continue
             templates[self.bkey(bid)] = st
         self._carry_template = templates
+        self._aff_template = aff
 
         # suffix length in multiplier units: for every stateful block,
         # the suffix run must leave state_suffix_in REAL items at its
@@ -194,12 +218,15 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
                 continue  # stateless: nothing to reconstruct
             ssi = getattr(b, "state_suffix_in", None)
             if ssi is None:
+                if bid in self._affine_ids:
+                    continue  # pure position-affine state (NCO phase)
                 raise RateError(
                     f"{b.instance_name} carries device state but declares "
                     "no state_suffix_in — its state cannot be rebuilt at "
                     "shard boundaries. Supported: blocks whose state is a "
                     "function of recent input (FIR/PFB history, demod "
-                    "continuity); unsupported: IIR, NCO phase accumulators."
+                    "continuity) and position-affine states with an "
+                    "advance_state hook (NCO phases); unsupported: IIR."
                 )
             ssi = tuple(int(x) for x in ssi)
             in_edges = [e for e in fg.in_edges(bid) if not e.feedback]
@@ -235,6 +262,7 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
         # matching the single-device init_states contract
         seg = self._segment_chunks
         templates: Dict[str, Any] = {}
+        aff: Dict[str, Any] = {}
         for bid in self.pure_ids:
             b = self.fg.blocks[bid]
             full_params = bool(getattr(b, "sharded_params", ()))
@@ -244,15 +272,21 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
                 else (seg(self.in_chunks[bid]), seg(self.out_chunks[bid]))
             )
             st = b.make_state(ic, oc)
+            if bid in self._affine_ids:
+                aff[self.bkey(bid)] = st
             if bid in self.source_pure_ids:
                 continue
             templates[self.bkey(bid)] = st
         self._carry_template = templates
+        self._aff_template = aff
+        carry = dict(templates)
+        if aff:
+            carry["__aff"] = aff
         return jtu.tree_map(
             lambda a: jnp.broadcast_to(
                 jnp.asarray(a)[None], (S,) + jnp.asarray(a).shape
             ),
-            templates,
+            carry,
         )
 
     # ---- params placement ------------------------------------------------
@@ -295,31 +329,52 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
         return specs
 
     # ---- the sharded body -------------------------------------------------
-    def _seed_sources(self, params) -> Dict[str, Any]:
+    def _seed_sources(self, params, aff_base, idx) -> Dict[str, Any]:
         """Evaluate pure device sources at segment size; returns their
         output-port values (sharded params arrive pre-split, so e.g. a
-        ResidentSource emits exactly its shard's slice)."""
+        ResidentSource emits exactly its shard's slice). Affine sources
+        (SignalSource) get their NCO phase positioned at this shard's
+        segment start from the chunk-start base."""
         vals: Dict[str, Any] = {}
+        seg_units = self.multiplier // self.n_shards
         for bid in self.source_pure_ids:
             b = self.fg.blocks[bid]
+            bk = self.bkey(bid)
+            st = ()
+            if bid in self._affine_ids:
+                off = jnp.uint32(idx) * jnp.uint32(
+                    seg_units * self._aff_ipu[bid]
+                )
+                st = b.advance_state(aff_base[bk], off, params[bk])
             with jax.named_scope(b.instance_name):
-                _, outs, _ = b.apply((), [], params[self.bkey(bid)])
+                _, outs, _ = b.apply(st, [], params[bk])
             for p, o in enumerate(outs):
                 vals[self.pkey(bid, p)] = o
         return vals
 
     def _body(self, carry, params, src_arrays):
         axis = self.axis
+        idx = jax.lax.axis_index(axis)
         # 1. per-shard slices: drop the leading length-1 carry axis
+        carry = dict(carry)
+        aff_carry = carry.pop("__aff", None)
         prev = jtu.tree_map(lambda a: a[0], carry)
+        aff_base = (
+            jtu.tree_map(lambda a: a[0], aff_carry)
+            if aff_carry is not None
+            else {}
+        )
         # 2. source values at segment size (host srcs arrive pre-split)
         vals_src = dict(src_arrays)
         vals_src.pop("__scan_len", None)
-        vals_src.update(self._seed_sources(params))
+        vals_src.update(self._seed_sources(params, aff_base, idx))
         # 3. state package: re-run the graph body on the raw suffix from
         #    the initial states; the resulting states are exactly what
         #    the right neighbor needs (transient bounded by the latency
-        #    calculus — see _setup)
+        #    calculus — see _setup). Affine blocks' suffix init is the
+        #    chunk-start base advanced to the suffix's absolute position
+        #    (their history parts stay the template zeros and rebuild
+        #    from the suffix like any other history).
         sfx_vals = {
             k: cplx.apply1(
                 lambda a: a[..., a.shape[-1] - self.suffix_units * self.src_units[k]:],
@@ -327,15 +382,26 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
             )
             for k, v in vals_src.items()
         }
-        init = self._carry_template
+        init = dict(self._carry_template)
+        seg_units = self.multiplier // self.n_shards
+        for bid in self._affine_ids:
+            if bid in self.source_pure_ids:
+                continue
+            bk = self.bkey(bid)
+            off = (
+                jnp.uint32(idx + 1) * jnp.uint32(seg_units)
+                - jnp.uint32(self.suffix_units)
+            ) * jnp.uint32(self._aff_ipu[bid])
+            init[bk] = self.fg.blocks[bid].advance_state(
+                aff_base[bk], off, params[bk]
+            )
         pkg, _, _ = CompiledFlowgraph._eval(self, init, params, sfx_vals)
         # drop state keys the carry does not track (defensive: _eval
         # returns states for every evaluated block)
-        pkg = {k: pkg[k] for k in init}
+        pkg = {k: pkg[k] for k in self._carry_template}
         # 4. one ring ppermute per dtype group; wrap edge = next step's
         #    shard-0 carry
         recv = _ppermute_pytree(pkg, axis)
-        idx = jax.lax.axis_index(axis)
         states = jtu.tree_map(
             lambda p, r: jnp.where(idx == 0, p, r), prev, recv
         )
@@ -343,6 +409,18 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
         _, sinks, aux = CompiledFlowgraph._eval(
             self, states, params, vals_src
         )
+        # 5b. advance every affine base by one chunk — deterministic on
+        # all shards, no collective; uses THIS step's params exactly as
+        # the single-device executor's carried state would (so retunes
+        # between steps stay phase-continuous)
+        new_aff = {
+            self.bkey(bid): self.fg.blocks[bid].advance_state(
+                aff_base[self.bkey(bid)],
+                jnp.uint32(self.multiplier * self._aff_ipu[bid]),
+                params[self.bkey(bid)],
+            )
+            for bid in self._affine_ids
+        }
         # 6. reduce device_reduce sink scalars (per-shard scalars cannot
         #    concatenate; the value is only a keep-alive checksum)
         for bid in self.host_sink_ids:
@@ -356,6 +434,10 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
         #    arrays carry an [n_shards, ...] leading axis)
         aux = jtu.tree_map(lambda a: jnp.asarray(a)[None], aux)
         new_carry = jtu.tree_map(lambda a: a[None], recv)
+        if aff_carry is not None:
+            new_carry["__aff"] = jtu.tree_map(
+                lambda a: jnp.asarray(a)[None], new_aff
+            )
         return new_carry, sinks, aux
 
     def _eval(self, states, params, src_arrays):
@@ -395,7 +477,10 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
             def probe(params_, srcs_):
                 vals = dict(srcs_)
                 vals.pop("__scan_len", None)
-                vals.update(self._seed_sources(params_))
+                # abstract trace: only shapes matter, position 0 is fine
+                vals.update(
+                    self._seed_sources(params_, self._aff_template, 0)
+                )
                 _, sinks, aux = CompiledFlowgraph._eval(
                     self, self._carry_template, params_, vals
                 )

@@ -252,3 +252,100 @@ def test_mesh_rejects_feedback_regions():
     fg.close_circuit(g, add, dst_port=1, delay=16)
     with pytest.raises(RateError, match="feedback regions"):
         Runtime(chunk_size=4096, mesh=mesh8()).run(fg)
+
+
+# ---------------------------------------------------------------------------
+# Position-affine states (advance_state): NCO-bearing blocks under a mesh
+# ---------------------------------------------------------------------------
+
+
+def test_mesh_fm_receiver_chain():
+    """The FM-receiver-shaped chain — XlatingFir (NCO + decimating FIR) →
+    QuadratureDemod → Fir.decimating — runs on the 8-shard mesh. The
+    NCO accumulator is position-affine: the mesh advances a per-block
+    base deterministically and positions each shard's suffix
+    reconstruction from it."""
+    from futuresdr_tpu.blocks import XlatingFir
+
+    x = _iq(1 << 16, seed=11)
+    taps = firdes.lowpass(0.08, windows.hamming(64))
+    ataps = firdes.lowpass(0.1, windows.hamming(32))
+
+    def build():
+        fg = Flowgraph()
+        src = VectorSource(x.copy())
+        xl = XlatingFir(taps, 4, 100e3, 1e6)
+        d = QuadratureDemod(1.0)
+        f = Fir.decimating(ataps, 2, dtype=np.float32)
+        snk = VectorSink(np.float32)
+        fg.stream(src, xl)
+        fg.stream(xl, d)
+        fg.stream(d, f)
+        fg.stream(f, snk)
+        return fg, snk
+
+    fg1, s1 = build()
+    Runtime(chunk_size=8192).run(fg1)
+    fg2, s2 = build()
+    Runtime(chunk_size=8192, mesh=mesh8()).run(fg2)
+    assert s1.data().shape == s2.data().shape
+    np.testing.assert_allclose(s1.data(), s2.data(), atol=2e-5, rtol=0)
+
+
+def test_mesh_signal_source_bit_exact():
+    """A stateful device SOURCE (SignalSource's NCO) under the mesh:
+    each shard computes its oscillator phase directly from the advanced
+    base — bit-exact vs single-device across 8 chunks."""
+    from futuresdr_tpu.blocks import FreqShift, Head, SignalSource
+
+    def build():
+        fg = Flowgraph()
+        src = SignalSource(12345.0, 1e6, amplitude=0.7)
+        fs = FreqShift(-7000.0, 1e6)
+        h = Head(32768, np.complex64)
+        snk = VectorSink(np.complex64)
+        fg.stream(src, fs)
+        fg.stream(fs, h)
+        fg.stream(h, snk)
+        return fg, snk
+
+    fg1, s1 = build()
+    Runtime(chunk_size=4096).run(fg1)
+    fg2, s2 = build()
+    Runtime(chunk_size=4096, mesh=mesh8()).run(fg2)
+    assert s1.data().shape == s2.data().shape == (32768,)
+    assert np.array_equal(s1.data(), s2.data())
+
+
+def test_mesh_retune_phase_continuity():
+    """A FreqShift retune between steps under the mesh matches the
+    single-device executor exactly: the affine base advances with each
+    step's CURRENT dphi, exactly like the carried accumulator."""
+    from futuresdr_tpu.blocks import FreqShift
+
+    x = _iq(1 << 14, seed=13)
+
+    def run(mesh=None):
+        fg = Flowgraph()
+        src = VectorSource(x.copy())
+        fs = FreqShift(5000.0, 1e6)
+        snk = VectorSink(np.complex64)
+        fg.stream(src, fs)
+        fg.stream(fs, snk)
+        ex = Executor(fg, chunk_size=4096, mesh=mesh, max_steps=2)
+        ex.running = True
+        ex.run_loop()  # 2 chunks at 5 kHz
+        fs.set_param(
+            "dphi",
+            __import__(
+                "futuresdr_tpu.ops.rotator", fromlist=["freq_to_fxp"]
+            ).freq_to_fxp(9000.0 / 1e6),
+        )
+        ex.max_steps = 4
+        ex.run_loop()  # remaining chunks at 9 kHz (phase-continuous)
+        ex.running = False
+        return snk.data()
+
+    a, b = run(), run(mesh8())
+    assert a.shape == b.shape
+    assert np.array_equal(a, b)
