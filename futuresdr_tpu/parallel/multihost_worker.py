@@ -162,6 +162,76 @@ def main() -> int:
     )
     pfused_ok = epf < 1e-5
 
+    # --- mesh-compiled COMPOSED FLOWGRAPH across real processes (r5):
+    # the user-facing tier — compile_flowgraph(mesh=...) on the flat
+    # multi-process time mesh, stepped manually per process, must equal
+    # the single-process compiled graph. Exercises put_params'
+    # NamedSharding placement and the suffix/ppermute machinery over a
+    # real DCN boundary.
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from futuresdr_tpu.blocks import (
+        Fir,
+        PfbChannelizer,
+        QuadratureDemod,
+        ResidentSource,
+        VectorSink,
+    )
+    from futuresdr_tpu.dsp import firdes, windows
+    from futuresdr_tpu.runtime.compiler import compile_flowgraph
+    from futuresdr_tpu.runtime.flowgraph import Flowgraph
+
+    M_fg, D_fg = 16, 4
+    n_fg = len(jax.devices()) * 64 * M_fg * D_fg
+    xw = (
+        rng.standard_normal(n_fg) + 1j * rng.standard_normal(n_fg)
+    ).astype(np.complex64) * 0.1
+    ataps = firdes.lowpass(0.4 / D_fg, windows.hamming(32))
+
+    def _bank_fg():
+        fgr = Flowgraph()
+        src = ResidentSource(xw.copy())
+        ch = PfbChannelizer(M_fg)
+        fgr.stream(src, ch)
+        sinks = []
+        for kk in range(M_fg):
+            dmd = QuadratureDemod(1.0)
+            fir = Fir.decimating(ataps, D_fg, dtype=np.float32)
+            snk = VectorSink(np.float32)
+            fgr.stream(ch, dmd, src_port=kk)
+            fgr.stream(dmd, fir)
+            fgr.stream(fir, snk)
+            sinks.append(snk)
+        return fgr
+
+    fg_m = _bank_fg()
+    cfg_m = compile_flowgraph(
+        fg_m, chunk_size=n_fg, mesh=fmesh, mesh_axis="dcn"
+    )
+    sh = NamedSharding(fmesh, P("dcn"))
+    states_m = jax.tree_util.tree_map(
+        lambda a: jax.device_put(np.asarray(a), sh), cfg_m.init_states()
+    )
+    params_m = cfg_m.put_params(cfg_m.gather_params())
+    states_m, sinks1, _ = cfg_m.step(states_m, params_m, {})
+    states_m, sinks2, _ = cfg_m.step(states_m, params_m, {})
+
+    fg_s = _bank_fg()
+    cfg_s = compile_flowgraph(fg_s, chunk_size=n_fg)
+    st_s = cfg_s.init_states()
+    pr_s = jax.device_put(cfg_s.gather_params())
+    st_s, ser1, _ = cfg_s.step(st_s, pr_s, {})
+    st_s, ser2, _ = cfg_s.step(st_s, pr_s, {})
+    efg = 0.0
+    for key in ser1:
+        efg = max(
+            efg,
+            float(np.max(np.abs(np.asarray(ser1[key]) - _gth(sinks1[key])))),
+            float(np.max(np.abs(np.asarray(ser2[key]) - _gth(sinks2[key])))),
+        )
+    fg_mesh_ok = efg < 1e-5
+
     # --- sharded WLAN sync front across hosts (flat time axis over every
     # device of every process; ppermute halos ride the DCN boundary) ----
     from futuresdr_tpu.models.wlan.sharded import (
@@ -184,7 +254,7 @@ def main() -> int:
         wlan_rx_ok = False
     ok = (
         ok and wlan_ok and wlan_rx_ok and partial_ok and fused_ok
-        and pfused_ok
+        and pfused_ok and fg_mesh_ok
     )
 
     if args.process_id == 0:
@@ -193,6 +263,7 @@ def main() -> int:
             f"partial={'ok' if partial_ok else 'FAIL'}({ep:.1e}) "
             f"fused={'ok' if fused_ok else 'FAIL'}({ef:.1e}) "
             f"pfused={'ok' if pfused_ok else 'FAIL'}({epf:.1e}) "
+            f"fg_mesh={'ok' if fg_mesh_ok else 'FAIL'}({efg:.1e}) "
             f"wlan_front={'ok' if wlan_ok else 'FAIL'} "
             f"wlan_rx={'ok' if wlan_rx_ok else 'FAIL'} "
             f"procs={jax.process_count()} devices={len(jax.devices())}",
