@@ -487,6 +487,20 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
                 return sinks, aux
 
             sinks_s, aux_s = jax.eval_shape(probe, params, seg_srcs)
+            if jtu.tree_leaves(aux_s):
+                names = sorted(
+                    self.fg.blocks[int(bk[1:])].instance_name
+                    for bk in aux_s
+                )
+                raise RateError(
+                    "blocks with aux outputs cannot run under a mesh "
+                    f"yet: {names}. Their aux drives host-side "
+                    "variable-rate compaction / valid counting "
+                    "(Filter masks, ApplyIntoIter counts, Selector "
+                    "drain counters), which is per-chunk host logic — "
+                    "sharding it silently mis-counts. Run this graph "
+                    "without mesh=."
+                )
             reduce_keys = {
                 self.pkey(bid, e.dst_port)
                 for bid in self.host_sink_ids

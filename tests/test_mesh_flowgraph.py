@@ -349,3 +349,19 @@ def test_mesh_retune_phase_continuity():
     a, b = run(), run(mesh8())
     assert a.shape == b.shape
     assert np.array_equal(a, b)
+
+
+def test_mesh_rejects_aux_producing_blocks():
+    """Variable-rate aux (Filter masks etc.) drives host-side
+    compaction; sharding it would silently mis-count — the mesh
+    compiler must refuse."""
+    from futuresdr_tpu.blocks import Filter
+
+    fg = Flowgraph()
+    src = VectorSource(np.arange(32768, dtype=np.float32))
+    flt = Filter(lambda v: v > 0.5, np.float32)
+    snk = VectorSink(np.float32)
+    fg.stream(src, flt)
+    fg.stream(flt, snk)
+    with pytest.raises(RateError, match="aux outputs"):
+        Runtime(chunk_size=4096, mesh=mesh8()).run(fg)
