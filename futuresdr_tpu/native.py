@@ -123,6 +123,15 @@ def _declare(m: ctypes.CDLL) -> None:
         i64,
         u8p,
     ]
+    m.polar_scl_decode.restype = None
+    m.polar_scl_decode.argtypes = [
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        u8p,
+        u8p,
+        ctypes.POINTER(ctypes.c_double),
+    ]
     m.udp_reader_start.restype = p
     m.udp_reader_start.argtypes = [
         ctypes.c_char_p,
@@ -193,6 +202,37 @@ def iq_bytes_to_complex64(raw: bytes, fmt: str) -> np.ndarray:
     formats and scaling live in exactly one place."""
     re, im = convert_iq(np.frombuffer(raw, _IN_DTYPE[fmt]), fmt)
     return (re + 1j * im).astype(np.complex64)
+
+
+def polar_scl_decode(
+    llr: np.ndarray, frozen: np.ndarray, list_size: int
+) -> Optional[tuple]:
+    """Native LLR-based SCL polar decode (Tal–Vardy CoW banks, see
+    native/ringbuf.cpp): returns ``(x_paths [L, n] uint8 codeword
+    estimates in metric-ascending order, pm [L])``, or None when the
+    native library is unavailable."""
+    m = lib()
+    if m is None:
+        return None
+    import ctypes as ct
+
+    n = len(frozen)
+    order = n.bit_length() - 1
+    if (1 << order) != n:
+        return None
+    llr32 = np.ascontiguousarray(llr, dtype=np.float32)
+    fr = np.ascontiguousarray(frozen, dtype=np.uint8)
+    x_out = np.empty((list_size, n), dtype=np.uint8)
+    pm = np.empty(list_size, dtype=np.float64)
+    m.polar_scl_decode(
+        order,
+        list_size,
+        llr32.ctypes.data_as(ct.POINTER(ct.c_float)),
+        fr.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        x_out.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        pm.ctypes.data_as(ct.POINTER(ct.c_double)),
+    )
+    return x_out, pm
 
 
 def viterbi_r12_soft(

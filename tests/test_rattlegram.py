@@ -134,3 +134,35 @@ def test_bch_255_71_roundtrip_and_correction():
     bad[rng.choice(255, 40, replace=False)] ^= 1
     _, n = bch.decode(bad)
     assert n == -1  # fails loudly, never silently mis-corrects
+
+
+def test_native_scl_matches_numpy_reference():
+    """The C++ SCL decoder (native/ringbuf.cpp, Tal–Vardy CoW banks)
+    must produce the same best path as the pure-numpy reference
+    implementation across noisy codewords — the numpy walk stays as the
+    no-toolchain fallback and the ground truth for the native port."""
+    from futuresdr_tpu import native
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    import futuresdr_tpu.native as nv
+
+    from futuresdr_tpu.models.rattlegram import polar as P
+
+    rng = np.random.default_rng(0)
+    order, data_bits = 9, 300  # small N keeps the numpy side fast
+    frozen = P.frozen_mask(order, data_bits)
+    for t in range(8):
+        msg = rng.integers(0, 2, data_bits).astype(np.uint8)
+        cw = P.polar_encode_systematic(msg, frozen)
+        llr = (1.0 - 2.0 * cw.astype(np.float64)) * 2.0 + rng.normal(
+            0, 1.0, len(cw)
+        )
+        x_nat, _ = native.polar_scl_decode(llr, frozen, 8)
+        real = nv.polar_scl_decode
+        nv.polar_scl_decode = lambda *a, **k: None  # force numpy path
+        try:
+            _, x_ref, _ = P.polar_decode_scl(llr, frozen, 8)
+        finally:
+            nv.polar_scl_decode = real
+        assert np.array_equal(x_nat[0], x_ref), t
