@@ -385,6 +385,8 @@ class PfbSynthesizer(Block):
         self.rate_in = (1,) * self.n_ch
         self.rate_out = (self.n_ch,)
         self.latency_out = ((L - 1) * self.n_ch,)
+        # mesh protocol: per-channel window = last L-1 items of each input
+        self.state_suffix_in = (L - 1,) * self.n_ch
 
     def make_state(self, in_sizes, out_sizes):
         L = self.branch_taps.shape[-1]

@@ -365,3 +365,38 @@ def test_mesh_rejects_aux_producing_blocks():
     fg.stream(flt, snk)
     with pytest.raises(RateError, match="aux outputs"):
         Runtime(chunk_size=4096, mesh=mesh8()).run(fg)
+
+
+def test_mesh_channelizer_synthesizer_roundtrip():
+    """PfbChannelizer → PfbSynthesizer (both multi-port, both with
+    per-channel window state) under the mesh == single-device."""
+    from futuresdr_tpu import config
+    from futuresdr_tpu.blocks import PfbSynthesizer
+
+    x = _iq(1 << 15, seed=21, scale=0.3)
+    M = 8
+
+    def build():
+        fg = Flowgraph()
+        src = VectorSource(x.copy())
+        ch = PfbChannelizer(M)
+        syn = PfbSynthesizer(M)
+        snk = VectorSink(np.complex64)
+        fg.stream(src, ch)
+        for k in range(M):
+            fg.stream(ch, syn, src_port=k, dst_port=k)
+        fg.stream(syn, snk)
+        return fg, snk
+
+    config.set("fusion", False)  # keep the literal two-block chain
+    try:
+        fg1, s1 = build()
+        Runtime(chunk_size=4096).run(fg1)
+        fg2, s2 = build()
+        Runtime(chunk_size=4096, mesh=mesh8()).run(fg2)
+    finally:
+        config.set("fusion", True)
+    assert s1.data().shape == s2.data().shape
+    np.testing.assert_allclose(
+        s1.data(), s2.data(), atol=2e-6, rtol=0
+    )
