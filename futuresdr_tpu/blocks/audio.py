@@ -224,21 +224,26 @@ class AudioFileSource(Block):
 
     def _wav_format_tag(self) -> int:
         """Peek the RIFF fmt chunk's format tag (1 = PCM, 0x11 = IMA
-        ADPCM, …) without decoding; 1 on any parse surprise so the
-        stdlib path raises its own clearer error."""
+        ADPCM, …) by seeking over chunk headers — no full-file read (a
+        multi-hundred-MB PCM WAV must not be loaded twice just to learn
+        it is PCM); 1 on any parse surprise so the stdlib path raises
+        its own clearer error."""
         import struct
 
         try:
-            raw = self.path.read_bytes()
-            if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-                return 1
-            pos = 12
-            while pos + 8 <= len(raw):
-                cid = raw[pos : pos + 4]
-                (size,) = struct.unpack_from("<I", raw, pos + 4)
-                if cid == b"fmt " and size >= 2:
-                    return struct.unpack_from("<H", raw, pos + 8)[0]
-                pos += 8 + size + (size & 1)
+            with open(self.path, "rb") as f:
+                hdr = f.read(12)
+                if hdr[:4] != b"RIFF" or hdr[8:12] != b"WAVE":
+                    return 1
+                while True:
+                    ch = f.read(8)
+                    if len(ch) < 8:
+                        return 1
+                    cid = ch[:4]
+                    (size,) = struct.unpack("<I", ch[4:])
+                    if cid == b"fmt " and size >= 2:
+                        return struct.unpack("<H", f.read(2))[0]
+                    f.seek(size + (size & 1), 1)
         except Exception:  # noqa: BLE001 - fall through to stdlib
             pass
         return 1

@@ -951,10 +951,15 @@ class LoraReceiver(StreamingReceiver):
         db = 0.5 * (pl - pr) / denom if denom != 0 else 0.0
         u_pos = (b2 + db) / 2.0  # bins, in [0, n)
         u_res = ((u_pos + n / 2) % n) - n / 2  # signed, aligned ⇒ small
-        # integer CFO from the first full downchirp (windows z+2, z+3):
-        # dechirp with the UPCHIRP → bin ≈ f + τ; with U = f − τ,
-        # down + U ≈ 2f pins the integer part
-        di = z + 4  # sync(2) then first full downchirp
+        # integer CFO from the first full downchirp: the preamble run
+        # ends at window z, the two sync upchirps occupy z and z+1, so
+        # the full downchirps are windows z+2 and z+3. Dechirp with the
+        # UPCHIRP → bin ≈ f + τ; with U = f − τ, down + U ≈ 2f pins the
+        # integer part. (A review instrumented the earlier z+4 read: it
+        # landed on the quarter-downchirp/data boundary — peak/mean 2.1
+        # vs 23.8 at the true window, and a 1-bin CFO error absorbed
+        # only by the f/τ degeneracy.)
+        di = z + 2
         if (di + 1) * n > len(seg):
             return None
         dspec = np.fft.fft(seg[di * n : (di + 1) * n] * u)

@@ -939,13 +939,23 @@ class Executor:
         # it on any retune.
         params_cache = getattr(self, "_params_cache", None)
         params_ver = getattr(self, "_params_ver", -1)
+        # auto-K vs live control traffic: the static gate cannot see
+        # EXTERNAL callers (ctrl_port / FlowgraphHandle.call on a pure
+        # device-source graph), and messages drain once per batch — K=32
+        # would multiply a GUI retune's latency 32x. While messages are
+        # actually arriving, cap the batch at 1 chunk for a short
+        # cooldown window; idle control plane = full batching again.
+        msg_cooldown = 0
         while not self._stop.is_set():
             # handlers retune through Block.set_param, which bumps
             # _params_version — the version-sum check below re-uploads
             # exactly when something changed. Unconditionally dropping
             # the cache per message would re-device_put ALL params on
             # every GUI poll/post (a ResidentSource's whole buffer).
-            self._drain_messages()
+            if self._drain_messages() and K > 1 and k_cfg in (None, "auto"):
+                msg_cooldown = 16
+            elif msg_cooldown:
+                msg_cooldown -= 1
             if self._snap_req is not None:
                 # consistent point: deliver all in-flight steps first so
                 # sink accumulation matches the carried device state
@@ -966,7 +976,7 @@ class Executor:
                 break
 
             # -- feed sources: collect up to K chunk sets ------------------
-            budget = K
+            budget = 1 if msg_cooldown else K
             if self.max_steps is not None:
                 budget = min(budget, self.max_steps - step_no)
             batch: List[

@@ -179,33 +179,8 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
         self.src_units = src_units
 
         # ---- per-block shardability + suffix solve -----------------------
-        seg = self._segment_chunks
-        templates: Dict[str, Any] = {}
-        aff: Dict[str, Any] = {}
-        for bid in self.pure_ids:
-            b = fg.blocks[bid]
-            full_params = bool(getattr(b, "sharded_params", ()))
-            ic, oc = (
-                (self.in_chunks[bid], self.out_chunks[bid])
-                if full_params
-                else (seg(self.in_chunks[bid]), seg(self.out_chunks[bid]))
-            )
-            st = b.make_state(ic, oc)
-            if bid in self._affine_ids:
-                aff[self.bkey(bid)] = st
-            if bid in self.source_pure_ids:
-                if jtu.tree_leaves(st) and bid not in self._affine_ids:
-                    raise RateError(
-                        f"{b.instance_name}: stateful device sources "
-                        "cannot run under a mesh unless their state is "
-                        "position-affine (advance_state hook — NCO "
-                        "phases); feed the stream from a host source or "
-                        "a ResidentSource instead"
-                    )
-                continue
-            templates[self.bkey(bid)] = st
-        self._carry_template = templates
-        self._aff_template = aff
+        self._build_templates()
+        templates = self._carry_template
 
         # suffix length in multiplier units: for every stateful block,
         # the suffix run must leave state_suffix_in REAL items at its
@@ -248,18 +223,18 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
                 "reaches only the immediate neighbor)"
             )
         self.suffix_units = m_sfx
-        self._spec_cache: Dict[Any, Any] = {}
         self._out_struct: Optional[Tuple[Any, Any]] = None
 
     def _segment_chunks(self, chunks: List[int]) -> List[int]:
         return [c // self.n_shards for c in chunks]
 
-    # ---- carried state = the ppermute carry package ----------------------
-    def init_states(self) -> Dict[str, Any]:
-        S = self.n_shards
-        # re-run make_state so blocks with chunk-size captures (and
-        # ResidentSource's full-chunk params) refresh on every run entry,
-        # matching the single-device init_states contract
+    def _build_templates(self) -> None:
+        """(Re)run ``make_state`` for every pure block — segment sizes,
+        except FULL chunk for ``sharded_params`` blocks whose params
+        span the global chunk — and classify the results into the carry
+        template and the affine-base template. Called from ``_setup``
+        (validation) and from every ``init_states`` (run entry must
+        refresh chunk-size captures, the single-device contract)."""
         seg = self._segment_chunks
         templates: Dict[str, Any] = {}
         aff: Dict[str, Any] = {}
@@ -275,13 +250,26 @@ class MeshCompiledFlowgraph(CompiledFlowgraph):
             if bid in self._affine_ids:
                 aff[self.bkey(bid)] = st
             if bid in self.source_pure_ids:
+                if jtu.tree_leaves(st) and bid not in self._affine_ids:
+                    raise RateError(
+                        f"{b.instance_name}: stateful device sources "
+                        "cannot run under a mesh unless their state is "
+                        "position-affine (advance_state hook — NCO "
+                        "phases); feed the stream from a host source or "
+                        "a ResidentSource instead"
+                    )
                 continue
             templates[self.bkey(bid)] = st
         self._carry_template = templates
         self._aff_template = aff
-        carry = dict(templates)
-        if aff:
-            carry["__aff"] = aff
+
+    # ---- carried state = the ppermute carry package ----------------------
+    def init_states(self) -> Dict[str, Any]:
+        S = self.n_shards
+        self._build_templates()
+        carry = dict(self._carry_template)
+        if self._aff_template:
+            carry["__aff"] = self._aff_template
         return jtu.tree_map(
             lambda a: jnp.broadcast_to(
                 jnp.asarray(a)[None], (S,) + jnp.asarray(a).shape

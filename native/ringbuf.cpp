@@ -525,7 +525,14 @@ struct Scl {
     int m, n, L;
     std::vector<Layer> lay;  // lay[d]: sz = n >> d
     std::vector<double> pm;
-    std::vector<std::vector<uint8_t>> u_leaf;  // [L][n]
+    // decision history tree instead of per-path u_leaf arrays: copying
+    // each survivor's full n-byte leaf vector per info bit would be
+    // O(n^2 L) memcpy — the exact cost the CoW banks exist to avoid.
+    // hist_src[phi*L + l] = the path at phi-1 this slot continued;
+    // hist_bit = the bit it chose. Final paths reconstruct by walking
+    // the tree backwards once, O(n) per path.
+    std::vector<int> hist_src;      // [n*L]
+    std::vector<uint8_t> hist_bit;  // [n*L]
 
     void calc_P(int lam, int phi) {
         if (lam == 0) return;
@@ -574,7 +581,8 @@ struct Scl {
             float* p0 = lay[0].writeP(l);
             std::copy(llr, llr + n, p0);
         }
-        u_leaf.assign(L, std::vector<uint8_t>(n, 0));
+        hist_src.assign((size_t)n * L, 0);
+        hist_bit.assign((size_t)n * L, 0);
 
         std::vector<double> both(2 * L);
         std::vector<int> order(2 * L);
@@ -584,7 +592,8 @@ struct Scl {
                 for (int l = 0; l < L; ++l) {
                     float leaf = lay[m].readP(l)[0];
                     if (leaf < 0) pm[l] += std::fabs(leaf);
-                    u_leaf[l][phi] = 0;
+                    hist_src[(size_t)phi * L + l] = l;
+                    hist_bit[(size_t)phi * L + l] = 0;
                     lay[m].writeC(l)[phi % 2] = 0;
                 }
             } else {
@@ -601,14 +610,14 @@ struct Scl {
                 // the path-indexed state (bank indirection makes clone
                 // O(m), not O(n)).
                 std::vector<double> npm(L);
-                std::vector<std::vector<uint8_t>> nu(L);
                 std::vector<int> srcs(L);
                 std::vector<uint8_t> bits(L);
                 for (int i = 0; i < L; ++i) {
                     srcs[i] = order[i] % L;
                     bits[i] = (uint8_t)(order[i] / L);
                     npm[i] = both[order[i]];
-                    nu[i] = u_leaf[srcs[i]];
+                    hist_src[(size_t)phi * L + i] = srcs[i];
+                    hist_bit[(size_t)phi * L + i] = bits[i];
                 }
                 // re-point banks: snapshot only the per-path BANK IDS
                 // (O(m·L) ints — the whole point of the CoW banks),
@@ -626,9 +635,7 @@ struct Scl {
                     }
                 }
                 pm = npm;
-                u_leaf = nu;
                 for (int i = 0; i < L; ++i) {
-                    u_leaf[i][phi] = bits[i];
                     lay[m].writeC(i)[phi % 2] = bits[i];
                 }
             }
@@ -662,7 +669,11 @@ void polar_scl_decode(int m, int L, const float* llr, const uint8_t* frozen,
                      [&](int a, int b) { return s.pm[a] < s.pm[b]; });
     for (int i = 0; i < L; ++i) {
         uint8_t* dst = x_out + (size_t)i * s.n;
-        std::copy(s.u_leaf[order[i]].begin(), s.u_leaf[order[i]].end(), dst);
+        int cur = order[i];
+        for (int phi = s.n - 1; phi >= 0; --phi) {
+            dst[phi] = s.hist_bit[(size_t)phi * L + cur];
+            cur = s.hist_src[(size_t)phi * L + cur];
+        }
         polar_scl::transform_inplace(dst, s.n);
         pm_out[i] = s.pm[order[i]];
     }
