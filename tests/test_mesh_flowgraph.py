@@ -469,3 +469,31 @@ def test_mesh_random_graph_fuzz(seed):
         a, b = a_s.data(), b_s.data()
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=3e-5, rtol=0)
+
+
+def test_mesh_spectrum_chain():
+    """The spectrum-analyzer front (SignalSource → windowed shifted Fft)
+    under the mesh: frame boundaries align with the SDF units, so each
+    shard FFTs its own frames — bit-exact vs single-device."""
+    from futuresdr_tpu.blocks import Fft, SignalSource
+
+    def build():
+        fg = Flowgraph()
+        src = SignalSource(100e3, 1e6, amplitude=0.5)
+        f = Fft(1024, shift=True, window=np.hanning(1024))
+        h = __import__(
+            "futuresdr_tpu.blocks", fromlist=["Head"]
+        ).Head(16 * 1024, np.complex64)
+        snk = VectorSink(np.complex64)
+        fg.stream(src, f)
+        fg.stream(f, h)
+        fg.stream(h, snk)
+        return fg, snk
+
+    fg1, s1 = build()
+    Runtime(chunk_size=8192).run(fg1)
+    fg2, s2 = build()
+    Runtime(chunk_size=8192, mesh=mesh8()).run(fg2)
+    a, b = s1.data(), s2.data()
+    assert a.shape == b.shape == (16 * 1024,)
+    assert np.array_equal(a, b)
