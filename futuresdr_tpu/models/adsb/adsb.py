@@ -84,20 +84,59 @@ def _detect_fn(n: int, kmax: int, threshold: float):
         # condition stays correct for any threshold (including <= 0)
         masked = jnp.where(cand, score, -jnp.inf)
         vals, idx = jax.lax.top_k(masked, kmax)
-        # ONE packed [3·kmax] leaf: through tunneled backends a
-        # multi-leaf fetch pays one ~15-20 ms round-trip PER LEAF
-        # (measured 60 of 76 ms on a 200-frame capture); the int32
-        # indices ride bitcast in the f32 buffer, exact at any size
+        idx = idx.astype(jnp.int32)
+
+        # in-device EXACT non-max suppression over the score-descending
+        # list (the host walk's semantics: a candidate is taken iff its
+        # own slot is unoccupied; taking marks [j-P+1, j+P)), as a scan
+        # over the compacted candidates — then soft-window extraction
+        # for every slot in the SAME program. One fetch per capture
+        # replaces detect-fetch + host-NMS + extract-fetch (~25 ms of
+        # tunnel round-trip on small captures).
+        n_bit = n - SPS + 1
+        last_fit = n_bit - 1 - PREAMBLE_LEN - SPS * (N_BITS - 1)
+        P = PREAMBLE_LEN
+        occ0 = jnp.zeros(n_bit + 2 * P, bool)
+        rel = jnp.arange(2 * P)
+
+        def nms_body(occ, t):
+            j, v = t
+            jc = jnp.clip(j, 0, n_bit - 1)
+            fits = jnp.isfinite(v) & (j <= last_fit)
+            take = fits & ~occ[jc]
+            lo = jnp.maximum(jc - P + 1, 0)
+            cur = jax.lax.dynamic_slice(occ, (lo,), (2 * P,))
+            ab = rel + lo
+            m = take & (ab >= jc - P + 1) & (ab < jc + P)
+            occ = jax.lax.dynamic_update_slice(occ, cur | m, (lo,))
+            return occ, take
+
+        _, taken = jax.lax.scan(nms_body, occ0, (idx, vals))
+
+        guard = PREAMBLE_LEN + N_BITS * SPS
+        bg = jnp.concatenate([bit, jnp.zeros(guard, bit.dtype)])
+
+        def one(s):
+            w = jax.lax.dynamic_slice_in_dim(
+                bg, jnp.clip(s, 0, n_bit - 1) + PREAMBLE_LEN, N_BITS * SPS
+            )
+            return w[::SPS]
+
+        soft = jax.vmap(one)(idx)  # [kmax, N_BITS]
+
+        # ONE packed leaf: through tunneled backends a multi-leaf fetch
+        # pays one ~15-20 ms round-trip PER LEAF (measured 60 of 76 ms
+        # on a 200-frame capture); the int32 indices ride bitcast in
+        # the f32 buffer, exact at any size
         packed = jnp.concatenate(
             [
-                jax.lax.bitcast_convert_type(
-                    idx.astype(jnp.int32), jnp.float32
-                ),
-                vals,
+                jax.lax.bitcast_convert_type(idx, jnp.float32),
                 nf_pre[idx],
+                taken.astype(jnp.float32),
+                soft.reshape(-1),
             ]
         )
-        return packed, bit
+        return packed
 
     return jax.jit(fn)
 
@@ -420,59 +459,32 @@ class AdsbReceiver(StreamingReceiver):
             n = len(x)
         # device: metrics + local-max candidates + top_k compaction; bit
         # metrics stay resident for the batched window extraction
-        packed_d, bit_d = _detect_fn(
-            n, self.max_frames, self.threshold
-        )(xc)
-        return dict(dev=packed_d, bit=bit_d, n=n)
+        packed_d = _detect_fn(n, self.max_frames, self.threshold)(xc)
+        return dict(dev=packed_d, n=n)
 
     def _collect(self, d) -> List[AdsbFrame]:
-        bit_d, n = d["bit"], d["n"]
+        # the whole detect → NMS → soft-window chain ran on device; one
+        # packed fetch holds (idx, noise-floor, taken, soft windows)
         packed = np.asarray(jax.device_get(d["dev"]))
-        kmax = packed.shape[0] // 3
+        kmax = packed.shape[0] // (3 + N_BITS)
         idx_a = packed[:kmax].view(np.int32)
-        vals_a = packed[kmax : 2 * kmax]
-        nfp_a = packed[2 * kmax :]
-        n_bit = n - SPS + 1  # bit metric length (taps = SPS wide)
+        nfp_a = packed[kmax : 2 * kmax]
+        taken_a = packed[2 * kmax : 3 * kmax] > 0.5
+        soft_all = packed[3 * kmax :].reshape(kmax, N_BITS)
 
         out: List[AdsbFrame] = []
-        # exact non-max suppression on the compacted list: strongest
-        # peaks first, suppress neighbors (a weak early side-lobe must
-        # not shadow the true preamble). top_k returns score-descending;
-        # an occupancy bitmap keeps this O(k·PREAMBLE_LEN), not O(k²)
-        taken: List[int] = []
-        nf_by_start = {}
-        occupied = np.zeros(n_bit + PREAMBLE_LEN, bool)
-        last_fit = n_bit - 1 - PREAMBLE_LEN - SPS * (N_BITS - 1)
-        for j, v, nfp in zip(idx_a, vals_a, nfp_a):
-            j = int(j)
-            if v == -np.inf:
-                break  # padding sentinel (fewer candidates than kmax)
-            # window must fit (parity: the sequential path skipped these)
-            if j > last_fit:
-                continue
-            if occupied[j]:
-                continue
-            occupied[max(0, j - PREAMBLE_LEN + 1) : j + PREAMBLE_LEN] = True
-            taken.append(j)
-            nf_by_start[j] = float(nfp)
-        if not taken:
+        sel = np.flatnonzero(taken_a)
+        if sel.size == 0:
             return out
-        k = len(taken)
-        kb = 1 << (k - 1).bit_length()
-        starts = np.zeros(kb, np.int32)
-        starts[:k] = taken
-        soft_all = np.asarray(
-            _extract_fn(n_bit, kb)(bit_d, jnp.asarray(starts))
-        )
         # vectorized batch CRC: only failures enter the bit-repair path
-        bits_all = (soft_all[:k] > 0).astype(np.uint8)
+        bits_all = (soft_all[sel] > 0).astype(np.uint8)
         rems = _crc_remainder_batch(bits_all)
-        for i in range(k):
+        for gi, i in enumerate(sel):
             f = self._demod_soft(
                 soft_all[i],
-                nf_by_start[taken[i]],
-                taken[i],
-                crc_ok=bool(rems[i] == 0),
+                float(nfp_a[i]),
+                int(idx_a[i]),
+                crc_ok=bool(rems[gi] == 0),
             )
             if f is None:
                 continue
