@@ -250,7 +250,19 @@ def _rx_program(n: int, kmax: int, wsyms: int):
             return jnp.argmax(sc, axis=-1).astype(jnp.uint8)
 
         syms = jax.vmap(one)(starts)  # [kmax, wsyms]
-        return starts, valid, syms
+        # ONE packed f32 leaf (multi-leaf fetches cost one ~10-20 ms
+        # tunnel round-trip PER LEAF; starts ride bitcast, uint8
+        # symbols 0..15 are exact as f32)
+        packed = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(
+                    starts.astype(jnp.int32), jnp.float32
+                ),
+                valid.astype(jnp.float32),
+                syms.astype(jnp.float32).reshape(-1),
+            ]
+        )
+        return packed
 
     return jax.jit(fn)
 
@@ -292,7 +304,11 @@ class ZigbeeReceiver(StreamingReceiver):
         return _rx_program(n, self.max_frames, _MAX_FRAME_SYMS)(xc)
 
     def _collect(self, dev) -> List[ZigbeeFrame]:
-        starts, valid, syms = jax.device_get(dev)
+        packed = np.asarray(jax.device_get(dev))
+        kmax = packed.shape[0] // (2 + _MAX_FRAME_SYMS)
+        starts = packed[:kmax].view(np.int32)
+        valid = packed[kmax : 2 * kmax] > 0.5
+        syms = packed[2 * kmax :].reshape(kmax, _MAX_FRAME_SYMS)
         out: List[ZigbeeFrame] = []
         pos = 0
         for k in range(len(starts)):
