@@ -141,26 +141,6 @@ def _detect_fn(n: int, kmax: int, threshold: float):
     return jax.jit(fn)
 
 
-@lru_cache(maxsize=None)
-def _extract_fn(n_bit: int, kb: int):
-    """Batched soft-bit window extraction at ``kb`` candidate starts:
-    [kb, N_BITS] PPM metrics, the only other D2H of a capture."""
-
-    def fn(bit, starts):
-        guard = PREAMBLE_LEN + N_BITS * SPS
-        bg = jnp.concatenate([bit, jnp.zeros(guard, bit.dtype)])
-
-        def one(s):
-            w = jax.lax.dynamic_slice_in_dim(
-                bg, s + PREAMBLE_LEN, N_BITS * SPS
-            )
-            return w[:: SPS]
-
-        return jax.vmap(one)(starts)
-
-    return jax.jit(fn)
-
-
 def _crc_remainder(bits: np.ndarray) -> int:
     """Polynomial remainder of bits (MSB first) modulo the CRC24 poly."""
     reg = 0
@@ -457,8 +437,7 @@ class AdsbReceiver(StreamingReceiver):
                 )
             xc = cplx.from_numpy(x)
             n = len(x)
-        # device: metrics + local-max candidates + top_k compaction; bit
-        # metrics stay resident for the batched window extraction
+        # device: metrics + candidates + NMS + soft windows, one program
         packed_d = _detect_fn(n, self.max_frames, self.threshold)(xc)
         return dict(dev=packed_d, n=n)
 

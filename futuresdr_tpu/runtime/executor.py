@@ -778,6 +778,21 @@ class Executor:
         finally:
             self._in_loop = False
 
+    def _note_control_traffic(
+        self, drained: int, ver_now: int, auto_k: bool
+    ) -> None:
+        """Auto-K retune-latency state machine (one call per loop
+        iteration): a drained message that BUMPED the params-version sum
+        (an actual retune — read-only polls must stay free) arms a
+        16-iteration cooldown during which the batch budget is capped at
+        one chunk; quiet iterations decay it. No-op when batching is off
+        or explicitly configured."""
+        if drained and auto_k and ver_now != self._ctrl_ver:
+            self._msg_cooldown = 16
+        elif self._msg_cooldown:
+            self._msg_cooldown -= 1
+        self._ctrl_ver = ver_now
+
     def _auto_steps_per_call(self, tickers) -> int:
         """Pick the scan-batch depth K for the default config.
 
@@ -942,20 +957,34 @@ class Executor:
         # auto-K vs live control traffic: the static gate cannot see
         # EXTERNAL callers (ctrl_port / FlowgraphHandle.call on a pure
         # device-source graph), and messages drain once per batch — K=32
-        # would multiply a GUI retune's latency 32x. While messages are
-        # actually arriving, cap the batch at 1 chunk for a short
-        # cooldown window; idle control plane = full batching again.
-        msg_cooldown = 0
+        # would multiply a GUI retune's latency 32x. While RETUNES are
+        # actually landing (params-version bumps — read-only GUI polls
+        # must not cost the batching win), cap the batch at 1 chunk for
+        # a short cooldown window; idle control plane = full batching.
+        # The first capped batch traces the K=1 program once per process
+        # (amortized by the persistent compile cache across runs).
+        self._msg_cooldown = 0
+        self._ctrl_ver = sum(
+            fg.blocks[bid]._params_version for bid in cfg.pure_ids
+        )
+        auto_k = K > 1 and k_cfg in (None, "auto")
         while not self._stop.is_set():
             # handlers retune through Block.set_param, which bumps
             # _params_version — the version-sum check below re-uploads
             # exactly when something changed. Unconditionally dropping
             # the cache per message would re-device_put ALL params on
             # every GUI poll/post (a ResidentSource's whole buffer).
-            if self._drain_messages() and K > 1 and k_cfg in (None, "auto"):
-                msg_cooldown = 16
-            elif msg_cooldown:
-                msg_cooldown -= 1
+            drained = self._drain_messages()
+            self._note_control_traffic(
+                drained,
+                sum(
+                    fg.blocks[bid]._params_version
+                    for bid in cfg.pure_ids
+                )
+                if drained
+                else self._ctrl_ver,
+                auto_k,
+            )
             if self._snap_req is not None:
                 # consistent point: deliver all in-flight steps first so
                 # sink accumulation matches the carried device state
@@ -976,7 +1005,7 @@ class Executor:
                 break
 
             # -- feed sources: collect up to K chunk sets ------------------
-            budget = 1 if msg_cooldown else K
+            budget = 1 if self._msg_cooldown else K
             if self.max_steps is not None:
                 budget = min(budget, self.max_steps - step_no)
             batch: List[

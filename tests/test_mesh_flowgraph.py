@@ -25,6 +25,7 @@ from futuresdr_tpu.blocks import (
     Apply,
     Combine,
     Fir,
+    Head,
     Iir,
     NullSink,
     PfbChannelizer,
@@ -481,9 +482,7 @@ def test_mesh_spectrum_chain():
         fg = Flowgraph()
         src = SignalSource(100e3, 1e6, amplitude=0.5)
         f = Fft(1024, shift=True, window=np.hanning(1024))
-        h = __import__(
-            "futuresdr_tpu.blocks", fromlist=["Head"]
-        ).Head(16 * 1024, np.complex64)
+        h = Head(16 * 1024, np.complex64)
         snk = VectorSink(np.complex64)
         fg.stream(src, f)
         fg.stream(f, h)

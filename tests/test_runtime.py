@@ -815,3 +815,35 @@ def test_auto_steps_per_call_stays_one_for_interactive_graphs():
     ex.running = False
     assert ex.stats()["steps_per_call"] == 1
     assert np.array_equal(snk.data(), np.full(32768, 2.0, np.float32))
+
+
+def test_auto_k_retune_cooldown_state_machine():
+    """The auto-K control-latency cooldown (_note_control_traffic):
+    arms ONLY on an actual params-version bump (read-only GUI polls must
+    not cost the batching win), caps the budget while armed, decays
+    over quiet iterations, and is a no-op for explicit steps_per_call."""
+    from futuresdr_tpu.blocks import NullSink, NullSource
+    from futuresdr_tpu.runtime.executor import Executor
+
+    fg = Flowgraph()
+    connect(fg, NullSource(np.complex64), NullSink(np.complex64))
+    ex = Executor(fg, chunk_size=4096)
+    ex._msg_cooldown = 0
+    ex._ctrl_ver = 10
+
+    # read-only message traffic (version unchanged): never arms
+    ex._note_control_traffic(drained=3, ver_now=10, auto_k=True)
+    assert ex._msg_cooldown == 0
+
+    # a retune (version bump) arms the 16-iteration window
+    ex._note_control_traffic(drained=1, ver_now=11, auto_k=True)
+    assert ex._msg_cooldown == 16 and ex._ctrl_ver == 11
+
+    # quiet iterations decay it back to full batching
+    for _ in range(16):
+        ex._note_control_traffic(drained=0, ver_now=11, auto_k=True)
+    assert ex._msg_cooldown == 0
+
+    # explicit steps_per_call (auto_k False): retunes never cap
+    ex._note_control_traffic(drained=1, ver_now=12, auto_k=False)
+    assert ex._msg_cooldown == 0
