@@ -35,7 +35,14 @@ HALF_N = 73  # nominal half-bit samples
 
 @lru_cache(maxsize=None)
 def _envelope_fn(n: int):
+    """Envelope → threshold → EDGE EXTRACTION on device: only the edge
+    positions and pre-edge levels cross D2H (one packed leaf, ~26 KB)
+    instead of the full thresholded stream (~n bytes + a round-trip per
+    leaf through tunneled backends). kmax sizes for ~3 edges per
+    nominal bit period — far above any real keyfob burst density."""
     import jax.numpy as jnp
+
+    kmax = max(256, (n // HALF_N) * 3)
 
     def fn(xc):
         from futuresdr_tpu.ops.fir import moving_sum
@@ -43,7 +50,19 @@ def _envelope_fn(n: int):
         mag = xc.abs()
         sm = moving_sum(mag, 16) * (1.0 / 16.0)
         thr = 0.5 * jnp.max(sm)
-        return (sm > thr).astype(jnp.uint8)
+        lv = (sm > thr).astype(jnp.int8)
+        edge = lv[1:] != lv[:-1]
+        idx = jnp.nonzero(edge, size=kmax, fill_value=-1)[0].astype(
+            jnp.int32
+        )
+        before = jnp.where(idx >= 0, lv[jnp.maximum(idx, 0)], 0)
+        packed = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(idx, jnp.float32),
+                before.astype(jnp.float32),
+            ]
+        )
+        return packed
 
     return jax.jit(fn)
 
@@ -54,8 +73,11 @@ class KeyfobFrame:
     command: Optional[str]
 
 
-def _decode_edges(levels: np.ndarray) -> List[KeyfobFrame]:
-    """decoder.rs state machine over the thresholded 0/1 stream."""
+def _decode_edges(
+    edges: np.ndarray, level_before_arr: np.ndarray
+) -> List[KeyfobFrame]:
+    """decoder.rs state machine over device-extracted edges
+    (positions + the level BEFORE each transition)."""
     frames: List[KeyfobFrame] = []
     out: List[str] = []
     half_pending = False
@@ -76,10 +98,9 @@ def _decode_edges(levels: np.ndarray) -> List[KeyfobFrame]:
             )
             frames.append(KeyfobFrame(bits=s, command=cmd))
 
-    edges = np.flatnonzero(np.diff(levels.astype(np.int8)))
     prev = None
-    for e in edges:
-        level_before = int(levels[e])  # 1→0 falling if 1
+    for e, level_before in zip(edges, level_before_arr):
+        level_before = int(level_before)  # 1→0 falling if 1
         if prev is not None:
             diff = int(e - prev)
             bit = "1" if level_before == 1 else "0"
@@ -115,8 +136,12 @@ class KeyfobReceiver(StreamingReceiver):
         return _envelope_fn(len(x))(cplx.from_numpy(x))
 
     def _collect(self, dev) -> List[KeyfobFrame]:
-        levels = np.asarray(dev)
-        out = _decode_edges(levels)
+        packed = np.asarray(dev)
+        kmax = packed.shape[0] // 2
+        idx = packed[:kmax].view(np.int32)
+        before = packed[kmax:]
+        sel = idx >= 0  # -1 = nonzero() fill sentinel
+        out = _decode_edges(idx[sel], before[sel])
         self.frames.extend(out)
         return out
 
