@@ -303,3 +303,53 @@ def test_adpcm_stereo_roundtrip(tmp_path):
     err = d - inter
     snr = 10 * np.log10(np.mean(inter**2) / np.mean(err**2))
     assert snr > 25.0, snr
+
+
+def test_adpcm_fact_chunk_trims_padding(tmp_path):
+    """Sample counts that don't fill the final block: the fact chunk
+    must trim the decoder's block padding to the exact length."""
+    from futuresdr_tpu.dsp.adpcm import read_ima_wav, write_ima_wav
+
+    fs = 8000
+    n = 1234  # nowhere near a block multiple (505 samples/block @ 256)
+    t = np.arange(n) / fs
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    path = tmp_path / "odd_ima.wav"
+    write_ima_wav(path, sig, fs)
+    d, rate, ch = read_ima_wav(path)
+    assert (rate, ch) == (fs, 1)
+    assert len(d) == n
+    err = d - sig
+    assert 10 * np.log10(np.mean(sig**2) / np.mean(err**2)) > 20.0
+
+
+def test_adpcm_rejects_non_ima_wav(tmp_path):
+    """read_ima_wav must refuse PCM files with a clear error (and the
+    AudioFileSource router must keep sending PCM to the stdlib path)."""
+    import wave as wave_mod
+
+    from futuresdr_tpu.dsp.adpcm import read_ima_wav
+
+    path = tmp_path / "pcm.wav"
+    with wave_mod.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(100, np.int16).tobytes())
+    with pytest.raises(ValueError, match="not IMA ADPCM"):
+        read_ima_wav(path)
+    src = audio_mod.AudioFileSource(path)  # router → stdlib PCM path
+    assert len(src._data) == 100
+
+
+def test_adpcm_truncated_file_errors(tmp_path):
+    from futuresdr_tpu.dsp.adpcm import read_ima_wav, write_ima_wav
+
+    fs = 8000
+    sig = np.zeros(600, np.float32)
+    path = tmp_path / "trunc_ima.wav"
+    write_ima_wav(path, sig, fs)
+    raw = path.read_bytes()
+    (tmp_path / "cut.wav").write_bytes(raw[:20])  # inside the header
+    with pytest.raises(ValueError):
+        read_ima_wav(tmp_path / "cut.wav")
