@@ -674,7 +674,29 @@ def _detect_frontier_fn(
             idx >= 0, idx.astype(jnp.int32) * n + (n - b) % n, -1
         ).astype(jnp.int32)
         outs = jax.vmap(lambda s: one(xc, s))(starts)
-        return (starts, n_cand) + outs
+        # ONE packed f32 leaf: fresh multi-leaf fetches cost one
+        # round-trip per leaf (~12 ms measured); this is a single
+        # program, the case where packing wins (NOTES leaf-packing
+        # win-or-delete)
+        z, valid, dstart, hpk, hmn, hllr, ppk, pmn, pllr = outs
+        packed = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(starts, jnp.float32),
+                jnp.asarray(n_cand, jnp.float32).reshape(1),
+                z.astype(jnp.float32),
+                valid.astype(jnp.float32),
+                jax.lax.bitcast_convert_type(
+                    dstart.astype(jnp.int32), jnp.float32
+                ),
+                hpk.reshape(-1),
+                hmn.reshape(-1),
+                hllr.reshape(-1),
+                ppk.reshape(-1),
+                pmn.reshape(-1),
+                pllr.reshape(-1),
+            ]
+        )
+        return packed
 
     return jax.jit(fn)
 
@@ -1100,18 +1122,39 @@ class LoraReceiver(StreamingReceiver):
         kmax = int(getattr(self, "_kmax", 32))
         hard_cap = max(16, 1 << (k - 1).bit_length())
         while True:
-            res = jax.device_get(
-                _detect_frontier_fn(
-                    k, sf, run_len, kmax, wa, wp_spec,
-                    sf_app_hdr, sf_p, s1, s2,
-                )(xc, bins_d, peak_d, mean_d)
+            packed = np.asarray(
+                jax.device_get(
+                    _detect_frontier_fn(
+                        k, sf, run_len, kmax, wa, wp_spec,
+                        sf_app_hdr, sf_p, s1, s2,
+                    )(xc, bins_d, peak_d, mean_d)
+                )
             )
-            starts, n_cand = res[0], int(res[1])
+            km = kmax
+            o = 0
+            starts = packed[o : o + km].view(np.int32); o += km
+            n_cand = int(packed[o]); o += 1
+            z_a = packed[o : o + km]; o += km
+            valid_a = packed[o : o + km] > 0.5; o += km
+            dstart_a = packed[o : o + km].view(np.int32); o += km
+            peakH = packed[o : o + 8 * km].reshape(km, 8); o += 8 * km
+            meanH = packed[o : o + 8 * km].reshape(km, 8); o += 8 * km
+            nh = 8 * sf_app_hdr * km
+            llrH = packed[o : o + nh].reshape(km, 8, sf_app_hdr); o += nh
+            peakP = packed[o : o + wp_spec * km].reshape(km, wp_spec)
+            o += wp_spec * km
+            meanP = packed[o : o + wp_spec * km].reshape(km, wp_spec)
+            o += wp_spec * km
+            npl = wp_spec * sf_p * km
+            llrP = packed[o : o + npl].reshape(km, wp_spec, sf_p)
             if n_cand <= kmax or kmax >= hard_cap:
                 break
             kmax = min(hard_cap, 1 << (n_cand - 1).bit_length())
             self._kmax = kmax
-        return self._decode_frontier_arrays(xc, starts, res[2:], wp_spec)
+        fetched = (
+            z_a, valid_a, dstart_a, peakH, meanH, llrH, peakP, meanP, llrP
+        )
+        return self._decode_frontier_arrays(xc, starts, fetched, wp_spec)
 
     # -- batched soft path: the fused frontier decodes every frame from
     # TWO device programs steady state (grid scan + frontier); frames
