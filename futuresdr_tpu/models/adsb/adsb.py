@@ -128,9 +128,11 @@ def _detect_fn(n: int, kmax: int, threshold: float):
         # pays one ~15-20 ms round-trip PER LEAF (measured 60 of 76 ms
         # on a 200-frame capture); the int32 indices ride bitcast in
         # the f32 buffer, exact at any size
+        from futuresdr_tpu.ops.packing import pack_int_f32
+
         packed = jnp.concatenate(
             [
-                jax.lax.bitcast_convert_type(idx, jnp.float32),
+                pack_int_f32(idx),
                 nf_pre[idx],
                 taken.astype(jnp.float32),
                 soft.reshape(-1),
@@ -445,8 +447,10 @@ class AdsbReceiver(StreamingReceiver):
         # the whole detect → NMS → soft-window chain ran on device; one
         # packed fetch holds (idx, noise-floor, taken, soft windows)
         packed = np.asarray(jax.device_get(d["dev"]))
+        from futuresdr_tpu.ops.packing import unpack_int_f32
+
         kmax = packed.shape[0] // (3 + N_BITS)
-        idx_a = packed[:kmax].view(np.int32)
+        idx_a = unpack_int_f32(packed[:kmax])
         nfp_a = packed[kmax : 2 * kmax]
         taken_a = packed[2 * kmax : 3 * kmax] > 0.5
         soft_all = packed[3 * kmax :].reshape(kmax, N_BITS)

@@ -56,11 +56,10 @@ def _envelope_fn(n: int):
             jnp.int32
         )
         before = jnp.where(idx >= 0, lv[jnp.maximum(idx, 0)], 0)
+        from futuresdr_tpu.ops.packing import pack_int_f32
+
         packed = jnp.concatenate(
-            [
-                jax.lax.bitcast_convert_type(idx, jnp.float32),
-                before.astype(jnp.float32),
-            ]
+            [pack_int_f32(idx), before.astype(jnp.float32)]
         )
         return packed
 
@@ -137,8 +136,10 @@ class KeyfobReceiver(StreamingReceiver):
 
     def _collect(self, dev) -> List[KeyfobFrame]:
         packed = np.asarray(dev)
+        from futuresdr_tpu.ops.packing import unpack_int_f32
+
         kmax = packed.shape[0] // 2
-        idx = packed[:kmax].view(np.int32)
+        idx = unpack_int_f32(packed[:kmax])
         before = packed[kmax:]
         sel = idx >= 0  # -1 = nonzero() fill sentinel
         out = _decode_edges(idx[sel], before[sel])

@@ -679,15 +679,15 @@ def _detect_frontier_fn(
         # program, the case where packing wins (NOTES leaf-packing
         # win-or-delete)
         z, valid, dstart, hpk, hmn, hllr, ppk, pmn, pllr = outs
+        from futuresdr_tpu.ops.packing import pack_int_f32
+
         packed = jnp.concatenate(
             [
-                jax.lax.bitcast_convert_type(starts, jnp.float32),
+                pack_int_f32(starts),
                 jnp.asarray(n_cand, jnp.float32).reshape(1),
                 z.astype(jnp.float32),
                 valid.astype(jnp.float32),
-                jax.lax.bitcast_convert_type(
-                    dstart.astype(jnp.int32), jnp.float32
-                ),
+                pack_int_f32(dstart),
                 hpk.reshape(-1),
                 hmn.reshape(-1),
                 hllr.reshape(-1),
@@ -1132,11 +1132,13 @@ class LoraReceiver(StreamingReceiver):
             )
             km = kmax
             o = 0
-            starts = packed[o : o + km].view(np.int32); o += km
+            from futuresdr_tpu.ops.packing import unpack_int_f32
+
+            starts = unpack_int_f32(packed[o : o + km]); o += km
             n_cand = int(packed[o]); o += 1
             z_a = packed[o : o + km]; o += km
             valid_a = packed[o : o + km] > 0.5; o += km
-            dstart_a = packed[o : o + km].view(np.int32); o += km
+            dstart_a = unpack_int_f32(packed[o : o + km]); o += km
             peakH = packed[o : o + 8 * km].reshape(km, 8); o += 8 * km
             meanH = packed[o : o + 8 * km].reshape(km, 8); o += 8 * km
             nh = 8 * sf_app_hdr * km

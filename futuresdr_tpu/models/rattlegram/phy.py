@@ -145,11 +145,26 @@ def _sync_score_fn(n: int):
     t2 = float(np.sum(tmpl.astype(np.float64) ** 2))
 
     def fn(x):
-        cor = conv1d_valid(x, taps)
-        energy = moving_sum(x * x, SYMBOL_LEN)
+        import jax
         import jax.numpy as jnp
 
-        return cor / (jnp.sqrt(energy * t2) + 1e-9)
+        cor = conv1d_valid(x, taps)
+        energy = moving_sum(x * x, SYMBOL_LEN)
+        score = cor / (jnp.sqrt(energy * t2) + 1e-9)
+        # silent regions: the Toeplitz conv leaves ~1e-4 junk where the
+        # energy is ~0 — floor the energy so near-0/near-0 cannot
+        # manufacture peaks (the M17 front's lesson)
+        score = jnp.where(
+            energy > 1e-4 * jnp.max(energy), score, 0.0
+        )
+        # top-k candidate extraction ON DEVICE: fetching the full score
+        # array cost ~8 B/sample of D2H (~80 ms per 0.5 M-sample capture
+        # through the tunnel) — the receiver's floor once the SCL decode
+        # went native. One packed leaf: [idx bitcast | value] × 32.
+        from futuresdr_tpu.ops.packing import pack_int_f32
+
+        vals, idx = jax.lax.top_k(score, 32)
+        return jnp.concatenate([pack_int_f32(idx), vals])
 
     return jax.jit(fn)
 
@@ -183,14 +198,18 @@ class RattlegramReceiver(StreamingReceiver):
         x, n_real = d["x"], d["n_real"]
         if d["score"] is None:
             return []
-        score = np.asarray(d["score"])
+        from futuresdr_tpu.ops.packing import unpack_int_f32
+
+        packed = np.asarray(d["score"])
+        km = packed.shape[0] // 2
+        idx = unpack_int_f32(packed[:km])
+        vals = packed[km:]
         out: List[RattlegramFrame] = []
         thr = 0.5
-        order = np.argsort(score)[::-1]
         taken: List[int] = []
-        for p in order[:32]:
+        for p, v in zip(idx, vals):  # top_k is value-descending
             p = int(p)
-            if score[p] < thr:
+            if v < thr:
                 break
             if any(abs(p - t) < EXT_LEN for t in taken):
                 continue

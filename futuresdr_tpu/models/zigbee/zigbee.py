@@ -253,11 +253,11 @@ def _rx_program(n: int, kmax: int, wsyms: int):
         # ONE packed f32 leaf (multi-leaf fetches cost one ~10-20 ms
         # tunnel round-trip PER LEAF; starts ride bitcast, uint8
         # symbols 0..15 are exact as f32)
+        from futuresdr_tpu.ops.packing import pack_int_f32
+
         packed = jnp.concatenate(
             [
-                jax.lax.bitcast_convert_type(
-                    starts.astype(jnp.int32), jnp.float32
-                ),
+                pack_int_f32(starts),
                 valid.astype(jnp.float32),
                 syms.astype(jnp.float32).reshape(-1),
             ]
@@ -305,8 +305,10 @@ class ZigbeeReceiver(StreamingReceiver):
 
     def _collect(self, dev) -> List[ZigbeeFrame]:
         packed = np.asarray(jax.device_get(dev))
+        from futuresdr_tpu.ops.packing import unpack_int_f32
+
         kmax = packed.shape[0] // (2 + _MAX_FRAME_SYMS)
-        starts = packed[:kmax].view(np.int32)
+        starts = unpack_int_f32(packed[:kmax])
         valid = packed[kmax : 2 * kmax] > 0.5
         syms = packed[2 * kmax :].reshape(kmax, _MAX_FRAME_SYMS)
         out: List[ZigbeeFrame] = []

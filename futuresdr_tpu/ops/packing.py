@@ -1,0 +1,37 @@
+"""Packing integers into float32 fetch buffers — TPU-safely.
+
+Multi-leaf device fetches cost one round-trip per fresh leaf through
+tunneled backends, so receiver fronts pack their outputs into ONE f32
+buffer. Integer values must NOT ride a plain ``bitcast_convert_type``:
+an int32 below 2^23 bitcasts to a float32 DENORMAL, and TPU hardware
+may flush denormals to zero anywhere XLA happens to fuse the value
+through an arithmetic op (observed: identical packing code preserved
+indices in one program and zeroed them in another). The encoding here
+sets bit 30 after a +1 bias, so every payload lands in the normal
+range [2.0, 4.0) and ``-1`` sentinels stay representable:
+
+    device:  bitcast((v + 1) | 0x40000000)
+    host:    (bits & 0x3FFFFFFF) - 1
+
+Exact for v in [-1, 2^30 - 2] — every array index and sentinel we pack.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_int_f32(v):
+    """Device: int array → f32 array with the same bits, denormal-safe."""
+    b = (v.astype(jnp.int32) + 1) | jnp.int32(0x40000000)
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def unpack_int_f32(a: np.ndarray) -> np.ndarray:
+    """Host: the f32 slice of a fetched buffer → int32 values."""
+    bits = np.ascontiguousarray(a).view(np.uint32)
+    return (bits & np.uint32(0x3FFFFFFF)).astype(np.int64).astype(
+        np.int32
+    ) - 1
