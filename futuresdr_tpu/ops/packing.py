@@ -29,8 +29,36 @@ def pack_int_f32(v):
     return jax.lax.bitcast_convert_type(b, jnp.float32)
 
 
+_backend_checked = False
+
+
+def _check_backend() -> None:
+    """Once per process: round-trip known values through a real device
+    program. The CPU test mesh preserves denormals, so only a live
+    backend can prove the encoding survives — this catches a future
+    backend/compiler that mangles even the biased range, loudly."""
+    global _backend_checked
+    _backend_checked = True
+    probe = np.array([-1, 0, 1, 12345, (1 << 24) + 7], np.int32)
+
+    @jax.jit
+    def rt(v):
+        return pack_int_f32(v) * jnp.float32(1.0)  # force through an op
+
+    got = unpack_int_f32(np.asarray(jax.device_get(rt(probe))))
+    if not np.array_equal(got, probe):  # pragma: no cover - backend bug
+        raise RuntimeError(
+            f"packed-int fetch round-trip failed on this backend: "
+            f"sent {probe.tolist()}, got {got.tolist()} — the packing "
+            "encoding is being mangled (denormal flush or float "
+            "canonicalization); receiver fetches would be corrupt"
+        )
+
+
 def unpack_int_f32(a: np.ndarray) -> np.ndarray:
     """Host: the f32 slice of a fetched buffer → int32 values."""
+    if not _backend_checked:
+        _check_backend()
     bits = np.ascontiguousarray(a).view(np.uint32)
     return (bits & np.uint32(0x3FFFFFFF)).astype(np.int64).astype(
         np.int32
