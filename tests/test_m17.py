@@ -130,3 +130,31 @@ def test_preamble_assisted_low_snr_sync():
     # frames are *found* (decode at 3 dB is below the code's waterfall,
     # so CRCs may fail — acquisition is what this test pins)
     assert len(frames) >= 4
+
+
+def test_reference_voice_wav_through_m17():
+    """The reference's shipped M17 voice fixture (examples/m17/brain.wav
+    — the tx.rs audio source) decodes through AudioFileSource and its
+    samples ride a full M17 TX→RX loop: third-party WAV interop + a
+    realistic voice-payload stream (40 frames × 16 bytes) instead of
+    synthetic byte patterns."""
+    from pathlib import Path
+
+    ref = Path("/root/reference/examples/m17/brain.wav")
+    if not ref.is_file():
+        pytest.skip("reference fixture not present")
+    from futuresdr_tpu.blocks.audio import AudioFileSource
+
+    src = AudioFileSource(ref)
+    assert src.sample_rate == 8000 and src.channels == 1
+    audio = src._data
+    assert len(audio) == 52450
+    pcm = np.clip(audio * 32767, -32768, 32767).astype("<i2").tobytes()
+    payloads = [pcm[i * 16 : (i + 1) * 16] for i in range(40)]
+    lsf = make_lsf("N0CALL", "TPU-5")
+    sig = modulate_transmission(lsf, payloads)
+    frames = M17Receiver().process(sig)
+    assert len(frames) == 40
+    assert all(f.lsf_crc_ok for f in frames)
+    got = b"".join(f.payload for f in frames)
+    assert got == b"".join(payloads)
