@@ -34,36 +34,44 @@ HALF_N = 73  # nominal half-bit samples
 
 
 @lru_cache(maxsize=None)
-def _envelope_fn(n: int):
+def _envelope_fn(n: int, kmax: int):
     """Envelope → threshold → EDGE EXTRACTION on device: only the edge
     positions and pre-edge levels cross D2H (one packed leaf, ~26 KB)
     instead of the full thresholded stream (~n bytes + a round-trip per
-    leaf through tunneled backends). kmax sizes for ~3 edges per
-    nominal bit period — far above any real keyfob burst density."""
+    leaf through tunneled backends). The TRUE edge count rides in slot
+    0 so a chattering envelope (deep fading, interferers around the
+    threshold) triggers an adaptive re-run instead of silently
+    truncating edges the host walk would have decoded."""
     import jax.numpy as jnp
-
-    kmax = max(256, (n // HALF_N) * 3)
 
     def fn(xc):
         from futuresdr_tpu.ops.fir import moving_sum
+        from futuresdr_tpu.ops.packing import pack_int_f32
 
         mag = xc.abs()
         sm = moving_sum(mag, 16) * (1.0 / 16.0)
         thr = 0.5 * jnp.max(sm)
         lv = (sm > thr).astype(jnp.int8)
         edge = lv[1:] != lv[:-1]
+        n_edges = jnp.sum(edge.astype(jnp.int32))
         idx = jnp.nonzero(edge, size=kmax, fill_value=-1)[0].astype(
             jnp.int32
         )
         before = jnp.where(idx >= 0, lv[jnp.maximum(idx, 0)], 0)
-        from futuresdr_tpu.ops.packing import pack_int_f32
-
         packed = jnp.concatenate(
-            [pack_int_f32(idx), before.astype(jnp.float32)]
+            [
+                jnp.asarray(n_edges, jnp.float32).reshape(1),
+                pack_int_f32(idx),
+                before.astype(jnp.float32),
+            ]
         )
         return packed
 
     return jax.jit(fn)
+
+
+def _default_kmax(n: int) -> int:
+    return max(256, (n // HALF_N) * 3)
 
 
 @dataclass
@@ -132,15 +140,27 @@ class KeyfobReceiver(StreamingReceiver):
         pad = (-len(x)) % 16384
         if pad:
             x = np.concatenate([x, np.zeros(pad, np.complex64)])
-        return _envelope_fn(len(x))(cplx.from_numpy(x))
+        xc = cplx.from_numpy(x)
+        return xc, _envelope_fn(len(x), _default_kmax(len(x)))(xc)
 
     def _collect(self, dev) -> List[KeyfobFrame]:
-        packed = np.asarray(dev)
         from futuresdr_tpu.ops.packing import unpack_int_f32
 
-        kmax = packed.shape[0] // 2
-        idx = unpack_int_f32(packed[:kmax])
-        before = packed[kmax:]
+        xc, packed_d = dev
+        n = int(xc.shape[-1])
+        kmax = _default_kmax(n)
+        while True:
+            packed = np.asarray(packed_d)
+            n_edges = int(packed[0])
+            if n_edges <= kmax or kmax >= n:
+                break
+            # edge overflow (chattering envelope): adaptive re-run at
+            # the next pow2 budget — loss-free, like the LoRa/WLAN
+            # candidate retries
+            kmax = min(n, 1 << (n_edges - 1).bit_length())
+            packed_d = _envelope_fn(n, kmax)(xc)
+        idx = unpack_int_f32(packed[1 : 1 + kmax])
+        before = packed[1 + kmax :]
         sel = idx >= 0  # -1 = nonzero() fill sentinel
         out = _decode_edges(idx[sel], before[sel])
         self.frames.extend(out)

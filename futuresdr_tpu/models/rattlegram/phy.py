@@ -150,13 +150,15 @@ def _sync_score_fn(n: int):
 
         cor = conv1d_valid(x, taps)
         energy = moving_sum(x * x, SYMBOL_LEN)
-        score = cor / (jnp.sqrt(energy * t2) + 1e-9)
-        # silent regions: the Toeplitz conv leaves ~1e-4 junk where the
-        # energy is ~0 — floor the energy so near-0/near-0 cannot
-        # manufacture peaks (the M17 front's lesson)
-        score = jnp.where(
-            energy > 1e-4 * jnp.max(energy), score, 0.0
-        )
+        # ABSOLUTE denominator clamp: the Toeplitz conv leaves ~1e-4
+        # rounding junk where np.correlate gave exact zeros, and
+        # junk/(~0 + 1e-9) manufactures peaks. A clamp at 1e-12 keeps
+        # junk scores ≈ 0.03 while a genuine quiet frame's normalized
+        # score stays exactly 1.0 — a RELATIVE floor (1e-4·max energy)
+        # was reviewed+reproduced silently capping inter-frame dynamic
+        # range at 40 dB (two transmitters >40 dB apart lost the quiet
+        # one; the old host path decoded both).
+        score = cor / jnp.sqrt(jnp.maximum(energy, 1e-12) * t2)
         # top-k candidate extraction ON DEVICE: fetching the full score
         # array cost ~8 B/sample of D2H (~80 ms per 0.5 M-sample capture
         # through the tunnel) — the receiver's floor once the SCL decode

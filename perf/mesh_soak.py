@@ -22,6 +22,10 @@ from futuresdr_tpu.runtime.executor import Executor, _enable_compile_cache
 from futuresdr_tpu.runtime.flowgraph import Flowgraph
 import resource
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--minutes", type=float, default=3.0)
+args = ap.parse_args()
+
 _enable_compile_cache()
 M, D, r = 1024, 8, 2048
 chunk = r * M
@@ -50,9 +54,6 @@ def run(n):
 
 run(8)
 rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-ap = argparse.ArgumentParser()
-ap.add_argument("--minutes", type=float, default=3.0)
-args = ap.parse_args()
 t_end = time.monotonic() + 60.0 * args.minutes
 steps = 0
 t0 = time.monotonic()

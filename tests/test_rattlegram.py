@@ -166,3 +166,26 @@ def test_native_scl_matches_numpy_reference():
         finally:
             nv.polar_scl_decode = real
         assert np.array_equal(x_nat[0], x_ref), t
+
+
+def test_two_frames_46db_apart_both_decode():
+    """Inter-frame dynamic range: a full-scale frame and one 46 dB
+    quieter in the same capture must BOTH decode — the normalized sync
+    score is amplitude-invariant, so no relative energy floor may gate
+    it (reviewed+reproduced: a 1e-4·max floor silently dropped the
+    quiet transmitter)."""
+    p1, p2 = b"loud frame", b"quiet frame"
+    a1 = encode_frame(p1)
+    a2 = (encode_frame(p2) * 0.005).astype(np.float32)
+    sig = np.concatenate(
+        [
+            np.zeros(4321, np.float32),
+            a1,
+            np.zeros(3000, np.float32),
+            a2,
+            np.zeros(2000, np.float32),
+        ]
+    )
+    frames = RattlegramReceiver().process(sig)
+    got = sorted((f.payload, f.crc_ok) for f in frames)
+    assert got == [(p1, True), (p2, True)]
