@@ -345,3 +345,30 @@ def test_lora_os1_waveform_unchanged():
     a = modulate_frame(cfg, b"abc", oversample=1)
     b_ = modulate_frame(cfg, b"abc")
     assert np.array_equal(a, b_)
+
+
+def test_lora_oversampled_stream_equals_process():
+    """os_factor path under process_stream: per-chunk outputs equal the
+    per-chunk process() calls (the StreamingReceiver contract extends
+    to the oversampled receiver)."""
+    cfg = LoraConfig(sf=7)
+    os = 4
+    chunks = []
+    for i in range(3):
+        iq = modulate_frame(cfg, f"os stream {i}".encode(), oversample=os)
+        pad = np.zeros(os * 301, np.complex64)
+        x = np.concatenate([pad, iq, pad])
+        k = np.arange(len(x))
+        chunks.append(
+            (x * np.exp(2j * np.pi * (2.0 + i) * k / (cfg.n * os))).astype(
+                np.complex64
+            )
+        )
+    rx1 = LoraReceiver(cfg, os_factor=os)
+    per_chunk = [rx1.process(c.copy()) for c in chunks]
+    rx2 = LoraReceiver(cfg, os_factor=os)
+    streamed = list(rx2.process_stream(c.copy() for c in chunks))
+    assert len(per_chunk) == len(streamed) == 3
+    for a, b in zip(per_chunk, streamed):
+        assert [f.payload for f in a] == [f.payload for f in b]
+        assert all(f.crc_ok for f in b) and len(b) == 1

@@ -741,3 +741,31 @@ def test_reference_sync_word_fixture():
     assert ncorr(ours, sync) > 0.995
     assert ncorr(ours, np.roll(sync, 1)) < 0.5
     assert ncorr(ours, np.roll(sync, -1)) < 0.5
+
+
+@needs_ref_captures
+def test_reference_capture_through_sharded_receiver():
+    """The reference's shipped capture decodes through the SHARDED
+    receiver (time-sharded sync front + frame-parallel decode on the
+    8-device mesh) identically to the serial receiver: interop ground
+    truth and the sharding tier, composed."""
+    import jax
+    from jax.sharding import Mesh
+
+    from futuresdr_tpu.models.wlan.sharded import sharded_rx
+
+    cap = np.fromfile(
+        _REF_WLAN_DATA / "bpsk-1-2-15db.cf32", np.complex64
+    )
+    serial = [
+        f for f in WlanReceiver(max_frames_per_chunk=64).process(cap.copy())
+        if f.crc_ok
+    ]
+    mesh = Mesh(np.array(jax.devices()[:8]), ("t",))
+    shard = [f for f in sharded_rx(cap.copy(), mesh) if f.crc_ok]
+    assert len(serial) == len(shard) == 17
+    for a, b in zip(
+        sorted(serial, key=lambda f: f.start),
+        sorted(shard, key=lambda f: f.start),
+    ):
+        assert a.psdu == b.psdu and a.start == b.start
