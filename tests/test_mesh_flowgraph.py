@@ -525,3 +525,24 @@ def test_mesh_two_sources_combine():
     Runtime(chunk_size=4096, mesh=mesh8()).run(fg2)
     assert s1.data().shape == s2.data().shape
     np.testing.assert_allclose(s1.data(), s2.data(), atol=2e-6, rtol=0)
+
+
+def test_mesh_deep_inflight_pipeline():
+    """max_inflight=4 under the mesh (deep dispatch pipeline, donated
+    sharded states) == single-device."""
+    x = _iq(1 << 15, seed=41)
+    taps = np.hamming(25).astype(np.float32)
+
+    def run(mesh=None):
+        fg = Flowgraph()
+        s = VectorSource(x.copy())
+        f = Fir(taps)
+        k = VectorSink(np.complex64)
+        fg.stream(s, f)
+        fg.stream(f, k)
+        Runtime(chunk_size=2048, max_inflight=4, mesh=mesh).run(fg)
+        return k.data()
+
+    a, b = run(), run(mesh8())
+    assert a.shape == b.shape
+    assert np.array_equal(a, b)
