@@ -55,7 +55,8 @@ def synth_wideband(
 
 
 def run_flowgraph_variant(args, cfg, fs_wideband, fs_audio,
-                          r_per_step, n_steps, n_pre, stations):
+                          r_per_step, n_steps, n_pre, stations,
+                          mesh=None):
     """The same bank COMPOSED FROM BLOCKS, run through the Executor.
 
     The compiler's fusion pass (runtime/fusion.py) rewrites the
@@ -115,8 +116,11 @@ def run_flowgraph_variant(args, cfg, fs_wideband, fs_audio,
             fg.stream(f, snk)
         else:
             fg.stream(f, NullSink(np_.float32, name=f"ns{k}"))
-    ex = Executor(fg, chunk_size=step_samples)
+    ex = Executor(fg, chunk_size=step_samples, mesh=mesh)
     print("fusion:", ex.cfg.fusion_log or "(did not fire)")
+    if mesh is not None:
+        print(f"mesh: {len(mesh.devices.ravel())} device(s) — the same"
+              " composed graph under shard_map (runtime/mesh.py)")
     t0 = time.time()
     ex.running = True
     try:
@@ -153,7 +157,10 @@ def main() -> None:
     ap.add_argument("--out-prefix", default="bank_ch")
     ap.add_argument(
         "--variant",
-        choices=["auto", "einsum", "fused", "sharded", "flowgraph"],
+        choices=[
+            "auto", "einsum", "fused", "sharded", "flowgraph",
+            "flowgraph-mesh",
+        ],
         default="auto",
         help="einsum pipeline, fused Pallas kernel (the bench headline), "
         "the fused kernel sharded over every attached device (the "
@@ -188,6 +195,15 @@ def main() -> None:
     if variant == "flowgraph":
         return run_flowgraph_variant(args, cfg, fs_wideband, fs_audio,
                                      r_per_step, n_steps, n_pre, stations)
+    if variant == "flowgraph-mesh":
+        # the composed graph through the PRODUCT sharding tier
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(_np.array(jax.devices()), ("time",))
+        return run_flowgraph_variant(args, cfg, fs_wideband, fs_audio,
+                                     r_per_step, n_steps, n_pre, stations,
+                                     mesh=mesh)
     if variant == "einsum":
         init_state, step = make_bank_step(cfg)
     elif variant == "fused":
