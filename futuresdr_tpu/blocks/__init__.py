@@ -63,6 +63,7 @@ from futuresdr_tpu.blocks.dsp import (
     Fft,
     Fir,
     Iir,
+    IirBuilder,
     QuadratureDemod,
     SignalSource,
     XlatingFir,
@@ -131,6 +132,7 @@ __all__ = [
     "Fft",
     "Fir",
     "Iir",
+    "IirBuilder",
     "QuadratureDemod",
     "SignalSource",
     "XlatingFir",

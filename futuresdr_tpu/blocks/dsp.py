@@ -338,6 +338,18 @@ class Iir(Block):
         return state, [y], {}
 
 
+class IirBuilder:
+    """Typed-constructor shim (parity: src/blocks/iir.rs:33-63 —
+    ``IirBuilder::{iir,same_type}`` are Rust type-dispatch helpers; in
+    Python ``Iir(b, a)`` already covers both, so these are aliases)."""
+
+    @staticmethod
+    def same_type(b, a, dtype=np.float32) -> "Iir":
+        return Iir(b, a, dtype=dtype)
+
+    iir = same_type
+
+
 class Fft(Block):
     """Batched FFT over frames of ``size`` samples
     (parity: src/blocks/fft.rs:28-56 — rustfft plan, batches of 32,

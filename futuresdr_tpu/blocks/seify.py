@@ -276,6 +276,53 @@ class AaroniaHttpClient:
         pass  # stateless polling client
 
 
+class Config:
+    """Bundle of radio settings applied atomically (parity:
+    seify/config.rs:11-110 — the ``cmd`` port takes one of these; the
+    ``config`` port returns one as a ``Pmt`` map)."""
+
+    def __init__(
+        self,
+        frequency: Optional[float] = None,
+        sample_rate: Optional[float] = None,
+        gain: Optional[float] = None,
+        antenna: Optional[str] = None,
+        chan: Optional[int] = None,
+    ):
+        self.frequency = frequency
+        self.sample_rate = sample_rate
+        self.gain = gain
+        self.antenna = antenna
+        self.chan = chan
+
+    def to_pmt(self) -> Pmt:
+        d = {
+            k: v
+            for k, v in (
+                ("freq", self.frequency),
+                ("sample_rate", self.sample_rate),
+                ("gain", self.gain),
+                ("antenna", self.antenna),
+                ("chan", self.chan),
+            )
+            if v is not None
+        }
+        return Pmt.from_py(d)
+
+    @classmethod
+    def from_pmt(cls, pmt: Pmt) -> "Config":
+        d = pmt.to_py()
+        if not isinstance(d, dict):
+            raise ValueError("Config pmt must be a map")
+        return cls(
+            frequency=d.get("freq", d.get("frequency")),
+            sample_rate=d.get("sample_rate"),
+            gain=d.get("gain"),
+            antenna=d.get("antenna"),
+            chan=d.get("chan"),
+        )
+
+
 def _parse_args(args: Optional[str]) -> Dict[str, str]:
     out: Dict[str, str] = {}
     for part in (args or "").split(","):
@@ -321,6 +368,7 @@ class SeifySource(Block):
         self.stream_outputs = [PortSpec("out", np.complex64)]
         self.rate_out = (1,)
         self._phase = 0.0
+        self._terminated = False
         self._rng = np.random.default_rng(0)
         self._file = None
         self._rtl: Optional[RtlTcpClient] = None
@@ -437,6 +485,29 @@ class SeifySource(Block):
                     self._rate(Pmt.from_py(v))
         return Pmt.ok()
 
+    @message_handler("terminate")
+    def _terminate(self, pmt: Pmt) -> Pmt:
+        """Pmt::Ok → finish the source, ending the flowgraph through the
+        normal EOS cascade (parity: seify/source.rs terminate port)."""
+        if pmt.to_py() in (None, True, "ok", "Ok"):
+            self._terminated = True
+        return Pmt.ok()
+
+    @message_handler("config")
+    def _config(self, pmt: Pmt) -> Pmt:
+        """Channel index → current settings as a Pmt map (parity:
+        seify/source.rs:186-205). One RX channel here, so only 0."""
+        v = pmt.to_py()
+        ch = 0 if v is None else int(v)
+        if ch != 0:
+            raise ValueError(f"no channel {ch} (single-channel source)")
+        return Config(
+            frequency=self.frequency,
+            sample_rate=self.sample_rate,
+            gain=self.gain,
+            chan=0,
+        ).to_pmt()
+
     @property
     def bound_port(self) -> Optional[int]:
         """The UDP driver's bound port (None for other drivers)."""
@@ -451,6 +522,8 @@ class SeifySource(Block):
         return Pmt.u64(0)
 
     def host_produce(self, n: int, port: int = 0):
+        if self._terminated:
+            return None  # terminate port fired: EOS
         if self._udp is not None:
             # overflow events come from the INNER UdpIqSource's single
             # take_overflow_delta (its _post_fn is forwarded to this
@@ -593,6 +666,18 @@ class SeifySink(Block):
         v = pmt.to_py()
         self.gain = None if v is None else float(v)
         return Pmt.ok()
+
+    @message_handler("config")
+    def _config(self, pmt: Pmt) -> Pmt:
+        v = pmt.to_py()
+        if (0 if v is None else int(v)) != 0:
+            raise ValueError("no such channel (single-channel sink)")
+        return Config(
+            frequency=self.frequency,
+            sample_rate=self.sample_rate,
+            gain=self.gain,
+            chan=0,
+        ).to_pmt()
 
     def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:
         self.n_sent += arr.shape[-1]

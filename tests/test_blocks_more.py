@@ -2,6 +2,7 @@
 fallback, executor stats, and the WLAN TX→RX flowgraph round trip."""
 
 import numpy as np
+import pytest
 
 from futuresdr_tpu import Flowgraph, Runtime, connect
 from futuresdr_tpu.blocks import (
@@ -89,6 +90,38 @@ def test_seify_dummy_source_and_retune():
     spec = np.abs(np.fft.fft(y[:8192]))
     peak = np.argmax(spec)
     assert abs(peak - 8192 * 0.1) < 3
+
+
+def test_seify_config_query_and_terminate():
+    """seify/source.rs config + terminate ports: a config query returns
+    the current settings as a Pmt map; Pmt::Ok on terminate ends the
+    stream through the normal EOS cascade (no Head needed)."""
+    from futuresdr_tpu.blocks.seify import Config
+
+    src = Builder("driver=dummy").frequency(1e9).sample_rate(2e6).gain(
+        10.0
+    ).build_source()
+    cfg = Config.from_pmt(src.call_handler("config", Pmt.from_py(0)))
+    assert cfg.frequency == 1e9
+    assert cfg.sample_rate == 2e6
+    assert cfg.gain == 10.0
+    with pytest.raises(ValueError):
+        src.call_handler("config", Pmt.from_py(3))
+
+    src.call_handler("terminate", Pmt.ok())
+    fg = Flowgraph()
+    snk = VectorSink(np.complex64)
+    connect(fg, src, snk)
+    Runtime(chunk_size=4096).run(fg)  # returns: source is terminated
+    assert len(snk.data()) == 0
+
+
+def test_iir_builder_shim():
+    from futuresdr_tpu.blocks import Iir, IirBuilder
+
+    blk = IirBuilder.same_type([1.0, 2.0, 3.0], [1.0, 0.5, 0.1])
+    assert isinstance(blk, Iir)
+    assert isinstance(IirBuilder.iir([0.5], [1.0]), Iir)
 
 
 def test_seify_sink_counts():
