@@ -337,7 +337,13 @@ class SeifySource(Block):
 
     Dummy driver: a complex tone at ``tone_offset`` Hz plus AWGN, produced
     host-side at the configured sample rate (unpaced; add
-    :class:`~futuresdr_tpu.blocks.Throttle` for wall-clock pacing)."""
+    :class:`~futuresdr_tpu.blocks.Throttle` for wall-clock pacing).
+
+    ``channels`` selects the RX channels (parity: source.rs:63-85 —
+    one stream output per configured channel). The dummy driver models a
+    coherent multi-channel receiver: every channel sees the same tone
+    with independent AWGN. Wire drivers (file/rtl_tcp/udp/aaronia_http)
+    carry one stream and reject multi-channel configs."""
 
     def __init__(
         self,
@@ -352,6 +358,7 @@ class SeifySource(Block):
         url: Optional[str] = None,
         tone_offset: float = 100e3,
         noise_power: float = 1e-4,
+        channels=None,
         name: Optional[str] = None,
     ):
         super().__init__(name)
@@ -365,11 +372,28 @@ class SeifySource(Block):
         self.noise_power = float(noise_power)
         self.is_blocking = True
         self.message_outputs = ["overflows"]
-        self.stream_outputs = [PortSpec("out", np.complex64)]
-        self.rate_out = (1,)
-        self._phase = 0.0
+        if channels is None:
+            channels = [0]
+        elif isinstance(channels, int):
+            channels = list(range(channels))
+        self.channels = [int(c) for c in channels]
+        if not self.channels:
+            raise ValueError("channels must be non-empty")
+        if len(self.channels) > 1 and driver != "dummy":
+            raise ValueError(
+                f"driver {driver!r} carries a single IQ stream — "
+                "multi-channel needs driver='dummy' (or one source per "
+                "channel)"
+            )
+        nch = len(self.channels)
+        self.stream_outputs = [
+            PortSpec("out" if nch == 1 else f"out{i}", np.complex64)
+            for i in range(nch)
+        ]
+        self.rate_out = (1,) * nch
+        self._phases = [0.0] * nch
         self._terminated = False
-        self._rng = np.random.default_rng(0)
+        self._rngs = [np.random.default_rng(c) for c in self.channels]
         self._file = None
         self._rtl: Optional[RtlTcpClient] = None
         self._udp = None
@@ -496,16 +520,19 @@ class SeifySource(Block):
     @message_handler("config")
     def _config(self, pmt: Pmt) -> Pmt:
         """Channel index → current settings as a Pmt map (parity:
-        seify/source.rs:186-205). One RX channel here, so only 0."""
+        seify/source.rs:186-205, indexing into the configured channel
+        list exactly like ``self.channels[id]`` there)."""
         v = pmt.to_py()
         ch = 0 if v is None else int(v)
-        if ch != 0:
-            raise ValueError(f"no channel {ch} (single-channel source)")
+        if not 0 <= ch < len(self.channels):
+            raise ValueError(
+                f"no channel {ch} ({len(self.channels)}-channel source)"
+            )
         return Config(
             frequency=self.frequency,
             sample_rate=self.sample_rate,
             gain=self.gain,
-            chan=0,
+            chan=self.channels[ch],
         ).to_pmt()
 
     @property
@@ -602,13 +629,15 @@ class SeifySource(Block):
             return chunk
         amp = 10.0 ** ((self.gain or 0.0) / 20.0)
         w = 2.0 * np.pi * self.tone_offset / self.sample_rate
-        ph = self._phase + w * np.arange(n)
-        self._phase = float((self._phase + w * n) % (2.0 * np.pi))
+        ph = self._phases[port] + w * np.arange(n)
+        self._phases[port] = float(
+            (self._phases[port] + w * n) % (2.0 * np.pi)
+        )
         iq = amp * np.exp(1j * ph)
         if self.noise_power > 0:
+            rng = self._rngs[port]
             iq = iq + np.sqrt(self.noise_power / 2.0) * (
-                self._rng.standard_normal(n)
-                + 1j * self._rng.standard_normal(n)
+                rng.standard_normal(n) + 1j * rng.standard_normal(n)
             )
         return iq.astype(np.complex64)
 
@@ -621,14 +650,22 @@ class SeifySource(Block):
     def host_state(self):
         if self._rtl is not None or self._udp is not None:
             return None  # live hardware: resume rejoins the live stream
-        st = {"phase": self._phase, "rng": self._rng.bit_generator.state}
+        st = {
+            "phases": list(self._phases),
+            "rngs": [r.bit_generator.state for r in self._rngs],
+        }
         if self._file is not None:
             st["pos"] = self._pos
         return st
 
     def set_host_state(self, state) -> None:
-        self._phase = float(state["phase"])
-        self._rng.bit_generator.state = state["rng"]
+        if "phase" in state:  # pre-multichannel checkpoint layout
+            self._phases[0] = float(state["phase"])
+            self._rngs[0].bit_generator.state = state["rng"]
+        else:
+            self._phases = [float(p) for p in state["phases"]]
+            for r, s in zip(self._rngs, state["rngs"]):
+                r.bit_generator.state = s
         if self._file is not None and "pos" in state:
             self._pos = int(state["pos"])
 
@@ -691,6 +728,15 @@ class Builder:
         self._freq = 100e6
         self._rate = 1e6
         self._gain: Optional[float] = None  # None = AGC
+        self._channels = [0]
+
+    def channel(self, c: int) -> "Builder":
+        self._channels = [int(c)]
+        return self
+
+    def channels(self, cs) -> "Builder":
+        self._channels = [int(c) for c in cs]
+        return self
 
     def frequency(self, f: float) -> "Builder":
         self._freq = float(f)
@@ -718,6 +764,7 @@ class Builder:
             port=int(self._cfg["port"]) if "port" in self._cfg else None,
             fmt=self._cfg.get("fmt"),
             url=self._cfg.get("url"),
+            channels=self._channels,
         )
 
     def build_sink(self) -> SeifySink:

@@ -116,6 +116,43 @@ def test_seify_config_query_and_terminate():
     assert len(snk.data()) == 0
 
 
+def test_seify_multichannel_dummy():
+    """seify/source.rs:63-85 — one stream output per configured channel.
+    Coherent dummy: both channels carry the same tone with independent
+    noise; per-channel config query reports the hardware channel id."""
+    from futuresdr_tpu.blocks.seify import Config
+
+    src = (
+        Builder("driver=dummy")
+        .sample_rate(1e6)
+        .channels([0, 2])
+        .build_source()
+    )
+    assert len(src.stream_outputs) == 2
+    c1 = Config.from_pmt(src.call_handler("config", Pmt.from_py(1)))
+    assert c1.chan == 2
+
+    fg = Flowgraph()
+    s0, s1 = VectorSink(np.complex64), VectorSink(np.complex64)
+    h0 = Head(16384, np.complex64)
+    h1 = Head(16384, np.complex64)
+    fg.add(src), fg.add(h0), fg.add(h1), fg.add(s0), fg.add(s1)
+    fg.stream(src, h0, 0, 0), fg.stream(h0, s0)
+    fg.stream(src, h1, 1, 0), fg.stream(h1, s1)
+    Runtime(chunk_size=8192).run(fg)
+    y0, y1 = np.asarray(s0.data()), np.asarray(s1.data())
+    assert len(y0) == len(y1) == 16384
+    # same coherent tone bin on both channels…
+    p0 = np.argmax(np.abs(np.fft.fft(y0[:8192])))
+    p1 = np.argmax(np.abs(np.fft.fft(y1[:8192])))
+    assert p0 == p1
+    # …but independent noise realizations
+    assert not np.array_equal(y0, y1)
+
+    with pytest.raises(ValueError):
+        Builder("driver=file,path=/dev/null").channels([0, 1]).build_source()
+
+
 def test_iir_builder_shim():
     from futuresdr_tpu.blocks import Iir, IirBuilder
 
