@@ -379,6 +379,32 @@ class Fft(Block):
         self.stream_outputs = [PortSpec("out", np.complex64)]
         self.rate_in = (self.size,)
         self.rate_out = (self.size,)
+        self._locked = False  # set at compile; size is an SDF rate
+
+    @message_handler("fft_size")
+    def _fft_size(self, pmt: Pmt) -> Pmt:
+        """Query or set the FFT size (parity: fft.rs ``fft_size`` port).
+        The size is part of this block's SDF rate signature, so it can
+        only change BEFORE the graph is compiled — a mid-run retune
+        would re-solve every chunk size (the reference re-plans lazily;
+        here that is a recompile, so it is an explicit error rather
+        than a silent multi-second stall)."""
+        v = pmt.to_py()
+        if v is None:
+            return Pmt.u32(self.size)
+        if self._locked:
+            raise RuntimeError(
+                "fft_size cannot change on a running flowgraph (SDF "
+                "rate): stop the graph, set the size, and run again"
+            )
+        self.size = int(v)
+        self.rate_in = (self.size,)
+        self.rate_out = (self.size,)
+        return Pmt.u32(self.size)
+
+    def make_state(self, in_sizes, out_sizes):
+        self._locked = True
+        return None
 
     def apply(self, state, inputs, params):
         y = fft_chunk(

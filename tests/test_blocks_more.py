@@ -401,3 +401,24 @@ def test_udp_iq_source_drops_misaligned_datagrams():
     d, b, drop = src.stats()
     assert d == 2 and drop == 1 and b == len(good)
     src.on_finish()
+
+
+def test_fft_size_message_port():
+    """fft.rs fft_size port: query + pre-compile retune; mid-run retune
+    is an explicit error (SDF rate change = recompile)."""
+    from futuresdr_tpu.blocks import Fft
+
+    blk = Fft(size=256)
+    assert blk.call_handler("fft_size", Pmt.from_py(None)).to_py() == 256
+    blk.call_handler("fft_size", Pmt.from_py(512))
+    assert blk.size == 512 and blk.rate_in == (512,)
+
+    iq = np.exp(2j * np.pi * 0.125 * np.arange(4096)).astype(np.complex64)
+    fg = Flowgraph()
+    snk = VectorSink(np.complex64)
+    connect(fg, VectorSource(iq), blk, snk)
+    Runtime(chunk_size=2048).run(fg)
+    y = np.asarray(snk.data()).reshape(-1, 512)
+    assert np.argmax(np.abs(y[0])) == 64  # 0.125 * 512
+    with pytest.raises(RuntimeError):
+        blk.call_handler("fft_size", Pmt.from_py(1024))
