@@ -272,3 +272,50 @@ def test_filesink_resume_before_first_write(tmp_path):
     assert np.array_equal(
         np.fromfile(out, np.float32), np.arange(8, dtype=np.float32)
     )
+
+
+def test_multichannel_seify_resume_bit_exact(tmp_path):
+    """The multi-channel dummy source's host state (per-channel NCO
+    phases + rng streams) snapshots and resumes bit-exactly on both
+    channels."""
+    from futuresdr_tpu.blocks import Head
+    from futuresdr_tpu.blocks.seify import Builder
+
+    ckpt = tmp_path / "mc.ckpt"
+
+    def graph():
+        src = (
+            Builder("driver=dummy")
+            .sample_rate(1e6)
+            .channels([0, 1])
+            .build_source()
+        )
+        fg = Flowgraph()
+        sinks = []
+        for p in range(2):
+            h = Head(8 * 4096, np.complex64)
+            s = VectorSink(np.complex64)
+            for b in (h, s):
+                fg.add(b)
+            fg.add(src)
+            fg.stream(src, h, p, 0)
+            fg.stream(h, s)
+            sinks.append(s)
+        return fg, sinks
+
+    fg_ref, sinks_ref = graph()
+    Runtime(chunk_size=4096).run(fg_ref)
+    refs = [s.data() for s in sinks_ref]
+
+    fg1, sinks1 = graph()
+    ex1 = Executor(fg1, chunk_size=4096, max_steps=3)
+    ex1.running = True
+    ex1.run_loop()
+    ex1.snapshot(ckpt)
+    parts = [s.data() for s in sinks1]
+    assert all(0 < len(p) < len(r) for p, r in zip(parts, refs))
+
+    fg2, sinks2 = graph()
+    Runtime(chunk_size=4096).run(fg2, restore=str(ckpt))
+    for s, ref in zip(sinks2, refs):
+        np.testing.assert_array_equal(s.data(), ref)
