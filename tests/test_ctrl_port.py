@@ -157,3 +157,42 @@ def test_ctrl_port_snapshot_route(tmp_path):
         h.wait(timeout=10)
     finally:
         cp.shutdown()
+
+
+def test_ctrl_port_seify_config_and_terminate():
+    """The new seify ports work over REST exactly like local handlers:
+    a remote `config` call returns the settings map, and a remote
+    `terminate` ends the flowgraph (remote.rs-style control)."""
+    from futuresdr_tpu.blocks.seify import Builder
+
+    cp = ControlPort(bind="127.0.0.1:0")
+    try:
+        src = (
+            Builder("driver=dummy")
+            .frequency(5e8)
+            .sample_rate(1e6)
+            .build_source()
+        )
+        src.instance_name = "sdr"
+        fg = Flowgraph()
+        snk = NullSink(np.complex64)
+        connect(fg, src, snk)
+        h = Runtime(chunk_size=8192).start(fg)
+        fg_id = cp.register(h)
+        time.sleep(0.2)
+
+        r = Remote(f"http://127.0.0.1:{cp.port}")
+        blk = r.flowgraphs()[0].block("sdr")
+        assert blk is not None
+        cfg = blk.call("config", 0)["MapStrPmt"]  # tagged Pmt serde
+        assert cfg["freq"] == {"F64": 5e8}
+        assert cfg["sample_rate"] == {"F64": 1e6}
+        blk.call("terminate", None)
+        h.wait(timeout=10)  # EOS cascade from the remote terminate
+        assert fg_id is not None
+    finally:
+        try:
+            h.stop()
+        except Exception:
+            pass
+        cp.shutdown()
