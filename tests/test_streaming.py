@@ -181,3 +181,29 @@ def test_existing_streamers_still_equal(family):
             chunks,
             key=lambda fs: [(f.payload, f.crc_ok) for f in fs],
         )
+
+
+@pytest.mark.parametrize("depth", [2, 3, 7])
+def test_stream_depth_equals_process(depth):
+    """Deeper pipeline queues (depth>1) keep per-chunk results exactly
+    equal and in order, including when depth exceeds the chunk count."""
+    from futuresdr_tpu.models.keyfob import KeyfobReceiver, synthesize
+
+    chunks = [
+        synthesize(
+            "0110" + "10101111" + "01100110" + "11010101",
+            pad=1500 + 37 * i,
+        )
+        for i in range(4)
+    ]
+    rx_a = KeyfobReceiver()
+    ref = [[f.bits for f in rx_a.process(c)] for c in chunks]
+    rx_b = KeyfobReceiver()
+    got = [
+        [f.bits for f in out]
+        for out in rx_b.process_stream(iter(chunks), depth=depth)
+    ]
+    assert got == ref
+    assert any(ref)
+    with pytest.raises(ValueError):
+        list(rx_b.process_stream(iter(chunks), depth=0))
