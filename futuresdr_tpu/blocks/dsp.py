@@ -65,12 +65,31 @@ class Fir(Block):
         interp: int = 1,
         decim: int = 1,
         dtype=np.complex64,
+        retunable: bool = False,
         name: Optional[str] = None,
     ):
         super().__init__(name)
         self.taps = cplx.from_numpy(np.asarray(taps))
         self.interp = int(interp)
         self.decim = int(decim)
+        # retunable: taps ride the device-params path (like XlatingFir's
+        # NCO increment), so a ``taps`` message swaps the response
+        # WITHOUT recompiling — adaptive channel selection / AGC-driven
+        # shaping. Off by default: baked-constant taps let XLA fold and
+        # specialize the kernel. Length and realness are part of the
+        # compiled signature (latency calculus + state size + param
+        # keys), so a retune must preserve both.
+        self.retunable = bool(retunable)
+        self._taps_complex = np.iscomplexobj(np.asarray(taps))
+        if self.retunable:
+            t = np.asarray(taps)
+            self._params["taps_re"] = np.ascontiguousarray(
+                t.real, np.float32
+            )
+            if self._taps_complex:
+                self._params["taps_im"] = np.ascontiguousarray(
+                    t.imag, np.float32
+                )
         self.stream_inputs = [PortSpec("in", dtype)]
         self.stream_outputs = [PortSpec("out", dtype)]
         self.rate_in = (self.decim,)
@@ -159,17 +178,78 @@ class Fir(Block):
     def make_state(self, in_sizes, out_sizes):
         return _zeros_state(self._complex, self._state_hist())
 
+    @message_handler("taps")
+    def _taps_handler(self, pmt: Pmt) -> Pmt:
+        """Live tap retune (retunable=True only). Accepts a list of
+        numbers, or ``{"re": [...], "im": [...]}`` for complex taps.
+        ``Pmt::Null`` queries the current taps."""
+        v = pmt.to_py()
+        if v is None:
+            t = self._taps_now()
+            if isinstance(t, cplx.CArray):
+                return Pmt.from_py(
+                    {
+                        "re": np.asarray(t.re).tolist(),
+                        "im": np.asarray(t.im).tolist(),
+                    }
+                )
+            return Pmt.from_py(np.asarray(t).tolist())
+        if not self.retunable:
+            raise RuntimeError(
+                "this Fir has baked taps — construct with retunable=True "
+                "for live tap retunes"
+            )
+        if isinstance(v, dict):
+            t = np.asarray(v["re"], np.float32) + 1j * np.asarray(
+                v["im"], np.float32
+            )
+        else:
+            t = np.asarray(v, np.float32)
+        if t.shape != (self.taps.shape[0],):
+            raise ValueError(
+                f"retuned taps must keep length {self.taps.shape[0]} "
+                f"(latency/state are compiled for it), got {t.shape}"
+            )
+        if bool(np.iscomplexobj(t)) != self._taps_complex:
+            raise ValueError(
+                "retuned taps must keep the original realness (param "
+                "keys are part of the compiled signature)"
+            )
+        self.set_param("taps_re", np.ascontiguousarray(t.real, np.float32))
+        if self._taps_complex:
+            self.set_param(
+                "taps_im", np.ascontiguousarray(t.imag, np.float32)
+            )
+        return Pmt.ok()
+
+    def _taps_now(self):
+        if not self.retunable:
+            return self.taps
+        re = self._params["taps_re"]
+        if self._taps_complex:
+            return cplx.CArray(jnp.asarray(re), jnp.asarray(self._params["taps_im"]))
+        return jnp.asarray(re)
+
+    def _taps_in(self, params):
+        if not self.retunable:
+            return self.taps
+        re = params["taps_re"]
+        if self._taps_complex:
+            return cplx.CArray(re, params["taps_im"])
+        return re
+
     def apply(self, state, inputs, params):
         x = inputs[0]
+        taps = self._taps_in(params)
         if self.interp == 1 and self.decim == 1:
-            state, y = fir_filter(x, self.taps, state)
+            state, y = fir_filter(x, taps, state)
         elif self.interp == 1:
             state, y = fir_decimate(
-                x, self.taps, self.decim, state, phase=self._phase
+                x, taps, self.decim, state, phase=self._phase
             )
         else:
             state, y = fir_resample_poly(
-                x, self.taps, self.interp, self.decim, state
+                x, taps, self.interp, self.decim, state
             )
         return state, [y], {}
 

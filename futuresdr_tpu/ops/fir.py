@@ -107,8 +107,27 @@ def _frames(x: jax.Array, S: int, T: int, nb: int) -> jax.Array:
 path_stats = {"matmul": 0, "conv": 0}
 
 
+def _toeplitz_w_traced(h, stride: int, bo: int):
+    """In-trace [S+T-1, bo] tap matrix from a *traced* 1-D correlation
+    kernel ``h`` (reversed taps) — same layout as :func:`_toeplitz_w`.
+    A [rows, bo] gather over T values: negligible next to the matmul it
+    feeds, and it keeps runtime-param taps (``Fir(retunable=True)``) on
+    the banded-Toeplitz MXU path instead of the ~276 ms XLA conv
+    lowering."""
+    T = h.shape[0]
+    S = bo * stride
+    k = (
+        jnp.arange(S + T - 1)[:, None]
+        - jnp.arange(bo)[None, :] * stride
+    )
+    valid = (k >= 0) & (k < T)
+    return jnp.where(valid, h[jnp.clip(k, 0, T - 1)], jnp.zeros((), h.dtype))
+
+
 def _conv_matmul(x: ArrayLike, taps: ArrayLike, stride: int) -> ArrayLike:
-    """Matmul implementation of :func:`conv1d_valid` (same contract)."""
+    """Matmul implementation of :func:`conv1d_valid` (same contract).
+    Accepts concrete taps (host-built Toeplitz, the fast-compile path)
+    or traced taps (in-trace Toeplitz gather, same MXU matmul)."""
     path_stats["matmul"] += 1
     T = taps.shape[0]
     Ne = x.shape[-1]
@@ -117,16 +136,24 @@ def _conv_matmul(x: ArrayLike, taps: ArrayLike, stride: int) -> ArrayLike:
     S = bo * stride
     nb = -(-M // bo)
 
-    # host-side reversal + Toeplitz build (taps are concrete constants)
-    if isinstance(taps, CArray):
-        hr = np.asarray(taps.re)[::-1]
-        hi = np.asarray(taps.im)[::-1]
+    if _concrete_taps(taps) is not None:
+        # host-side reversal + Toeplitz build (taps are constants)
+        if isinstance(taps, CArray):
+            hr = np.asarray(taps.re)[::-1]
+            hi = np.asarray(taps.im)[::-1]
+            W = CArray(
+                jnp.asarray(_toeplitz_w(hr, stride, bo)),
+                jnp.asarray(_toeplitz_w(hi, stride, bo)),
+            )
+        else:
+            W = jnp.asarray(_toeplitz_w(np.asarray(taps)[::-1], stride, bo))
+    elif isinstance(taps, CArray):
         W = CArray(
-            jnp.asarray(_toeplitz_w(hr, stride, bo)),
-            jnp.asarray(_toeplitz_w(hi, stride, bo)),
+            _toeplitz_w_traced(taps.re[::-1], stride, bo),
+            _toeplitz_w_traced(taps.im[::-1], stride, bo),
         )
     else:
-        W = jnp.asarray(_toeplitz_w(np.asarray(taps)[::-1], stride, bo))
+        W = _toeplitz_w_traced(taps[::-1], stride, bo)
 
     fr = cplx.apply1(lambda t: _frames(t, S, T, nb), x)  # [..., nb, S+T-1]
     dt = str(config.get("fir_dtype", "float32")).lower()
@@ -158,14 +185,23 @@ def _conv_matmul(x: ArrayLike, taps: ArrayLike, stride: int) -> ArrayLike:
 
 
 def _rev_taps_const(taps_b) -> ArrayLike:
-    """[P, T] branch taps → time-reversed device constant (host reversal:
-    taps are concrete block constants)."""
+    """[P, T] branch taps → time-reversed weights. Concrete taps reverse
+    host-side (device constant); traced taps (runtime params) reverse
+    in-trace — same downstream einsum either way."""
     if isinstance(taps_b, CArray):
-        return CArray(
-            jnp.asarray(np.ascontiguousarray(np.asarray(taps_b.re)[:, ::-1])),
-            jnp.asarray(np.ascontiguousarray(np.asarray(taps_b.im)[:, ::-1])),
-        )
-    return jnp.asarray(np.ascontiguousarray(np.asarray(taps_b)[:, ::-1]))
+        if _is_concrete(taps_b.re) and _is_concrete(taps_b.im):
+            return CArray(
+                jnp.asarray(
+                    np.ascontiguousarray(np.asarray(taps_b.re)[:, ::-1])
+                ),
+                jnp.asarray(
+                    np.ascontiguousarray(np.asarray(taps_b.im)[:, ::-1])
+                ),
+            )
+        return CArray(taps_b.re[:, ::-1], taps_b.im[:, ::-1])
+    if _is_concrete(taps_b) or isinstance(taps_b, (list, tuple, np.ndarray)):
+        return jnp.asarray(np.ascontiguousarray(np.asarray(taps_b)[:, ::-1]))
+    return taps_b[:, ::-1]
 
 
 def _shift_stack(x: ArrayLike, T: int, M: int) -> ArrayLike:
@@ -328,8 +364,11 @@ def conv1d_valid(x: ArrayLike, taps: ArrayLike, stride: int = 1) -> ArrayLike:
     # Pallas earns its keep where fusion crosses stage boundaries instead
     # (ops/pallas_bank.py: branch FIR + DFT + demod in one VMEM pass).
     backend = config.get("fir_backend", "matmul")
-    if backend != "conv" and taps_c is not None:
-        return _conv_matmul(x, taps_c, stride)
+    if backend != "conv":
+        # concrete taps: host-built Toeplitz; traced taps (runtime
+        # params, e.g. Fir(retunable=True)): in-trace Toeplitz gather —
+        # either way the conv itself is the banded-Toeplitz MXU matmul
+        return _conv_matmul(x, taps_c if taps_c is not None else taps, stride)
     path_stats["conv"] += 1
 
     lead = x.shape[:-1]
@@ -562,11 +601,18 @@ def _polyphase_branches(taps: ArrayLike, interp: int) -> ArrayLike:
     L = -(-T // interp)
 
     def split(t):
-        t = np.asarray(t)
-        padded = np.concatenate([t, np.zeros(L * interp - T, dtype=t.dtype)])
-        # stays numpy: inside a trace jnp.asarray would wrap the constant
-        # in a Tracer, and the Toeplitz builder needs host values
-        return np.ascontiguousarray(padded.reshape(L, interp).T)
+        if _is_concrete(t) or isinstance(t, (np.ndarray, list, tuple)):
+            # stays numpy: inside a trace jnp.asarray would wrap the
+            # constant in a Tracer, and the Toeplitz builder needs host
+            # values
+            t = np.asarray(t)
+            padded = np.concatenate(
+                [t, np.zeros(L * interp - T, dtype=t.dtype)]
+            )
+            return np.ascontiguousarray(padded.reshape(L, interp).T)
+        # traced taps (runtime params): same split in-trace
+        padded = jnp.concatenate([t, jnp.zeros(L * interp - T, t.dtype)])
+        return padded.reshape(L, interp).T
 
     return cplx.apply1(split, taps)
 

@@ -3,6 +3,9 @@ synthesize reconstruction, Agc convergence, Iir block, XlatingFir retune,
 FreqShift."""
 
 import numpy as np
+import pytest
+
+from futuresdr_tpu.dsp import firdes, windows
 
 from futuresdr_tpu import Flowgraph, Runtime, connect
 from futuresdr_tpu.blocks import (
@@ -136,3 +139,132 @@ def test_freq_shift_moves_tone():
     ph = np.unwrap(np.angle(y[100:]))
     drift = abs(ph[-1] - ph[0]) / len(ph)
     assert drift < 1e-3
+
+
+@pytest.mark.parametrize(
+    "mode", ["plain", "decim", "resample", "complex_taps"]
+)
+def test_fir_retunable_matches_baked_modes(mode):
+    """Every Fir mode produces identical output with params-path taps."""
+    rng = np.random.default_rng(7)
+    x = (
+        rng.standard_normal(20_000) + 1j * rng.standard_normal(20_000)
+    ).astype(np.complex64)
+    if mode == "complex_taps":
+        taps = (
+            rng.standard_normal(19) + 1j * rng.standard_normal(19)
+        ).astype(np.complex64)
+    else:
+        taps = firdes.lowpass(0.15, windows.hamming(29))
+
+    def make(retunable):
+        if mode == "decim":
+            return Fir.decimating(taps, 4, name=None), None
+        if mode == "resample":
+            return Fir(taps, interp=3, decim=2), None
+        return Fir(taps, retunable=retunable), None
+
+    def run(retunable):
+        if mode == "decim":
+            blk = Fir(taps, decim=4, retunable=retunable)
+        elif mode == "resample":
+            blk = Fir(taps, interp=3, decim=2, retunable=retunable)
+        else:
+            blk = Fir(taps, retunable=retunable)
+        fg = Flowgraph()
+        snk = VectorSink(np.complex64)
+        connect(fg, VectorSource(x.copy()), blk, snk)
+        Runtime(chunk_size=4096).run(fg)
+        return snk.data()
+
+    a, b = run(False), run(True)
+    assert len(a) == len(b) > 0
+    np.testing.assert_allclose(a, b, atol=3e-5, rtol=0)
+
+
+def test_fir_retunable_matches_baked():
+    """Fir(retunable=True) routes taps through device params; output is
+    identical to baked taps, and the traced-Toeplitz path (not the slow
+    conv lowering) carries it."""
+    from futuresdr_tpu.ops.fir import path_stats
+
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(30_000) + 1j * rng.standard_normal(30_000)).astype(
+        np.complex64
+    )
+    taps = firdes.lowpass(0.2, windows.hamming(31))
+
+    def run(retunable):
+        fg = Flowgraph()
+        snk = VectorSink(np.complex64)
+        connect(
+            fg,
+            VectorSource(x.copy()),
+            Fir(taps, retunable=retunable),
+            snk,
+        )
+        Runtime(chunk_size=4096).run(fg)
+        return snk.data()
+
+    conv_before = path_stats["conv"]
+    a = run(False)
+    b = run(True)
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=0)
+    assert path_stats["conv"] == conv_before, "traced taps fell to conv"
+
+
+def test_fir_retunable_live_retune(tmp_path):
+    """A taps retune across a snapshot/resume boundary swaps the
+    response with exact history continuity (the FIR state carries the
+    old-taps input tail; the new taps apply from the next sample).
+    Non-retunable blocks and wrong-length retunes reject."""
+    from futuresdr_tpu.runtime.executor import Executor
+    from futuresdr_tpu.types.pmt import Pmt
+
+    rng = np.random.default_rng(6)
+    n, chunk = 16_384, 4096
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    t_a = firdes.lowpass(0.3, windows.hamming(25))
+    t_b = firdes.highpass(0.3, windows.hamming(25))
+    ckpt = tmp_path / "retune.ckpt"
+
+    def graph(taps):
+        blk = Fir(taps, retunable=True)
+        fg = Flowgraph()
+        snk = VectorSink(np.complex64)
+        connect(fg, VectorSource(x.copy()), blk, snk)
+        return fg, blk, snk
+
+    fg1, blk1, snk1 = graph(t_a)
+    ex = Executor(fg1, chunk_size=chunk, max_steps=2)
+    ex.running = True
+    ex.run_loop()  # two chunks under taps A
+    ex.snapshot(ckpt)
+    part1 = snk1.data()
+
+    fg2, blk2, snk2 = graph(t_a)
+    blk2.call_handler("taps", Pmt.from_py([float(v) for v in t_b]))
+    Runtime(chunk_size=chunk).run(fg2, restore=str(ckpt))
+    got = np.concatenate([part1, snk2.data()[len(part1) :]])
+
+    # reference: valid-mode convs with explicit history across the switch
+    T = len(t_a)
+    ref_a = np.convolve(x[: 2 * chunk], t_a, mode="valid")
+    hist = x[2 * chunk - (T - 1) : 2 * chunk]
+    ref_b = np.convolve(np.concatenate([hist, x[2 * chunk :]]), t_b, "valid")
+    ref = np.concatenate([ref_a, ref_b])
+    m = min(len(got), len(ref))
+    assert m > 3 * chunk
+    np.testing.assert_allclose(got[:m], ref[:m], atol=2e-5, rtol=0)
+
+    # query returns current taps
+    q = blk2.call_handler("taps", Pmt.from_py(None)).to_py()
+    np.testing.assert_allclose(q, t_b, atol=1e-7)
+
+    with pytest.raises(ValueError):
+        blk2.call_handler("taps", Pmt.from_py([1.0, 2.0]))
+    baked = Fir(t_a)
+    with pytest.raises(RuntimeError):
+        baked.call_handler("taps", Pmt.from_py([float(v) for v in t_a]))

@@ -560,10 +560,15 @@ def test_conv1d_valid_concrete_taps_take_matmul_path_under_jit():
     np.asarray(f_carray(x))
     assert fir_ops.path_stats["matmul"] == before["matmul"] + 1
 
-    # in-trace taps are genuinely traced: conv fallback is correct there
+    # genuinely traced taps (runtime params) stay on the matmul path
+    # too, via the in-trace Toeplitz gather (Fir retunable=True support)
     before = dict(fir_ops.path_stats)
-    np.asarray(f_traced(x))
-    assert fir_ops.path_stats["conv"] == before["conv"] + 1
+    yt = np.asarray(f_traced(x))
+    assert fir_ops.path_stats["matmul"] == before["matmul"] + 1
+    assert fir_ops.path_stats["conv"] == before["conv"]
+    np.testing.assert_allclose(
+        yt, np.convolve(x, np.full(3, 1 / 3), mode="valid"), rtol=1e-5
+    )
 
 
 def test_iir_taps_stay_on_matmul_path_under_jit():
