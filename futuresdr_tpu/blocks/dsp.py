@@ -267,11 +267,25 @@ class XlatingFir(Block):
         decim: int,
         center_freq: float,
         sample_rate: float,
+        retunable: bool = False,
         name: Optional[str] = None,
     ):
         super().__init__(name)
         self.taps = cplx.from_numpy(np.asarray(taps))
         self.decim = int(decim)
+        # retunable taps: live channel-bandwidth change (same machinery
+        # and constraints as Fir(retunable=True))
+        self.retunable = bool(retunable)
+        self._taps_complex = np.iscomplexobj(np.asarray(taps))
+        if self.retunable:
+            t = np.asarray(taps)
+            self._params["taps_re"] = np.ascontiguousarray(
+                t.real, np.float32
+            )
+            if self._taps_complex:
+                self._params["taps_im"] = np.ascontiguousarray(
+                    t.imag, np.float32
+                )
         self.sample_rate = float(sample_rate)
         self.stream_inputs = [PortSpec("in", np.complex64)]
         self.stream_outputs = [PortSpec("out", np.complex64)]
@@ -304,10 +318,18 @@ class XlatingFir(Block):
         acc, hist = state
         return (acc + params["dphi"] * jnp.uint32(n_items), hist)
 
+    # the Fir handler/validation applies verbatim (length + realness are
+    # compiled signature; params keys identical)
+    _taps_handler = Fir._taps_handler
+    _taps_now = Fir._taps_now
+    _taps_in = Fir._taps_in
+
     def apply(self, state, inputs, params):
         acc, hist = state
         acc, shifted = rotator_apply(inputs[0], acc, params["dphi"])
-        hist, y = fir_decimate(shifted, self.taps, self.decim, hist)
+        hist, y = fir_decimate(
+            shifted, self._taps_in(params), self.decim, hist
+        )
         return (acc, hist), [y], {}
 
 

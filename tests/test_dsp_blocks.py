@@ -268,3 +268,31 @@ def test_fir_retunable_live_retune(tmp_path):
     baked = Fir(t_a)
     with pytest.raises(RuntimeError):
         baked.call_handler("taps", Pmt.from_py([float(v) for v in t_a]))
+
+
+def test_xlating_fir_retunable_matches_baked():
+    """XlatingFir(retunable=True): identical output through params-path
+    taps, and the taps handler is registered alongside freq."""
+    rng = np.random.default_rng(8)
+    x = (
+        rng.standard_normal(24_000) + 1j * rng.standard_normal(24_000)
+    ).astype(np.complex64)
+    taps = firdes.lowpass(0.1, windows.hamming(33))
+
+    def run(retunable):
+        from futuresdr_tpu.blocks import XlatingFir
+
+        blk = XlatingFir(taps, 4, 150e3, 1e6, retunable=retunable)
+        fg = Flowgraph()
+        snk = VectorSink(np.complex64)
+        connect(fg, VectorSource(x.copy()), blk, snk)
+        Runtime(chunk_size=4096).run(fg)
+        return blk, snk.data()
+
+    blk_a, a = run(False)
+    blk_b, b = run(True)
+    assert sorted(blk_b.handlers().keys()) == ["freq", "taps"]
+    assert len(a) == len(b) > 0
+    np.testing.assert_allclose(a, b, atol=3e-5, rtol=0)
+    with pytest.raises(ValueError):
+        blk_b.call_handler("taps", Pmt.from_py([1.0, 2.0]))
