@@ -546,3 +546,33 @@ def test_mesh_deep_inflight_pipeline():
     a, b = run(), run(mesh8())
     assert a.shape == b.shape
     assert np.array_equal(a, b)
+
+
+def test_mesh_retunable_fir_taps():
+    """Retunable-Fir taps are broadcast params under the mesh: output
+    equals single-device bit-for-bit, including a taps retune between
+    runs (the traced-Toeplitz path shards like any other op)."""
+    from futuresdr_tpu.types.pmt import Pmt
+
+    x = _iq(1 << 14, seed=17)
+    t_a = firdes.lowpass(0.2, windows.hamming(25))
+    t_b = firdes.highpass(0.25, windows.hamming(25))
+
+    def run(mesh=None):
+        fg = Flowgraph()
+        blk = Fir(t_a, retunable=True)
+        snk = VectorSink(np.complex64)
+        fg.stream(VectorSource(x.copy()), blk)
+        fg.stream(blk, snk)
+        ex = Executor(fg, chunk_size=4096, mesh=mesh, max_steps=2)
+        ex.running = True
+        ex.run_loop()
+        blk.call_handler("taps", Pmt.from_py([float(v) for v in t_b]))
+        ex.max_steps = 4
+        ex.run_loop()
+        ex.running = False
+        return snk.data()
+
+    a, b = run(), run(mesh8())
+    assert a.shape == b.shape
+    assert np.array_equal(a, b)
