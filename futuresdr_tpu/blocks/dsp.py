@@ -79,17 +79,7 @@ class Fir(Block):
         # specialize the kernel. Length and realness are part of the
         # compiled signature (latency calculus + state size + param
         # keys), so a retune must preserve both.
-        self.retunable = bool(retunable)
-        self._taps_complex = np.iscomplexobj(np.asarray(taps))
-        if self.retunable:
-            t = np.asarray(taps)
-            self._params["taps_re"] = np.ascontiguousarray(
-                t.real, np.float32
-            )
-            if self._taps_complex:
-                self._params["taps_im"] = np.ascontiguousarray(
-                    t.imag, np.float32
-                )
+        self._init_retunable_taps(taps, retunable)
         self.stream_inputs = [PortSpec("in", dtype)]
         self.stream_outputs = [PortSpec("out", dtype)]
         self.rate_in = (self.decim,)
@@ -133,12 +123,30 @@ class Fir(Block):
 
     # ---- builder-style constructors (FirBuilder parity) -----------------
     @classmethod
-    def decimating(cls, taps, decim: int, dtype=np.complex64, name=None):
-        return cls(taps, interp=1, decim=decim, dtype=dtype, name=name)
+    def decimating(
+        cls, taps, decim: int, dtype=np.complex64, retunable=False, name=None
+    ):
+        return cls(
+            taps,
+            interp=1,
+            decim=decim,
+            dtype=dtype,
+            retunable=retunable,
+            name=name,
+        )
 
     @classmethod
-    def interpolating(cls, taps, interp: int, dtype=np.complex64, name=None):
-        return cls(taps, interp=interp, decim=1, dtype=dtype, name=name)
+    def interpolating(
+        cls, taps, interp: int, dtype=np.complex64, retunable=False, name=None
+    ):
+        return cls(
+            taps,
+            interp=interp,
+            decim=1,
+            dtype=dtype,
+            retunable=retunable,
+            name=name,
+        )
 
     @classmethod
     def resampling(
@@ -147,6 +155,7 @@ class Fir(Block):
         decim: int,
         taps=None,
         dtype=np.complex64,
+        retunable=False,
         name=None,
     ):
         g = math.gcd(interp, decim)
@@ -155,7 +164,14 @@ class Fir(Block):
             # auto Kaiser multirate design (parity: fir.rs:154 →
             # firdes::kaiser::multirate)
             taps = firdes.kaiser_multirate(interp, decim)
-        return cls(taps, interp=interp, decim=decim, dtype=dtype, name=name)
+        return cls(
+            taps,
+            interp=interp,
+            decim=decim,
+            dtype=dtype,
+            retunable=retunable,
+            name=name,
+        )
 
     def _state_hist(self) -> int:
         hist = self._hist
@@ -177,6 +193,19 @@ class Fir(Block):
 
     def make_state(self, in_sizes, out_sizes):
         return _zeros_state(self._complex, self._state_hist())
+
+    def _init_retunable_taps(self, taps, retunable: bool) -> None:
+        self.retunable = bool(retunable)
+        self._taps_complex = np.iscomplexobj(np.asarray(taps))
+        if self.retunable:
+            t = np.asarray(taps)
+            self._params["taps_re"] = np.ascontiguousarray(
+                t.real, np.float32
+            )
+            if self._taps_complex:
+                self._params["taps_im"] = np.ascontiguousarray(
+                    t.imag, np.float32
+                )
 
     @message_handler("taps")
     def _taps_handler(self, pmt: Pmt) -> Pmt:
@@ -275,17 +304,7 @@ class XlatingFir(Block):
         self.decim = int(decim)
         # retunable taps: live channel-bandwidth change (same machinery
         # and constraints as Fir(retunable=True))
-        self.retunable = bool(retunable)
-        self._taps_complex = np.iscomplexobj(np.asarray(taps))
-        if self.retunable:
-            t = np.asarray(taps)
-            self._params["taps_re"] = np.ascontiguousarray(
-                t.real, np.float32
-            )
-            if self._taps_complex:
-                self._params["taps_im"] = np.ascontiguousarray(
-                    t.imag, np.float32
-                )
+        self._init_retunable_taps(taps, retunable)
         self.sample_rate = float(sample_rate)
         self.stream_inputs = [PortSpec("in", np.complex64)]
         self.stream_outputs = [PortSpec("out", np.complex64)]
@@ -320,6 +339,7 @@ class XlatingFir(Block):
 
     # the Fir handler/validation applies verbatim (length + realness are
     # compiled signature; params keys identical)
+    _init_retunable_taps = Fir._init_retunable_taps
     _taps_handler = Fir._taps_handler
     _taps_now = Fir._taps_now
     _taps_in = Fir._taps_in
@@ -499,7 +519,16 @@ class Fft(Block):
                 "fft_size cannot change on a running flowgraph (SDF "
                 "rate): stop the graph, set the size, and run again"
             )
-        self.size = int(v)
+        size = int(v)
+        if size < 1:
+            raise ValueError(f"fft_size must be >= 1, got {size}")
+        if self.window is not None and self.window.shape[0] != size:
+            raise ValueError(
+                f"fft_size {size} does not match the configured "
+                f"{self.window.shape[0]}-point window — pass a matching "
+                "window at construction or drop it"
+            )
+        self.size = size
         self.rate_in = (self.size,)
         self.rate_out = (self.size,)
         return Pmt.u32(self.size)
@@ -507,6 +536,12 @@ class Fft(Block):
     def make_state(self, in_sizes, out_sizes):
         self._locked = True
         return None
+
+    def on_finish(self) -> None:
+        # the graph is stopped/finished: allow the documented
+        # retune-then-run-again flow (a NEW Runtime/Executor recompiles
+        # with the new rate signature)
+        self._locked = False
 
     def apply(self, state, inputs, params):
         y = fft_chunk(

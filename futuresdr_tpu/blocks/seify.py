@@ -370,6 +370,7 @@ class SeifySource(Block):
         self.gain = None if gain is None else float(gain)
         self.tone_offset = float(tone_offset)
         self.noise_power = float(noise_power)
+        self.antenna: Optional[str] = None
         self.is_blocking = True
         self.message_outputs = ["overflows"]
         if channels is None:
@@ -498,6 +499,9 @@ class SeifySource(Block):
 
     @message_handler("cmd")
     def _cmd(self, pmt: Pmt) -> Pmt:
+        """Apply a :class:`Config` bundle (parity: seify/source.rs cmd
+        port, config.rs:62-109 — every field the map carries is
+        applied, not a subset)."""
         cfg = pmt.to_py()
         if isinstance(cfg, dict):
             for k, v in cfg.items():
@@ -507,6 +511,16 @@ class SeifySource(Block):
                     self._gain(Pmt.from_py(v))
                 elif k == "sample_rate":
                     self._rate(Pmt.from_py(v))
+                elif k == "antenna":
+                    # no wire command on the shipped drivers; recorded
+                    # and reported back via the config query
+                    self.antenna = None if v is None else str(v)
+                elif k == "chan":
+                    if int(v) not in self.channels:
+                        raise ValueError(
+                            f"chan {v} is not a configured channel "
+                            f"{self.channels}"
+                        )
         return Pmt.ok()
 
     @message_handler("terminate")
@@ -532,6 +546,7 @@ class SeifySource(Block):
             frequency=self.frequency,
             sample_rate=self.sample_rate,
             gain=self.gain,
+            antenna=self.antenna,
             chan=self.channels[ch],
         ).to_pmt()
 

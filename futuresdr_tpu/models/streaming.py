@@ -58,10 +58,15 @@ class StreamingReceiver:
         modems (their steady state is host-decode-bound), so raise
         ``depth`` only on high-RTT links where fetch latency dominates.
         Memory holds ``depth`` chunks' device buffers."""
+        if depth < 1:  # validate HERE, not lazily at first next()
+            raise ValueError("depth must be >= 1")
+        return self._stream_impl(chunks, depth)
+
+    def _stream_impl(
+        self, chunks: Iterable[Any], depth: int
+    ) -> Iterator[List[Any]]:
         from collections import deque
 
-        if depth < 1:
-            raise ValueError("depth must be >= 1")
         pending: deque = deque()
         for c in chunks:
             pending.append(self._dispatch(c))

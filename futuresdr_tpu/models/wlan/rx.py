@@ -659,33 +659,41 @@ class WlanReceiver(StreamingReceiver):
         self.frames.extend(out)
         return out
 
-    def process_stream(self, chunks):
+    def process_stream(self, chunks, depth: int = 1):
         """Pipelined decode of an iterable of IQ chunks (the streaming
         receiver loop). Yields one ``List[RxFrame]`` per chunk, in order.
 
-        Once the speculative gate is warm, chunk ``i+1``'s whole device
-        chain dispatches BEFORE chunk ``i``'s combined fetch — the fetch
-        round-trip (~28-40 ms through tunneled hosts) overlaps the next
-        chunk's compute, so steady state costs ``max(compute, fetch)``
-        instead of their sum. Chunks that trip the gate (traffic change,
-        leader overflow) re-decode classically without breaking order."""
-        pending = None  # (dispatched-device-refs, x, n_real, bucket)
+        Once the speculative gate is warm, up to ``depth`` chunks' whole
+        device chains dispatch BEFORE the oldest chunk's combined fetch —
+        the fetch round-trip (~28-40 ms through tunneled hosts) overlaps
+        the next chunk's compute, so steady state costs
+        ``max(compute, fetch)`` instead of their sum (same ``depth``
+        contract as :class:`~futuresdr_tpu.models.streaming.\
+StreamingReceiver`). Chunks that trip the gate (traffic change, leader
+        overflow) re-decode classically without breaking order."""
+        if depth < 1:  # validate HERE, not lazily at first next()
+            raise ValueError("depth must be >= 1")
+        return self._stream_impl(chunks, depth)
+
+    def _stream_impl(self, chunks, depth: int):
+        from collections import deque
+
+        # each entry: (dispatched-device-refs, x, n_real, bucket)
+        pending: deque = deque()
         for iq in chunks:
             x, n_real, bucket = self._prepare(iq)
             if self.soft and self._spec is not None:
-                d = self._spec_dispatch(x, n_real)
-                if pending is not None:
-                    yield self._stream_finish(pending)
-                pending = (d, x, n_real, bucket)
+                pending.append((self._spec_dispatch(x, n_real), x, n_real, bucket))
+                if len(pending) > depth:
+                    yield self._stream_finish(pending.popleft())
             else:
-                if pending is not None:
-                    yield self._stream_finish(pending)
-                    pending = None
+                while pending:  # classic path syncs: drain in order
+                    yield self._stream_finish(pending.popleft())
                 out = self._process_classic(x, n_real, bucket)
                 self.frames.extend(out)
                 yield out
-        if pending is not None:
-            yield self._stream_finish(pending)
+        while pending:
+            yield self._stream_finish(pending.popleft())
 
     def _stream_finish(self, pending) -> List[RxFrame]:
         d, x, n_real, bucket = pending

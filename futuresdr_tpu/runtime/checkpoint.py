@@ -67,6 +67,15 @@ def save_checkpoint(
         for bid, b in enumerate(fg.blocks)
         if (st := b.host_state()) is not None
     }
+    # device params (retuned NCO increments, retunable taps, routes …)
+    # are part of "as if the stream had never stopped": without them a
+    # snapshot taken after a live retune would silently resume with the
+    # CONSTRUCTOR values
+    params_states = {
+        bid: {k: np.asarray(v) for k, v in b._params.items()}
+        for bid, b in enumerate(fg.blocks)
+        if b._params
+    }
     manifest = {
         "version": _VERSION,
         "signature": graph_signature(fg),
@@ -79,6 +88,9 @@ def save_checkpoint(
     }
     payload["__host__"] = np.frombuffer(
         pickle.dumps(host_states, protocol=4), dtype=np.uint8
+    )
+    payload["__params__"] = np.frombuffer(
+        pickle.dumps(params_states, protocol=4), dtype=np.uint8
     )
     payload["__manifest__"] = np.frombuffer(
         json.dumps(manifest).encode(), dtype=np.uint8
@@ -120,7 +132,29 @@ def load_checkpoint(path, fg, init_states):
                 )
             leaves.append(leaf)
         host_states = pickle.loads(bytes(z["__host__"].tobytes()))
+        params_states = (
+            pickle.loads(bytes(z["__params__"].tobytes()))
+            if "__params__" in z.files
+            else {}  # pre-params checkpoint: constructor params stand
+        )
     for bid, st in host_states.items():
         fg.blocks[int(bid)].set_host_state(st)
+    for bid, saved in params_states.items():
+        b = fg.blocks[int(bid)]
+        if set(saved) != set(b._params):
+            raise ValueError(
+                f"block {b.instance_name}: checkpoint params "
+                f"{sorted(saved)} do not match this graph's "
+                f"{sorted(b._params)} (e.g. retunable flag changed)"
+            )
+        for k, v in saved.items():
+            cur = np.asarray(b._params[k])
+            v = np.asarray(v)
+            if v.shape != cur.shape or v.dtype != cur.dtype:
+                raise ValueError(
+                    f"block {b.instance_name} param {k!r}: saved "
+                    f"{v.shape}/{v.dtype} vs graph {cur.shape}/{cur.dtype}"
+                )
+            b._params[k] = v  # _ParamDict bumps the version → re-upload
     states = jax.tree_util.tree_unflatten(treedef, leaves)
     return states, dict(manifest["lat_left"]), int(manifest["steps_run"])

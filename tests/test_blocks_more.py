@@ -420,5 +420,35 @@ def test_fft_size_message_port():
     Runtime(chunk_size=2048).run(fg)
     y = np.asarray(snk.data()).reshape(-1, 512)
     assert np.argmax(np.abs(y[0])) == 64  # 0.125 * 512
+    # after the run finishes the lock releases: the documented
+    # stop → set → run-again flow works on the same block
+    blk.call_handler("fft_size", Pmt.from_py(1024))
+    assert blk.size == 1024
+    blk.make_state((1024,), (1024,))  # compile re-locks
     with pytest.raises(RuntimeError):
-        blk.call_handler("fft_size", Pmt.from_py(1024))
+        blk.call_handler("fft_size", Pmt.from_py(2048))
+    with pytest.raises(ValueError):
+        Fft(256).call_handler("fft_size", Pmt.from_py(0))
+    from futuresdr_tpu.dsp import windows as _win
+
+    wblk = Fft(256, window=_win.hamming(256))
+    with pytest.raises(ValueError):
+        wblk.call_handler("fft_size", Pmt.from_py(512))
+
+
+def test_seify_cmd_applies_full_config():
+    """The cmd port applies every Config field (config.rs:62-109):
+    antenna is recorded and reported back; an unknown chan rejects."""
+    from futuresdr_tpu.blocks.seify import Config
+
+    src = Builder("driver=dummy").build_source()
+    src.call_handler(
+        "cmd",
+        Config(frequency=7e8, gain=12.0, antenna="RX2", chan=0).to_pmt(),
+    )
+    assert src.frequency == 7e8 and src.gain == 12.0
+    assert src.antenna == "RX2"
+    cfg = Config.from_pmt(src.call_handler("config", Pmt.from_py(0)))
+    assert cfg.antenna == "RX2"
+    with pytest.raises(ValueError):
+        src.call_handler("cmd", Config(chan=5).to_pmt())

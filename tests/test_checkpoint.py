@@ -319,3 +319,50 @@ def test_multichannel_seify_resume_bit_exact(tmp_path):
     Runtime(chunk_size=4096).run(fg2, restore=str(ckpt))
     for s, ref in zip(sinks2, refs):
         np.testing.assert_array_equal(s.data(), ref)
+
+
+def test_retuned_params_survive_checkpoint(tmp_path):
+    """A live param retune (FreqShift NCO increment) is checkpoint
+    state: restore into a graph built with the ORIGINAL frequency must
+    resume at the RETUNED one (pre-fix, params silently reverted to the
+    constructor values)."""
+    from futuresdr_tpu.blocks import FreqShift
+    from futuresdr_tpu.ops.rotator import freq_to_fxp
+
+    x = _iq(8 * 4096)
+    ckpt = tmp_path / "params.ckpt"
+
+    def graph(freq):
+        fg = Flowgraph()
+        fs = FreqShift(freq, 1e6)
+        snk = VectorSink(np.complex64)
+        connect(fg, VectorSource(x.copy()), fs, snk)
+        return fg, fs, snk
+
+    # uninterrupted reference: 5 kHz for 2 chunks, then 9 kHz
+    fg_r, fs_r, snk_r = graph(5e3)
+    exr = Executor(fg_r, chunk_size=4096, max_steps=2)
+    exr.running = True
+    exr.run_loop()
+    fs_r.set_param("dphi", freq_to_fxp(9e3 / 1e6))
+    exr.snapshot(ckpt)
+
+    fg2, fs2, snk2 = graph(5e3)  # original frequency
+    Runtime(chunk_size=4096).run(fg2, restore=str(ckpt))
+    assert int(fs2._params["dphi"]) == int(freq_to_fxp(9e3 / 1e6))
+    # the resumed stream really runs at 9 kHz: check the mixed tone
+    tail = np.asarray(snk2.data())[3 * 4096 : 5 * 4096]
+    base = x[3 * 4096 : 5 * 4096]
+    # y = x * e^{j2pi f t} -> y/x isolates the NCO
+    rot = tail / base
+    ph = np.unwrap(np.angle(rot))
+    f_est = np.polyfit(np.arange(len(ph)), ph, 1)[0] * 1e6 / (2 * np.pi)
+    assert abs(f_est - 9e3) < 50.0
+
+    # params-structure mismatch (retunable flag changed) is rejected
+    from futuresdr_tpu.runtime.checkpoint import load_checkpoint
+
+    fg3, fs3, snk3 = graph(5e3)
+    fs3._params.pop("dphi")
+    with pytest.raises(ValueError):
+        Runtime(chunk_size=4096).run(fg3, restore=str(ckpt))

@@ -157,16 +157,10 @@ def test_fir_retunable_matches_baked_modes(mode):
     else:
         taps = firdes.lowpass(0.15, windows.hamming(29))
 
-    def make(retunable):
-        if mode == "decim":
-            return Fir.decimating(taps, 4, name=None), None
-        if mode == "resample":
-            return Fir(taps, interp=3, decim=2), None
-        return Fir(taps, retunable=retunable), None
-
     def run(retunable):
         if mode == "decim":
-            blk = Fir(taps, decim=4, retunable=retunable)
+            # through the FirBuilder-parity classmethod (must forward)
+            blk = Fir.decimating(taps, 4, retunable=retunable)
         elif mode == "resample":
             blk = Fir(taps, interp=3, decim=2, retunable=retunable)
         else:
@@ -241,12 +235,16 @@ def test_fir_retunable_live_retune(tmp_path):
     ex = Executor(fg1, chunk_size=chunk, max_steps=2)
     ex.running = True
     ex.run_loop()  # two chunks under taps A
-    ex.snapshot(ckpt)
+    blk1.call_handler("taps", Pmt.from_py([float(v) for v in t_b]))
+    ex.snapshot(ckpt)  # checkpoint carries the RETUNED params
     part1 = snk1.data()
 
+    # fresh graph built with the ORIGINAL taps: restore must bring back
+    # the retuned ones (device params are checkpoint state)
     fg2, blk2, snk2 = graph(t_a)
-    blk2.call_handler("taps", Pmt.from_py([float(v) for v in t_b]))
     Runtime(chunk_size=chunk).run(fg2, restore=str(ckpt))
+    q = blk2.call_handler("taps", Pmt.from_py(None)).to_py()
+    np.testing.assert_allclose(q, t_b, atol=1e-7)
     got = np.concatenate([part1, snk2.data()[len(part1) :]])
 
     # reference: valid-mode convs with explicit history across the switch
@@ -258,10 +256,6 @@ def test_fir_retunable_live_retune(tmp_path):
     m = min(len(got), len(ref))
     assert m > 3 * chunk
     np.testing.assert_allclose(got[:m], ref[:m], atol=2e-5, rtol=0)
-
-    # query returns current taps
-    q = blk2.call_handler("taps", Pmt.from_py(None)).to_py()
-    np.testing.assert_allclose(q, t_b, atol=1e-7)
 
     with pytest.raises(ValueError):
         blk2.call_handler("taps", Pmt.from_py([1.0, 2.0]))

@@ -207,3 +207,35 @@ def test_stream_depth_equals_process(depth):
     assert any(ref)
     with pytest.raises(ValueError):
         list(rx_b.process_stream(iter(chunks), depth=0))
+
+
+def test_wlan_stream_depth_equals_process():
+    """WlanReceiver's own pipelined stream honors the shared depth
+    contract: deeper queues keep per-chunk results identical."""
+    from futuresdr_tpu.models.wlan import (
+        WlanReceiver,
+        encode_frame,
+        make_mac_frame,
+    )
+
+    chunks = []
+    for i in range(4):
+        psdu = make_mac_frame(f"wlan depth chunk {i}".encode(), seq=i)
+        iq = encode_frame(psdu, "qpsk12", scrambler_seed=3 + i)
+        chunks.append(
+            np.concatenate(
+                [np.zeros(600 + 31 * i, np.complex64), iq,
+                 np.zeros(1200, np.complex64)]
+            )
+        )
+    rx_a = WlanReceiver()
+    ref = [[(f.psdu, f.crc_ok) for f in rx_a.process(c)] for c in chunks]
+    rx_b = WlanReceiver()
+    got = [
+        [(f.psdu, f.crc_ok) for f in out]
+        for out in rx_b.process_stream(iter(chunks), depth=3)
+    ]
+    assert got == ref
+    assert any(ref)
+    with pytest.raises(ValueError):
+        rx_b.process_stream(iter(chunks), depth=0)
