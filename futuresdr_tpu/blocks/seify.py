@@ -719,6 +719,26 @@ class SeifySink(Block):
         self.gain = None if v is None else float(v)
         return Pmt.ok()
 
+    @message_handler("sample_rate")
+    def _rate(self, pmt: Pmt) -> Pmt:
+        self.sample_rate = float(pmt.as_float())
+        return Pmt.ok()
+
+    @message_handler("cmd")
+    def _cmd(self, pmt: Pmt) -> Pmt:
+        """Config bundle, same surface as the source (seify/sink.rs:50
+        ports: freq, gain, sample_rate, cmd, config)."""
+        cfg = pmt.to_py()
+        if isinstance(cfg, dict):
+            for k, v in cfg.items():
+                if k in ("freq", "frequency"):
+                    self._freq(Pmt.from_py(v))
+                elif k == "gain":
+                    self._gain(Pmt.from_py(v))
+                elif k == "sample_rate":
+                    self._rate(Pmt.from_py(v))
+        return Pmt.ok()
+
     @message_handler("config")
     def _config(self, pmt: Pmt) -> Pmt:
         v = pmt.to_py()

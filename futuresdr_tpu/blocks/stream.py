@@ -75,34 +75,73 @@ class Head(Block):
 
 
 class Delay(Block):
-    """Insert ``n`` zero samples at stream start (positive delay,
-    parity: delay.rs:169)."""
+    """Shift the stream: ``n > 0`` inserts ``n`` zero samples at stream
+    start (pad); ``n < 0`` drops the first ``|n|`` samples (skip) —
+    parity: delay.rs:169 ``State::{Pad,Skip}``.
+
+    Skip rides the latency calculus: the device still shifts through an
+    ``|n|``-sample state (identical kernel to pad), and the compiler
+    trims ``2|n|`` leading items — the state-priming zeros plus the
+    skipped samples — so sinks see ``x[|n|:]``. Like pad, the final
+    ``|n|`` input items stay in the state at EOS (the 1:1 SDF
+    convention)."""
 
     def __init__(self, n: int, dtype=np.complex64, name: Optional[str] = None):
         super().__init__(name)
-        if n < 0:
-            raise ValueError("negative delay not supported (skip upstream)")
         self.n = int(n)
         self.stream_inputs = [PortSpec("in", dtype)]
         self.stream_outputs = [PortSpec("out", dtype)]
         self.rate_in = (1,)
         self.rate_out = (1,)
         self._complex = np.dtype(dtype) == np.complex64
-        self.state_suffix_in = (self.n,)  # state = last n input items
+        self._locked = False
+        self.state_suffix_in = (abs(self.n),)  # state = last |n| inputs
+
+    @message_handler("new_value")
+    def _new_value(self, pmt: Pmt) -> Pmt:
+        """Adjust the shift (parity: delay.rs:68-105 — a map
+        ``{"pad": bool, "value": int}`` accumulates onto the current
+        pad/skip). The shift is compiled into the state shape and the
+        latency ledger, so it can only change BEFORE compilation; the
+        reference's mid-stream pad/skip is a dynamic-rate step a static
+        SDF program cannot express — an explicit error, not a silent
+        wrong shift. ``Pmt::Null`` queries the current ``n``."""
+        v = pmt.to_py()
+        if v is None:
+            return Pmt.from_py(self.n)
+        if not isinstance(v, dict) or "pad" not in v or "value" not in v:
+            raise ValueError('new_value takes {"pad": bool, "value": int}')
+        if self._locked:
+            raise RuntimeError(
+                "new_value cannot change a compiled flowgraph's shift "
+                "(state shape + latency are static): stop the graph, "
+                "adjust, and run again"
+            )
+        delta = int(v["value"])
+        self.n += delta if bool(v["pad"]) else -delta
+        self.state_suffix_in = (abs(self.n),)
+        return Pmt.from_py(self.n)
 
     def make_state(self, in_sizes, out_sizes):
-        shape = (self.n,)
+        self._locked = True
+        shape = (abs(self.n),)
         return (
             cplx.czeros(shape) if self._complex else jnp.zeros(shape, jnp.float32)
         )
 
+    def on_finish(self) -> None:
+        self._locked = False  # stop → adjust → run-again flow
+
     def absorb_latency(self, in_lats):
-        """With a transient-free input the inserted zeros are semantic
-        (latency 0, reference parity). Inside an upstream transient a
-        static 1:1 block cannot reorder zeros ahead of the garbage, so the
-        delay degrades to a pure stream shift: the zeros are counted into
-        the trimmed transient."""
+        """Pad: with a transient-free input the inserted zeros are
+        semantic (latency 0, reference parity); inside an upstream
+        transient a static 1:1 block cannot reorder zeros ahead of the
+        garbage, so the delay degrades to a pure stream shift (the zeros
+        count into the trimmed transient). Skip: always trims — the
+        ``|n|`` state-priming zeros plus the ``|n|`` samples to drop."""
         L = int(in_lats[0]) if in_lats else 0
+        if self.n < 0:
+            return [L + 2 * (-self.n)]
         return [0 if L == 0 else L + self.n]
 
     def apply(self, state, inputs, params):

@@ -7,6 +7,8 @@ Parity: ``src/blocks/message_*.rs`` behaviors, ``selector.rs``,
 import threading
 import time
 
+import pytest
+
 import numpy as np
 
 from futuresdr_tpu import Flowgraph, Runtime, connect
@@ -524,3 +526,80 @@ def test_resident_source_emits_same_buffer_each_step():
     want_chunk = 2 * np.resize(x, n)
     want = np.resize(np.tile(want_chunk, -(-260 // n)), 260)
     np.testing.assert_allclose(got, want[: len(got)], atol=1e-6)
+
+
+from futuresdr_tpu.blocks import Delay  # noqa: E402
+
+
+def test_delay_skip_negative():
+    """Delay(n<0) drops the first |n| samples (delay.rs State::Skip)."""
+    x = np.arange(1, 30001, dtype=np.float32)
+    for k in (3, 64, 500):
+        fg = Flowgraph()
+        snk = VectorSink(np.float32)
+        connect(fg, VectorSource(x.copy()), Delay(-k, dtype=np.float32), snk)
+        Runtime(chunk_size=4096).run(fg)
+        y = snk.data()
+        ref = x[k:]
+        m = min(len(y), len(ref))
+        assert m > 0
+        np.testing.assert_array_equal(y[:m], ref[:m])
+
+
+def test_delay_skip_after_filter_transient():
+    """Skip composes with an upstream transient: the trim absorbs both
+    the filter's latency and the skip."""
+    from futuresdr_tpu.blocks import Fir
+    from futuresdr_tpu.dsp import firdes, windows
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(40_000).astype(np.float32)
+    taps = firdes.lowpass(0.2, windows.hamming(21))
+    k = 40
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(
+        fg,
+        VectorSource(x.copy()),
+        Fir(taps, dtype=np.float32),
+        Delay(-k, dtype=np.float32),
+        snk,
+    )
+    Runtime(chunk_size=4096).run(fg)
+    y = snk.data()
+    ref = np.convolve(x, taps, mode="valid")[k:]
+    m = min(len(y), len(ref))
+    assert m > 30_000
+    np.testing.assert_allclose(y[:m], ref[:m], atol=2e-5)
+
+
+def test_delay_new_value_port():
+    """delay.rs new_value parity: {"pad": bool, "value": n} accumulates
+    onto the current shift pre-compile; locked once compiled; unlocked
+    after the run finishes."""
+    from futuresdr_tpu.types.pmt import Pmt
+
+    d = Delay(10, dtype=np.float32)
+    assert d.call_handler("new_value", Pmt.from_py(None)).to_py() == 10
+    d.call_handler("new_value", Pmt.from_py({"pad": False, "value": 25}))
+    assert d.n == -15 and d.state_suffix_in == (15,)
+    d.call_handler("new_value", Pmt.from_py({"pad": True, "value": 15}))
+    assert d.n == 0
+
+    x = np.arange(1, 10001, dtype=np.float32)
+    d2 = Delay(0, dtype=np.float32)
+    d2.call_handler("new_value", Pmt.from_py({"pad": False, "value": 8}))
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(fg, VectorSource(x.copy()), d2, snk)
+    Runtime(chunk_size=1024).run(fg)
+    y = snk.data()
+    np.testing.assert_array_equal(y[: len(y)], x[8 : 8 + len(y)])
+    # the run finished -> on_finish unlocked: stop-adjust-run-again works
+    d2.call_handler("new_value", Pmt.from_py({"pad": True, "value": 3}))
+    assert d2.n == -5
+    d2.make_state((1024,), (1024,))  # compile re-locks
+    with pytest.raises(RuntimeError):
+        d2.call_handler("new_value", Pmt.from_py({"pad": True, "value": 1}))
+    with pytest.raises(ValueError):
+        d2.call_handler("new_value", Pmt.from_py([1, 2]))

@@ -452,3 +452,20 @@ def test_seify_cmd_applies_full_config():
     assert cfg.antenna == "RX2"
     with pytest.raises(ValueError):
         src.call_handler("cmd", Config(chan=5).to_pmt())
+
+
+def test_seify_sink_full_port_surface():
+    """seify/sink.rs:50 ports: freq, gain, sample_rate, cmd, config."""
+    from futuresdr_tpu.blocks.seify import Config
+
+    snk = Builder("driver=dummy").build_sink()
+    assert sorted(snk.handlers()) == [
+        "cmd", "config", "freq", "gain", "sample_rate",
+    ]
+    snk.call_handler(
+        "cmd", Config(frequency=4.33e8, sample_rate=2.5e6, gain=30.0).to_pmt()
+    )
+    cfg = Config.from_pmt(snk.call_handler("config", Pmt.from_py(0)))
+    assert cfg.frequency == 4.33e8
+    assert cfg.sample_rate == 2.5e6
+    assert cfg.gain == 30.0

@@ -576,3 +576,25 @@ def test_mesh_retunable_fir_taps():
     a, b = run(), run(mesh8())
     assert a.shape == b.shape
     assert np.array_equal(a, b)
+
+
+def test_mesh_skip_delay():
+    """Negative (skip) Delay under the mesh matches single-device
+    (its state is a plain input suffix; the 2|n| trim is sink-side)."""
+    from futuresdr_tpu.blocks import Delay
+
+    x = _iq(1 << 14, seed=21)
+
+    def run(mesh=None):
+        fg = Flowgraph()
+        snk = VectorSink(np.complex64)
+        fg.stream(VectorSource(x.copy()), Delay(-96))
+        fg.stream(fg.blocks[1], snk)
+        Runtime(chunk_size=4096, mesh=mesh).run(fg)
+        return snk.data()
+
+    a, b = run(), run(mesh8())
+    assert np.array_equal(a, b)
+    ref = x[96:]
+    m = min(len(a), len(ref))
+    np.testing.assert_array_equal(a[:m], ref[:m])
