@@ -705,7 +705,14 @@ class SeifySink(Block):
         self.is_blocking = True
         self.stream_inputs = [PortSpec("in", np.complex64)]
         self.rate_in = (1,)
+        self.message_outputs = ["terminate_out"]
         self.n_sent = 0
+
+    def on_finish(self) -> None:
+        """Pmt::Ok on terminate_out when the input stream finishes
+        (parity: seify/sink.rs:36,278 — lets a hardware-in-the-loop
+        loopback stop its source)."""
+        self.post("terminate_out", Pmt.ok())
 
     @message_handler("freq")
     def _freq(self, pmt: Pmt) -> Pmt:

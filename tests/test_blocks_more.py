@@ -469,3 +469,18 @@ def test_seify_sink_full_port_surface():
     assert cfg.frequency == 4.33e8
     assert cfg.sample_rate == 2.5e6
     assert cfg.gain == 30.0
+
+
+def test_seify_sink_terminate_out():
+    """Pmt::Ok posted on terminate_out when the stream finishes
+    (sink.rs:278 — HITL loopback source-stop signal)."""
+    from futuresdr_tpu.blocks import MessageSink
+
+    snk = Builder("driver=dummy").build_sink()
+    ms = MessageSink()
+    fg = Flowgraph()
+    connect(fg, VectorSource(np.zeros(5_000, np.complex64)), snk)
+    fg.add(ms)
+    fg.message(snk, "terminate_out", ms, "in")
+    Runtime(chunk_size=2048).run(fg)
+    assert len(ms.received) == 1
