@@ -372,3 +372,49 @@ def test_lora_oversampled_stream_equals_process():
     for a, b in zip(per_chunk, streamed):
         assert [f.payload for f in a] == [f.payload for f in b]
         assert all(f.crc_ok for f in b) and len(b) == 1
+
+
+def test_rftap_encapsulation_layout():
+    """Byte-exact RFtap+LoRatap layout (decoder.rs:87-104) and the
+    FramedReceiverSink emit adapter end-to-end over a flowgraph."""
+    import struct
+
+    from futuresdr_tpu.models.lora.rftap import rftap_emit, rftap_encapsulate
+
+    blob = rftap_encapsulate(b"\xde\xad\xbe\xef", sf=9, sync_word=0x34)
+    assert blob[0:4] == b"RFta"
+    assert struct.unpack("<H", blob[4:6])[0] == 3
+    assert struct.unpack("<H", blob[6:8])[0] == 1
+    assert struct.unpack("<I", blob[8:12])[0] == 270  # LORATAP DLT
+    assert struct.unpack(">H", blob[14:16])[0] == 15
+    assert struct.unpack(">I", blob[16:20])[0] == 868_100_000
+    assert blob[21] == 9 and blob[26] == 0x34
+    assert blob[27:] == b"\xde\xad\xbe\xef"
+
+    # flowgraph: IQ stream -> FramedReceiverSink(emit=rftap) -> MessageSink
+    from futuresdr_tpu import Flowgraph, Runtime, connect
+    from futuresdr_tpu.blocks import MessageSink, VectorSource
+    from futuresdr_tpu.blocks.framed import FramedReceiverSink
+    from futuresdr_tpu.models.lora import LoraConfig, modulate_frame
+    from futuresdr_tpu.models.lora.phy import LoraReceiver
+
+    cfg = LoraConfig(sf=7, cr=1)
+    payload = b"rftap over the graph"
+    iq = modulate_frame(cfg, payload)
+    sig = np.concatenate(
+        [np.zeros(4 * cfg.n, np.complex64), iq, np.zeros(6 * cfg.n, np.complex64)]
+    )
+    fg = Flowgraph()
+    sink = FramedReceiverSink(
+        LoraReceiver(cfg),
+        overlap=len(iq) + 4 * cfg.n,
+        process_size=1 << 14,
+        emit=rftap_emit(sf=7),
+    )
+    ms = MessageSink()
+    connect(fg, VectorSource(sig), sink)
+    fg.add(ms)
+    fg.message(sink, "frames", ms, "in")
+    Runtime(chunk_size=8192).run(fg)
+    blobs = [bytes(m.to_py()) for m in ms.received]
+    assert any(b[27:] == payload and b[0:4] == b"RFta" for b in blobs)
