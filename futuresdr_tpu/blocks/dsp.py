@@ -497,11 +497,17 @@ class Fft(Block):
             if window is not None
             else None
         )
+        if self.size < 1:
+            raise ValueError(f"fft size must be >= 1, got {self.size}")
+        if self.window is not None and self.window.shape[0] != self.size:
+            raise ValueError(
+                f"{self.size}-point Fft with a "
+                f"{self.window.shape[0]}-point window"
+            )
         self.stream_inputs = [PortSpec("in", np.complex64)]
         self.stream_outputs = [PortSpec("out", np.complex64)]
         self.rate_in = (self.size,)
         self.rate_out = (self.size,)
-        self._locked = False  # set at compile; size is an SDF rate
 
     @message_handler("fft_size")
     def _fft_size(self, pmt: Pmt) -> Pmt:
@@ -514,10 +520,11 @@ class Fft(Block):
         v = pmt.to_py()
         if v is None:
             return Pmt.u32(self.size)
-        if self._locked:
+        if self._rate_locked:
             raise RuntimeError(
-                "fft_size cannot change on a running flowgraph (SDF "
-                "rate): stop the graph, set the size, and run again"
+                "fft_size cannot change while an executor holds this "
+                "graph compiled (SDF rate): stop the graph, set the "
+                "size, and run again"
             )
         size = int(v)
         if size < 1:
@@ -532,16 +539,6 @@ class Fft(Block):
         self.rate_in = (self.size,)
         self.rate_out = (self.size,)
         return Pmt.u32(self.size)
-
-    def make_state(self, in_sizes, out_sizes):
-        self._locked = True
-        return None
-
-    def on_finish(self) -> None:
-        # the graph is stopped/finished: allow the documented
-        # retune-then-run-again flow (a NEW Runtime/Executor recompiles
-        # with the new rate signature)
-        self._locked = False
 
     def apply(self, state, inputs, params):
         y = fft_chunk(

@@ -279,7 +279,13 @@ class AaroniaHttpClient:
 class Config:
     """Bundle of radio settings applied atomically (parity:
     seify/config.rs:11-110 — the ``cmd`` port takes one of these; the
-    ``config`` port returns one as a ``Pmt`` map)."""
+    ``config`` port returns one as a ``Pmt`` map).
+
+    ``chan`` is a hardware channel ID (what ``Config.chan`` reports and
+    what ``cmd`` validates), mirroring the reference's
+    ``Config { chan }``; the ``config`` QUERY port instead takes a
+    0-based index into the configured channel list (source.rs:200-205
+    does exactly this ``channels[id]`` indexing)."""
 
     def __init__(
         self,
@@ -501,9 +507,24 @@ class SeifySource(Block):
     def _cmd(self, pmt: Pmt) -> Pmt:
         """Apply a :class:`Config` bundle (parity: seify/source.rs cmd
         port, config.rs:62-109 — every field the map carries is
-        applied, not a subset)."""
+        applied, not a subset). Validation happens BEFORE any field is
+        applied, so a rejected bundle leaves the radio untouched
+        (Config's atomic-apply contract). ``chan`` is a hardware
+        channel ID (the value ``Config.chan`` reports), matching the
+        reference's ``Config { chan }`` — NOT the 0-based index the
+        ``config`` query port takes."""
         cfg = pmt.to_py()
         if isinstance(cfg, dict):
+            if "chan" in cfg and int(cfg["chan"]) not in self.channels:
+                raise ValueError(
+                    f"chan {cfg['chan']} is not a configured channel "
+                    f"{self.channels}"
+                )
+            for k in ("freq", "frequency", "sample_rate"):
+                if k in cfg:
+                    float(cfg[k])  # type-check before ANY field applies
+            if cfg.get("gain") is not None:
+                float(cfg["gain"])
             for k, v in cfg.items():
                 if k in ("freq", "frequency"):
                     self._freq(Pmt.from_py(v))
@@ -515,12 +536,6 @@ class SeifySource(Block):
                     # no wire command on the shipped drivers; recorded
                     # and reported back via the config query
                     self.antenna = None if v is None else str(v)
-                elif k == "chan":
-                    if int(v) not in self.channels:
-                        raise ValueError(
-                            f"chan {v} is not a configured channel "
-                            f"{self.channels}"
-                        )
         return Pmt.ok()
 
     @message_handler("terminate")
@@ -702,6 +717,7 @@ class SeifySink(Block):
         self.frequency = float(frequency)
         self.sample_rate = float(sample_rate)
         self.gain = None if gain is None else float(gain)
+        self.antenna: Optional[str] = None
         self.is_blocking = True
         self.stream_inputs = [PortSpec("in", np.complex64)]
         self.rate_in = (1,)
@@ -711,7 +727,10 @@ class SeifySink(Block):
     def on_finish(self) -> None:
         """Pmt::Ok on terminate_out when the input stream finishes
         (parity: seify/sink.rs:36,278 — lets a hardware-in-the-loop
-        loopback stop its source)."""
+        loopback stop its source). In this lockstep-SDF executor every
+        stream advances together, so a sink's input finishing IS the
+        graph's EOS — the post lands during the finish drain and
+        reaches connected inboxes before run()/wait() return."""
         self.post("terminate_out", Pmt.ok())
 
     @message_handler("freq")
@@ -733,10 +752,21 @@ class SeifySink(Block):
 
     @message_handler("cmd")
     def _cmd(self, pmt: Pmt) -> Pmt:
-        """Config bundle, same surface as the source (seify/sink.rs:50
-        ports: freq, gain, sample_rate, cmd, config)."""
+        """Config bundle, same field coverage and validate-then-apply
+        atomicity as the source (seify/sink.rs:50 ports: freq, gain,
+        sample_rate, cmd, config; single TX channel, so chan must be
+        0 when present)."""
         cfg = pmt.to_py()
         if isinstance(cfg, dict):
+            if "chan" in cfg and int(cfg["chan"]) != 0:
+                raise ValueError(
+                    f"chan {cfg['chan']}: single-channel sink (only 0)"
+                )
+            for k in ("freq", "frequency", "sample_rate"):
+                if k in cfg:
+                    float(cfg[k])
+            if cfg.get("gain") is not None:
+                float(cfg["gain"])
             for k, v in cfg.items():
                 if k in ("freq", "frequency"):
                     self._freq(Pmt.from_py(v))
@@ -744,6 +774,8 @@ class SeifySink(Block):
                     self._gain(Pmt.from_py(v))
                 elif k == "sample_rate":
                     self._rate(Pmt.from_py(v))
+                elif k == "antenna":
+                    self.antenna = None if v is None else str(v)
         return Pmt.ok()
 
     @message_handler("config")
@@ -755,6 +787,7 @@ class SeifySink(Block):
             frequency=self.frequency,
             sample_rate=self.sample_rate,
             gain=self.gain,
+            antenna=self.antenna,
             chan=0,
         ).to_pmt()
 

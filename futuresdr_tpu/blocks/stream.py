@@ -94,7 +94,6 @@ class Delay(Block):
         self.rate_in = (1,)
         self.rate_out = (1,)
         self._complex = np.dtype(dtype) == np.complex64
-        self._locked = False
         self.state_suffix_in = (abs(self.n),)  # state = last |n| inputs
 
     @message_handler("new_value")
@@ -111,7 +110,7 @@ class Delay(Block):
             return Pmt.from_py(self.n)
         if not isinstance(v, dict) or "pad" not in v or "value" not in v:
             raise ValueError('new_value takes {"pad": bool, "value": int}')
-        if self._locked:
+        if self._rate_locked:
             raise RuntimeError(
                 "new_value cannot change a compiled flowgraph's shift "
                 "(state shape + latency are static): stop the graph, "
@@ -123,14 +122,10 @@ class Delay(Block):
         return Pmt.from_py(self.n)
 
     def make_state(self, in_sizes, out_sizes):
-        self._locked = True
         shape = (abs(self.n),)
         return (
             cplx.czeros(shape) if self._complex else jnp.zeros(shape, jnp.float32)
         )
-
-    def on_finish(self) -> None:
-        self._locked = False  # stop → adjust → run-again flow
 
     def absorb_latency(self, in_lats):
         """Pad: with a transient-free input the inserted zeros are

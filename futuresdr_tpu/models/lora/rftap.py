@@ -67,9 +67,15 @@ FramedReceiverSink`: CRC-clean frames become RFtap ``Pmt`` blobs, ready
     def emit(frame) -> Optional[Pmt]:
         if not getattr(frame, "crc_ok", True):
             return None
+        # same payload fallback chain as FramedReceiverSink's default
+        # emit (blocks/framed.py) so psdu-style frames work too
         data = getattr(frame, "payload", None)
         if data is None:
-            data = getattr(frame, "data", b"")
+            data = getattr(frame, "psdu", None)
+        if data is None:
+            data = getattr(frame, "data", None)
+        if data is None:
+            return None  # nothing to encapsulate: skip, don't emit junk
         return Pmt.blob(
             rftap_encapsulate(
                 bytes(data),

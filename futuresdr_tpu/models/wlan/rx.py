@@ -659,23 +659,17 @@ class WlanReceiver(StreamingReceiver):
         self.frames.extend(out)
         return out
 
-    def process_stream(self, chunks, depth: int = 1):
-        """Pipelined decode of an iterable of IQ chunks (the streaming
-        receiver loop). Yields one ``List[RxFrame]`` per chunk, in order.
-
-        Once the speculative gate is warm, up to ``depth`` chunks' whole
-        device chains dispatch BEFORE the oldest chunk's combined fetch —
-        the fetch round-trip (~28-40 ms through tunneled hosts) overlaps
-        the next chunk's compute, so steady state costs
-        ``max(compute, fetch)`` instead of their sum (same ``depth``
-        contract as :class:`~futuresdr_tpu.models.streaming.\
-StreamingReceiver`). Chunks that trip the gate (traffic change, leader
-        overflow) re-decode classically without breaking order."""
-        if depth < 1:  # validate HERE, not lazily at first next()
-            raise ValueError("depth must be >= 1")
-        return self._stream_impl(chunks, depth)
-
+    # process_stream itself is inherited from StreamingReceiver (the
+    # shared depth validation lives in ONE place); only the pipeline
+    # body differs.
     def _stream_impl(self, chunks, depth: int):
+        """WLAN pipeline body: once the speculative gate is warm, up to
+        ``depth`` chunks' whole device chains dispatch BEFORE the oldest
+        chunk's combined fetch — the fetch round-trip (~28-40 ms through
+        tunneled hosts) overlaps the next chunk's compute, so steady
+        state costs ``max(compute, fetch)`` instead of their sum. Chunks
+        that trip the gate (traffic change, leader overflow) re-decode
+        classically without breaking order."""
         from collections import deque
 
         # each entry: (dispatched-device-refs, x, n_real, bucket)

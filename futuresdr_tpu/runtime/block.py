@@ -137,6 +137,10 @@ class Block:
     # ---- interface (set by subclass __init__) --------------------------
     def __init__(self, name: Optional[str] = None):
         self.instance_name = name or type(self).__name__
+        # True while a compiled Executor holds this block's rate
+        # signature (set at compile, cleared when the run ends) — guards
+        # pre-compile-only retunes like Fft.fft_size / Delay.new_value
+        self._rate_locked = False
         self.stream_inputs: List[PortSpec] = []
         self.stream_outputs: List[PortSpec] = []
         self.message_outputs: List[str] = []

@@ -71,10 +71,13 @@ def save_checkpoint(
     # are part of "as if the stream had never stopped": without them a
     # snapshot taken after a live retune would silently resume with the
     # CONSTRUCTOR values
+    # EVERY block appears (empty dict included): the loader validates
+    # key-set equality per block, so a retunable-flag change is caught
+    # in BOTH directions — an empty saved set vs a non-empty graph set
+    # is as much a structural mismatch as the reverse
     params_states = {
         bid: {k: np.asarray(v) for k, v in b._params.items()}
         for bid, b in enumerate(fg.blocks)
-        if b._params
     }
     manifest = {
         "version": _VERSION,
@@ -137,24 +140,31 @@ def load_checkpoint(path, fg, init_states):
             if "__params__" in z.files
             else {}  # pre-params checkpoint: constructor params stand
         )
+    # validate EVERYTHING before mutating any block, so a rejected
+    # checkpoint leaves the graph untouched
+    if params_states:
+        for bid, b in enumerate(fg.blocks):
+            saved = params_states.get(bid, {})
+            if set(saved) != set(b._params):
+                raise ValueError(
+                    f"block {b.instance_name}: checkpoint params "
+                    f"{sorted(saved)} do not match this graph's "
+                    f"{sorted(b._params)} (e.g. retunable flag changed)"
+                )
+            for k, v in saved.items():
+                cur = np.asarray(b._params[k])
+                v = np.asarray(v)
+                if v.shape != cur.shape or v.dtype != cur.dtype:
+                    raise ValueError(
+                        f"block {b.instance_name} param {k!r}: saved "
+                        f"{v.shape}/{v.dtype} vs graph "
+                        f"{cur.shape}/{cur.dtype}"
+                    )
     for bid, st in host_states.items():
         fg.blocks[int(bid)].set_host_state(st)
     for bid, saved in params_states.items():
         b = fg.blocks[int(bid)]
-        if set(saved) != set(b._params):
-            raise ValueError(
-                f"block {b.instance_name}: checkpoint params "
-                f"{sorted(saved)} do not match this graph's "
-                f"{sorted(b._params)} (e.g. retunable flag changed)"
-            )
         for k, v in saved.items():
-            cur = np.asarray(b._params[k])
-            v = np.asarray(v)
-            if v.shape != cur.shape or v.dtype != cur.dtype:
-                raise ValueError(
-                    f"block {b.instance_name} param {k!r}: saved "
-                    f"{v.shape}/{v.dtype} vs graph {cur.shape}/{cur.dtype}"
-                )
-            b._params[k] = v  # _ParamDict bumps the version → re-upload
+            b._params[k] = np.asarray(v)  # _ParamDict bumps → re-upload
     states = jax.tree_util.tree_unflatten(treedef, leaves)
     return states, dict(manifest["lat_left"]), int(manifest["steps_run"])

@@ -138,6 +138,11 @@ class Executor:
         self.cfg: CompiledFlowgraph = compile_flowgraph(
             fg, chunk_size=chunk_size, mesh=mesh, mesh_axis=mesh_axis
         )
+        # rate signatures are frozen into cfg from here on; unlocked when
+        # the owning Runtime run ends (incl. on error), NOT at batch
+        # pauses of a still-live executor whose cfg stays valid
+        for b in fg.blocks:
+            b._rate_locked = True
         self.max_inflight = max(1, max_inflight)
         self.max_steps = max_steps
         self.running = False
@@ -374,6 +379,7 @@ class Executor:
                 pass
             for b in self.fg.blocks:
                 b._wake_fn = None
+                b._rate_locked = False  # executor thread has ended
             self._unregister_ctrl()
             self._done.set()
 
@@ -1249,6 +1255,8 @@ class Runtime:
         finally:
             ex.running = False
             ex._done.set()
+            for b in fg.blocks:
+                b._rate_locked = False  # run over (or raised): cfg dead
         return fg
 
     def start(

@@ -595,11 +595,47 @@ def test_delay_new_value_port():
     Runtime(chunk_size=1024).run(fg)
     y = snk.data()
     np.testing.assert_array_equal(y[: len(y)], x[8 : 8 + len(y)])
-    # the run finished -> on_finish unlocked: stop-adjust-run-again works
+    # Runtime.run released the lock: stop-adjust-run-again works
     d2.call_handler("new_value", Pmt.from_py({"pad": True, "value": 3}))
     assert d2.n == -5
-    d2.make_state((1024,), (1024,))  # compile re-locks
+    d2._rate_locked = True  # what a live Executor sets at compile
     with pytest.raises(RuntimeError):
         d2.call_handler("new_value", Pmt.from_py({"pad": True, "value": 1}))
+    d2._rate_locked = False
     with pytest.raises(ValueError):
         d2.call_handler("new_value", Pmt.from_py([1, 2]))
+
+
+def test_rate_lock_lifecycle():
+    """The rate lock is executor-lifetime: held from compile through
+    max_steps batch pauses of a live Executor (its cfg stays valid),
+    released by Runtime.run even when the run RAISES."""
+    from futuresdr_tpu.runtime.executor import Executor
+
+    x = np.arange(1, 50_001, dtype=np.float32)
+    d = Delay(-8, dtype=np.float32)
+    fg = Flowgraph()
+    snk = VectorSink(np.float32)
+    connect(fg, VectorSource(x.copy()), d, snk)
+    ex = Executor(fg, chunk_size=2048, max_steps=2)
+    # locked at COMPILE time, before any step ran
+    with pytest.raises(RuntimeError):
+        d.call_handler("new_value", Pmt.from_py({"pad": True, "value": 1}))
+    ex.running = True
+    ex.run_loop()
+    # batch pause: the executor (and its compiled cfg) is still live
+    with pytest.raises(RuntimeError):
+        d.call_handler("new_value", Pmt.from_py({"pad": True, "value": 1}))
+
+    # an ERRORED Runtime.run must still release the lock
+    class Boom(VectorSink):
+        def host_consume(self, arr, tags, port=0):
+            raise OSError("disk full")
+
+    d2 = Delay(-8, dtype=np.float32)
+    fg2 = Flowgraph()
+    connect(fg2, VectorSource(x.copy()), d2, Boom(np.float32))
+    with pytest.raises(OSError):
+        Runtime(chunk_size=2048).run(fg2)
+    d2.call_handler("new_value", Pmt.from_py({"pad": True, "value": 3}))
+    assert d2.n == -5

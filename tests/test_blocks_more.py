@@ -420,13 +420,14 @@ def test_fft_size_message_port():
     Runtime(chunk_size=2048).run(fg)
     y = np.asarray(snk.data()).reshape(-1, 512)
     assert np.argmax(np.abs(y[0])) == 64  # 0.125 * 512
-    # after the run finishes the lock releases: the documented
-    # stop → set → run-again flow works on the same block
+    # Runtime.run released the lock: the documented stop -> set ->
+    # run-again flow works on the same block
     blk.call_handler("fft_size", Pmt.from_py(1024))
     assert blk.size == 1024
-    blk.make_state((1024,), (1024,))  # compile re-locks
+    blk._rate_locked = True  # what a live Executor sets at compile
     with pytest.raises(RuntimeError):
         blk.call_handler("fft_size", Pmt.from_py(2048))
+    blk._rate_locked = False
     with pytest.raises(ValueError):
         Fft(256).call_handler("fft_size", Pmt.from_py(0))
     from futuresdr_tpu.dsp import windows as _win
@@ -434,6 +435,8 @@ def test_fft_size_message_port():
     wblk = Fft(256, window=_win.hamming(256))
     with pytest.raises(ValueError):
         wblk.call_handler("fft_size", Pmt.from_py(512))
+    with pytest.raises(ValueError):
+        Fft(512, window=_win.hamming(256))  # ctor validates too
 
 
 def test_seify_cmd_applies_full_config():

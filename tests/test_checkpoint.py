@@ -366,3 +366,35 @@ def test_retuned_params_survive_checkpoint(tmp_path):
     fs3._params.pop("dphi")
     with pytest.raises(ValueError):
         Runtime(chunk_size=4096).run(fg3, restore=str(ckpt))
+
+
+def test_params_flag_mismatch_caught_both_directions(tmp_path):
+    """A retunable-flag change between save and restore is rejected in
+    BOTH directions (empty-vs-nonempty param sets are structural)."""
+    from futuresdr_tpu.blocks import Fir
+    from futuresdr_tpu.dsp import firdes, windows
+
+    x = _iq(4 * 4096)
+    taps = firdes.lowpass(0.2, windows.hamming(21))
+    ckpt = tmp_path / "flag.ckpt"
+
+    def graph(retunable):
+        fg = Flowgraph()
+        snk = VectorSink(np.complex64)
+        connect(
+            fg,
+            VectorSource(x.copy()),
+            Fir(taps, retunable=retunable),
+            snk,
+        )
+        return fg
+
+    fg1 = graph(False)  # saved WITHOUT params
+    ex = Executor(fg1, chunk_size=4096, max_steps=2)
+    ex.running = True
+    ex.run_loop()
+    ex.snapshot(ckpt)
+
+    fg2 = graph(True)  # restored WITH params: must be rejected
+    with pytest.raises(ValueError, match="checkpoint params"):
+        Runtime(chunk_size=4096).run(fg2, restore=str(ckpt))
