@@ -594,3 +594,41 @@ def test_iir_taps_stay_on_matmul_path_under_jit():
         "jitted IIR took the conv lowering"
     )
     assert fir_mod.path_stats["matmul"] >= before["matmul"] + 2
+
+
+class TestPackedIntFetch:
+    """ops/packing.py: the biased-normal encoding that keeps packed int
+    fetches out of the TPU denormal-flush band (NOTES r5)."""
+
+    def test_round_trip_boundaries(self):
+        from futuresdr_tpu.ops import packing
+
+        hi = (1 << 30) - (1 << 23) - 2  # documented exact-range top
+        vals = np.array(
+            [-1, 0, 1, 2, 127, 128, (1 << 23) - 1, 1 << 23,
+             (1 << 24) + 7, (1 << 29) + 123, hi],
+            np.int32,
+        )
+
+        @jax.jit
+        def rt(v):
+            return packing.pack_int_f32(v) * jnp.float32(1.0)
+
+        got = packing.unpack_int_f32(np.asarray(jax.device_get(rt(vals))))
+        np.testing.assert_array_equal(got, vals)
+
+    def test_packed_values_are_normal_floats(self):
+        from futuresdr_tpu.ops import packing
+
+        vals = np.arange(0, 1 << 12, dtype=np.int32)
+        f = np.asarray(packing.pack_int_f32(vals))
+        # every payload must land in [2.0, 4.0): no denormals, no NaNs
+        assert np.all(np.isfinite(f))
+        assert float(np.min(f)) >= 2.0 and float(np.max(f)) < 4.0
+
+    def test_backend_check_failure_is_cached(self, monkeypatch):
+        from futuresdr_tpu.ops import packing
+
+        monkeypatch.setattr(packing, "_backend_ok", False)
+        with pytest.raises(RuntimeError, match="previously failed"):
+            packing.unpack_int_f32(np.zeros(4, np.float32))
