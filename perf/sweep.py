@@ -5,6 +5,15 @@ CSV of samples/elapsed) and ``perf/fir/fir.rs:31-60`` (64 random taps per
 stage). The reference sweeps schedulers × buffer types; here the equivalent
 axis is the fused-XLA executor's chunk size.
 
+The reference's third variant — ``perf/null_rand`` with ``CopyRand``
+(each work() call copies a RANDOM number of items to stress scheduler
+wakeups and partial-buffer paths) — has no analogue by design: the SDF
+compiler fixes every block's per-step item count at compile time, so
+there is no variable work quantum, no partial-buffer path, and no
+scheduler to stress. The corresponding robustness surface here is the
+short-FINAL-chunk valid-count machinery, covered by
+tests/test_rate_properties.py's random-chain properties instead.
+
 Run:  python perf/sweep.py [--kind copy|fir] [--pipes 1 2 4] \\
           [--stages 1 2 4 8] [--samples 100000000] [--chunk 262144]
 Prints CSV: kind,pipes,stages,chunk,samples,elapsed_s,gsps
