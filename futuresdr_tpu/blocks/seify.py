@@ -329,6 +329,87 @@ class Config:
         )
 
 
+class SoapyClient:
+    """SoapySDR-backed radio (parity: the reference's primary hardware
+    layer — seify's ``soapy`` feature, Cargo.toml:34 — reached here
+    through the SoapySDR Python bindings). Gated on the ``SoapySDR``
+    module being installed; every retune handler forwards to the
+    matching Soapy call."""
+
+    def __init__(
+        self,
+        soapy_args: Dict[str, str],
+        channel: int,
+        sample_rate: float,
+        frequency: float,
+        gain: Optional[float],
+        timeout_s: float = 2.0,
+    ):
+        try:
+            import SoapySDR  # noqa: PLC0415 - optional hardware dep
+        except ImportError as e:
+            raise RuntimeError(
+                "driver='soapy' needs the SoapySDR Python bindings "
+                "(python3-soapysdr / SoapySDR from source) — not "
+                "installed in this environment"
+            ) from e
+        self._sdr = SoapySDR
+        self._rx = SoapySDR.SOAPY_SDR_RX
+        self.channel = int(channel)
+        self.dev = SoapySDR.Device(dict(soapy_args))
+        self.timeout_us = int(timeout_s * 1e6)
+        self.dev.setSampleRate(self._rx, self.channel, float(sample_rate))
+        self.dev.setFrequency(self._rx, self.channel, float(frequency))
+        self.set_gain(gain)
+        self._stream = self.dev.setupStream(
+            self._rx, SoapySDR.SOAPY_SDR_CF32, [self.channel]
+        )
+        self.dev.activateStream(self._stream)
+        self.overflows = 0
+
+    def set_freq(self, hz: float) -> None:
+        self.dev.setFrequency(self._rx, self.channel, float(hz))
+
+    def set_sample_rate(self, hz: float) -> None:
+        self.dev.setSampleRate(self._rx, self.channel, float(hz))
+
+    def set_gain(self, db: Optional[float]) -> None:
+        """None → hardware AGC (when supported); value → manual dB."""
+        if db is None:
+            if self.dev.hasGainMode(self._rx, self.channel):
+                self.dev.setGainMode(self._rx, self.channel, True)
+        else:
+            self.dev.setGainMode(self._rx, self.channel, False)
+            self.dev.setGain(self._rx, self.channel, float(db))
+
+    def set_antenna(self, name: str) -> None:
+        self.dev.setAntenna(self._rx, self.channel, str(name))
+
+    def read(self, n_samples: int) -> Optional[np.ndarray]:
+        """Up to n samples; zeros(0) on timeout (caller retries); None
+        only on unrecoverable stream errors."""
+        buf = np.empty(n_samples, np.complex64)
+        sr = self.dev.readStream(
+            self._stream, [buf], n_samples, timeoutUs=self.timeout_us
+        )
+        ret = int(sr.ret)
+        if ret > 0:
+            return buf[:ret]
+        if ret == self._sdr.SOAPY_SDR_TIMEOUT:
+            return np.zeros(0, np.complex64)
+        if ret == self._sdr.SOAPY_SDR_OVERFLOW:
+            self.overflows += 1
+            return np.zeros(0, np.complex64)
+        return None  # other negative codes: stream is dead
+
+    def close(self) -> None:
+        try:
+            self.dev.deactivateStream(self._stream)
+            self.dev.closeStream(self._stream)
+        except Exception:  # noqa: BLE001 - shutdown path
+            pass
+
+
 def _parse_args(args: Optional[str]) -> Dict[str, str]:
     out: Dict[str, str] = {}
     for part in (args or "").split(","):
@@ -365,6 +446,7 @@ class SeifySource(Block):
         tone_offset: float = 100e3,
         noise_power: float = 1e-4,
         channels=None,
+        extra_args: Optional[Dict[str, str]] = None,
         name: Optional[str] = None,
     ):
         super().__init__(name)
@@ -390,7 +472,7 @@ class SeifySource(Block):
             raise ValueError(
                 f"driver {driver!r} carries a single IQ stream — "
                 "multi-channel needs driver='dummy' (or one source per "
-                "channel)"
+                "channel; soapy's channel= selects which)"
             )
         nch = len(self.channels)
         self.stream_outputs = [
@@ -405,7 +487,26 @@ class SeifySource(Block):
         self._rtl: Optional[RtlTcpClient] = None
         self._udp = None
         self._http: Optional[AaroniaHttpClient] = None
-        if driver == "aaronia_http":
+        self._soapy: Optional[SoapyClient] = None
+        if driver == "soapy":
+            # generic hardware layer (the reference's primary driver);
+            # extra Builder args (driver=soapy,soapy_driver=rtlsdr,...)
+            # pass straight through to SoapySDR.Device
+            dev_args = {
+                k[len("soapy_") :] if k.startswith("soapy_") else k: v
+                for k, v in (extra_args or {}).items()
+            }
+            dev_args.pop("driver", None)
+            if "soapy_driver" in (extra_args or {}):
+                dev_args["driver"] = extra_args["soapy_driver"]
+            self._soapy = SoapyClient(
+                dev_args,
+                channel=self.channels[0],
+                sample_rate=self.sample_rate,
+                frequency=self.frequency,
+                gain=self.gain,
+            )
+        elif driver == "aaronia_http":
             base = url or (
                 f"http://{host or '127.0.0.1'}:{int(port or 54664)}"
             )
@@ -457,7 +558,8 @@ class SeifySource(Block):
         elif driver != "dummy":
             raise ValueError(
                 f"driver {driver!r} not available on this platform — use "
-                "'dummy', 'file', 'rtl_tcp', 'udp', 'aaronia_http', or "
+                "'dummy', 'file', 'rtl_tcp', 'udp', 'aaronia_http', "
+                "'soapy' (needs the SoapySDR Python bindings), or "
                 "network ingest blocks (Tcp/Udp/Zmq)"
             )
 
@@ -467,6 +569,8 @@ class SeifySource(Block):
         self.frequency = float(pmt.as_float())
         if self._rtl is not None:
             self._rtl.set_freq(self.frequency)
+        if self._soapy is not None:
+            self._soapy.set_freq(self.frequency)
         if self._http is not None:
             self._http.put_control(frequency=self.frequency)
         return Pmt.ok()
@@ -477,6 +581,8 @@ class SeifySource(Block):
         self.gain = None if v is None else float(v)  # None → back to AGC
         if self._rtl is not None:
             self._rtl.set_gain(self.gain)
+        if self._soapy is not None:
+            self._soapy.set_gain(self.gain)
         if self._http is not None:
             if self.gain is None:
                 # the RTSA control schema has no AGC spelling (absence of
@@ -499,6 +605,8 @@ class SeifySource(Block):
         self.sample_rate = float(pmt.as_float())
         if self._rtl is not None:
             self._rtl.set_sample_rate(self.sample_rate)
+        if self._soapy is not None:
+            self._soapy.set_sample_rate(self.sample_rate)
         if self._http is not None:
             self._http.put_control(sampleRate=self.sample_rate)
         return Pmt.ok()
@@ -533,9 +641,11 @@ class SeifySource(Block):
                 elif k == "sample_rate":
                     self._rate(Pmt.from_py(v))
                 elif k == "antenna":
-                    # no wire command on the shipped drivers; recorded
-                    # and reported back via the config query
+                    # soapy has a real antenna switch; the other shipped
+                    # drivers record it and report via the config query
                     self.antenna = None if v is None else str(v)
+                    if self._soapy is not None and v is not None:
+                        self._soapy.set_antenna(str(v))
         return Pmt.ok()
 
     @message_handler("terminate")
@@ -576,11 +686,20 @@ class SeifySource(Block):
         seify source.rs:36)."""
         if self._udp is not None:
             return Pmt.u64(self._udp.stats()[2])
+        if self._soapy is not None:
+            return Pmt.u64(self._soapy.overflows)
         return Pmt.u64(0)
 
     def host_produce(self, n: int, port: int = 0):
         if self._terminated:
             return None  # terminate port fired: EOS
+        if self._soapy is not None:
+            chunk = self._soapy.read(n)
+            if chunk is None:
+                raise ConnectionError(
+                    "SoapySDR stream returned a fatal error code"
+                )
+            return chunk
         if self._udp is not None:
             # overflow events come from the INNER UdpIqSource's single
             # take_overflow_delta (its _post_fn is forwarded to this
@@ -674,11 +793,17 @@ class SeifySource(Block):
     def on_finish(self) -> None:
         if self._rtl is not None:
             self._rtl.close()
+        if self._soapy is not None:
+            self._soapy.close()
         if self._udp is not None:
             self._udp.on_finish()
 
     def host_state(self):
-        if self._rtl is not None or self._udp is not None:
+        if (
+            self._rtl is not None
+            or self._udp is not None
+            or self._soapy is not None
+        ):
             return None  # live hardware: resume rejoins the live stream
         st = {
             "phases": list(self._phases),
@@ -840,6 +965,7 @@ class Builder:
             fmt=self._cfg.get("fmt"),
             url=self._cfg.get("url"),
             channels=self._channels,
+            extra_args=dict(self._cfg),
         )
 
     def build_sink(self) -> SeifySink:

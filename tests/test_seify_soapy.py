@@ -1,0 +1,163 @@
+"""SoapySDR driver against a fake SoapySDR module (the fake-driver
+pattern of tests/test_audio_driver.py): full stream + retune surface
+without hardware."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from futuresdr_tpu import Flowgraph, Runtime, connect
+from futuresdr_tpu.blocks import Head, VectorSink
+from futuresdr_tpu.types.pmt import Pmt
+
+SOAPY_SDR_RX = 1
+SOAPY_SDR_CF32 = "CF32"
+SOAPY_SDR_TIMEOUT = -1
+SOAPY_SDR_OVERFLOW = -4
+
+
+class _FakeStreamResult:
+    def __init__(self, ret):
+        self.ret = ret
+
+
+class _FakeDevice:
+    """Tone generator with the SoapySDR Device API surface."""
+
+    def __init__(self, args):
+        self.args = dict(args)
+        self.calls = []
+        self.sample_rate = 1e6
+        self.freq = 100e6
+        self.gain = 0.0
+        self.agc = False
+        self.antenna = None
+        self._phase = 0.0
+        self._active = False
+        self._inject = []  # pending special return codes
+
+    # --- config -----------------------------------------------------
+    def setSampleRate(self, d, ch, v):
+        self.calls.append(("rate", ch, v))
+        self.sample_rate = v
+
+    def setFrequency(self, d, ch, v):
+        self.calls.append(("freq", ch, v))
+        self.freq = v
+
+    def hasGainMode(self, d, ch):
+        return True
+
+    def setGainMode(self, d, ch, on):
+        self.calls.append(("agc", ch, on))
+        self.agc = bool(on)
+
+    def setGain(self, d, ch, v):
+        self.calls.append(("gain", ch, v))
+        self.gain = v
+
+    def setAntenna(self, d, ch, name):
+        self.calls.append(("antenna", ch, name))
+        self.antenna = name
+
+    # --- streaming ----------------------------------------------------
+    def setupStream(self, d, fmt, chans):
+        assert fmt == SOAPY_SDR_CF32
+        self.stream_chans = list(chans)
+        return "stream0"
+
+    def activateStream(self, st):
+        self._active = True
+
+    def deactivateStream(self, st):
+        self._active = False
+
+    def closeStream(self, st):
+        self.closed = True
+
+    def readStream(self, st, bufs, n, timeoutUs=0):
+        assert self._active
+        if self._inject:
+            return _FakeStreamResult(self._inject.pop(0))
+        w = 2 * np.pi * 50e3 / self.sample_rate
+        ph = self._phase + w * np.arange(n)
+        self._phase = float((self._phase + w * n) % (2 * np.pi))
+        bufs[0][:n] = np.exp(1j * ph).astype(np.complex64)
+        return _FakeStreamResult(n)
+
+
+@pytest.fixture()
+def fake_soapy(monkeypatch):
+    mod = types.ModuleType("SoapySDR")
+    mod.SOAPY_SDR_RX = SOAPY_SDR_RX
+    mod.SOAPY_SDR_CF32 = SOAPY_SDR_CF32
+    mod.SOAPY_SDR_TIMEOUT = SOAPY_SDR_TIMEOUT
+    mod.SOAPY_SDR_OVERFLOW = SOAPY_SDR_OVERFLOW
+    devices = []
+
+    def make_device(args):
+        d = _FakeDevice(args)
+        devices.append(d)
+        return d
+
+    mod.Device = make_device
+    mod._devices = devices
+    monkeypatch.setitem(sys.modules, "SoapySDR", mod)
+    return mod
+
+
+def test_soapy_stream_and_retunes(fake_soapy):
+    from futuresdr_tpu.blocks.seify import Builder
+
+    src = (
+        Builder("driver=soapy,soapy_driver=rtlsdr")
+        .frequency(433e6)
+        .sample_rate(1e6)
+        .gain(20.0)
+        .build_source()
+    )
+    dev = fake_soapy._devices[0]
+    assert dev.args == {"driver": "rtlsdr"}
+    assert dev.freq == 433e6 and dev.gain == 20.0 and not dev.agc
+
+    fg = Flowgraph()
+    snk = VectorSink(np.complex64)
+    connect(fg, src, Head(32768, np.complex64), snk)
+    src.call_handler("freq", Pmt.from_py(434e6))
+    src.call_handler("gain", Pmt.from_py(None))  # back to AGC
+    assert dev.freq == 434e6 and dev.agc
+    Runtime(chunk_size=8192).run(fg)
+    y = np.asarray(snk.data())
+    assert len(y) == 32768
+    peak = np.argmax(np.abs(np.fft.fft(y[:8192])))
+    assert abs(peak - 8192 * 0.05) < 3  # 50 kHz tone at 1 MS/s
+    assert getattr(dev, "closed", False)  # stream closed at EOS
+
+
+def test_soapy_timeout_overflow_and_antenna(fake_soapy):
+    from futuresdr_tpu.blocks.seify import Builder, Config
+
+    src = Builder("driver=soapy").build_source()
+    dev = fake_soapy._devices[0]
+    dev._inject = [SOAPY_SDR_TIMEOUT, SOAPY_SDR_OVERFLOW]
+    assert len(src.host_produce(256)) == 0  # timeout → retry
+    assert len(src.host_produce(256)) == 0  # overflow → counted + retry
+    assert src.call_handler("overflows", Pmt.from_py(None)).to_py() == 1
+    assert len(src.host_produce(256)) == 256
+
+    src.call_handler("cmd", Config(antenna="RX2").to_pmt())
+    assert dev.antenna == "RX2"
+
+    dev._inject = [-7]  # fatal stream error
+    with pytest.raises(ConnectionError):
+        src.host_produce(256)
+
+
+def test_soapy_missing_module_is_gated(monkeypatch):
+    monkeypatch.setitem(sys.modules, "SoapySDR", None)
+    from futuresdr_tpu.blocks.seify import Builder
+
+    with pytest.raises(RuntimeError, match="SoapySDR"):
+        Builder("driver=soapy").build_source()
