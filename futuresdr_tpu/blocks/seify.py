@@ -344,6 +344,7 @@ class SoapyClient:
         frequency: float,
         gain: Optional[float],
         timeout_s: float = 2.0,
+        tx: bool = False,
     ):
         try:
             import SoapySDR  # noqa: PLC0415 - optional hardware dep
@@ -354,7 +355,7 @@ class SoapyClient:
                 "installed in this environment"
             ) from e
         self._sdr = SoapySDR
-        self._rx = SoapySDR.SOAPY_SDR_RX
+        self._rx = SoapySDR.SOAPY_SDR_TX if tx else SoapySDR.SOAPY_SDR_RX
         self.channel = int(channel)
         self.dev = SoapySDR.Device(dict(soapy_args))
         self.timeout_us = int(timeout_s * 1e6)
@@ -366,6 +367,7 @@ class SoapyClient:
         )
         self.dev.activateStream(self._stream)
         self.overflows = 0
+        self.underflows = 0
 
     def set_freq(self, hz: float) -> None:
         self.dev.setFrequency(self._rx, self.channel, float(hz))
@@ -401,6 +403,31 @@ class SoapyClient:
             self.overflows += 1
             return np.zeros(0, np.complex64)
         return None  # other negative codes: stream is dead
+
+    def write(self, samples: np.ndarray) -> None:
+        """Blocking TX of the whole chunk (UNDERFLOW is counted and the
+        remainder retried; other negative codes are fatal)."""
+        buf = np.ascontiguousarray(samples, np.complex64)
+        off = 0
+        while off < len(buf):
+            sr = self.dev.writeStream(
+                self._stream,
+                [buf[off:]],
+                len(buf) - off,
+                timeoutUs=self.timeout_us,
+            )
+            ret = int(sr.ret)
+            if ret > 0:
+                off += ret
+            elif ret in (
+                self._sdr.SOAPY_SDR_TIMEOUT,
+                getattr(self._sdr, "SOAPY_SDR_UNDERFLOW", -9999),
+            ):
+                self.underflows += ret != self._sdr.SOAPY_SDR_TIMEOUT
+            else:
+                raise ConnectionError(
+                    f"SoapySDR writeStream fatal error {ret}"
+                )
 
     def close(self) -> None:
         try:
@@ -835,6 +862,7 @@ class SeifySink(Block):
         frequency: float = 100e6,
         sample_rate: float = 1e6,
         gain: Optional[float] = None,
+        extra_args: Optional[Dict[str, str]] = None,
         name: Optional[str] = None,
     ):
         super().__init__(name)
@@ -848,6 +876,28 @@ class SeifySink(Block):
         self.rate_in = (1,)
         self.message_outputs = ["terminate_out"]
         self.n_sent = 0
+        self._soapy: Optional[SoapyClient] = None
+        if driver == "soapy":
+            dev_args = {
+                k[len("soapy_") :] if k.startswith("soapy_") else k: v
+                for k, v in (extra_args or {}).items()
+            }
+            dev_args.pop("driver", None)
+            if "soapy_driver" in (extra_args or {}):
+                dev_args["driver"] = extra_args["soapy_driver"]
+            self._soapy = SoapyClient(
+                dev_args,
+                channel=0,
+                sample_rate=self.sample_rate,
+                frequency=self.frequency,
+                gain=self.gain,
+                tx=True,
+            )
+        elif driver != "dummy":
+            raise ValueError(
+                f"sink driver {driver!r} not available — use 'dummy' or "
+                "'soapy' (needs the SoapySDR Python bindings)"
+            )
 
     def on_finish(self) -> None:
         """Pmt::Ok on terminate_out when the input stream finishes
@@ -856,11 +906,15 @@ class SeifySink(Block):
         stream advances together, so a sink's input finishing IS the
         graph's EOS — the post lands during the finish drain and
         reaches connected inboxes before run()/wait() return."""
+        if self._soapy is not None:
+            self._soapy.close()
         self.post("terminate_out", Pmt.ok())
 
     @message_handler("freq")
     def _freq(self, pmt: Pmt) -> Pmt:
         self.frequency = float(pmt.as_float())
+        if self._soapy is not None:
+            self._soapy.set_freq(self.frequency)
         return Pmt.ok()
 
     @message_handler("gain")
@@ -868,11 +922,15 @@ class SeifySink(Block):
         # same contract as the source handler: None → AGC
         v = pmt.to_py()
         self.gain = None if v is None else float(v)
+        if self._soapy is not None:
+            self._soapy.set_gain(self.gain)
         return Pmt.ok()
 
     @message_handler("sample_rate")
     def _rate(self, pmt: Pmt) -> Pmt:
         self.sample_rate = float(pmt.as_float())
+        if self._soapy is not None:
+            self._soapy.set_sample_rate(self.sample_rate)
         return Pmt.ok()
 
     @message_handler("cmd")
@@ -901,6 +959,8 @@ class SeifySink(Block):
                     self._rate(Pmt.from_py(v))
                 elif k == "antenna":
                     self.antenna = None if v is None else str(v)
+                    if self._soapy is not None and v is not None:
+                        self._soapy.set_antenna(str(v))
         return Pmt.ok()
 
     @message_handler("config")
@@ -917,6 +977,8 @@ class SeifySink(Block):
         ).to_pmt()
 
     def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:
+        if self._soapy is not None:
+            self._soapy.write(np.asarray(arr))
         self.n_sent += arr.shape[-1]
 
 
@@ -974,4 +1036,5 @@ class Builder:
             frequency=self._freq,
             sample_rate=self._rate,
             gain=self._gain,
+            extra_args=dict(self._cfg),
         )

@@ -161,3 +161,48 @@ def test_soapy_missing_module_is_gated(monkeypatch):
 
     with pytest.raises(RuntimeError, match="SoapySDR"):
         Builder("driver=soapy").build_source()
+
+
+def test_soapy_tx_sink(fake_soapy):
+    """TX path: host_consume writes whole chunks via writeStream with
+    underflow retry; retunes forward; stream closes at EOS."""
+    from futuresdr_tpu.blocks import VectorSource
+    from futuresdr_tpu.blocks.seify import Builder
+
+    fake_soapy.SOAPY_SDR_TX = 2
+    fake_soapy.SOAPY_SDR_UNDERFLOW = -5
+    writes = []
+
+    def writeStream(self, st, bufs, n, timeoutUs=0):
+        if getattr(self, "_tx_inject", None):
+            return _FakeStreamResult(self._tx_inject.pop(0))
+        take = min(n, 1000)  # partial writes exercise the retry loop
+        writes.append(np.array(bufs[0][:take]))
+        return _FakeStreamResult(take)
+
+    _FakeDevice.writeStream = writeStream
+    try:
+        snk = (
+            Builder("driver=soapy,soapy_driver=lime")
+            .frequency(915e6)
+            .sample_rate(2e6)
+            .gain(30.0)
+            .build_sink()
+        )
+        dev = fake_soapy._devices[0]
+        assert dev.args == {"driver": "lime"}
+        dev._tx_inject = [SOAPY_SDR_TIMEOUT, fake_soapy.SOAPY_SDR_UNDERFLOW]
+
+        x = (np.arange(5000) % 7).astype(np.complex64)
+        fg = Flowgraph()
+        connect(fg, VectorSource(x.copy()), snk)
+        snk.call_handler("freq", Pmt.from_py(916e6))
+        assert dev.freq == 916e6
+        Runtime(chunk_size=2048).run(fg)
+        sent = np.concatenate(writes)
+        np.testing.assert_array_equal(sent, x)
+        assert snk._soapy.underflows == 1
+        assert snk.n_sent == 5000
+        assert getattr(dev, "closed", False)
+    finally:
+        del _FakeDevice.writeStream
