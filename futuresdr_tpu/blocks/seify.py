@@ -12,7 +12,10 @@ IQ (tone + noise, retunable via the same message ports), so
 reference-style apps and tests port unchanged; a real capture file is
 ``Builder("driver=file,path=...")``; live RTL-SDR hardware is
 ``Builder("driver=rtl_tcp,host=...,port=1234")`` — the rtl_tcp wire
-protocol with retunes forwarded as live commands.
+protocol with retunes forwarded as live commands; and generic SDR
+hardware is ``Builder("driver=soapy,soapy_driver=...")`` through the
+SoapySDR Python bindings (RX and TX) — the same library the
+reference's seify crate wraps.
 """
 
 from __future__ import annotations
