@@ -111,6 +111,52 @@ class AudioSource(Block):
         return np.asarray(data, dtype=np.float32).reshape(-1)
 
 
+def _read_wav_raw(path: Path):
+    """RIFF reader for the WAV formats the stdlib ``wave`` module
+    rejects: IEEE float (tag 3, f32/f64) and G.711 A-law/µ-law
+    (tags 6/7). Returns ``(float32 interleaved, rate, channels)``."""
+    import struct
+
+    with open(path, "rb") as f:
+        hdr = f.read(12)
+        if hdr[:4] != b"RIFF" or hdr[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        tag = rate = channels = bits = None
+        data = None
+        while True:
+            ch = f.read(8)
+            if len(ch) < 8:
+                break
+            cid = ch[:4]
+            (size,) = struct.unpack("<I", ch[4:])
+            if cid == b"fmt ":
+                fmt = f.read(size + (size & 1))
+                tag, channels, rate, _, _, bits = struct.unpack(
+                    "<HHIIHH", fmt[:16]
+                )
+            elif cid == b"data":
+                data = f.read(size)
+                f.seek(size & 1, 1)
+            else:
+                f.seek(size + (size & 1), 1)
+    if tag is None or data is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    if tag == 3:
+        dt = np.float32 if bits == 32 else np.float64
+        out = np.frombuffer(data, dt).astype(np.float32)
+    elif tag == 6:
+        from futuresdr_tpu.dsp.g711 import alaw_decode
+
+        out = alaw_decode(data).astype(np.float32) / 32768.0
+    elif tag == 7:
+        from futuresdr_tpu.dsp.g711 import ulaw_decode
+
+        out = ulaw_decode(data).astype(np.float32) / 32768.0
+    else:
+        raise ValueError(f"{path}: unsupported WAVE format tag {tag}")
+    return out, int(rate), int(channels)
+
+
 def _decode_via_ffmpeg(path: Path):
     """Decode any compressed audio file (mp3/flac/ogg/m4a/…) to f32 PCM
     through an ``ffmpeg`` subprocess — the documented fallback for the
@@ -178,9 +224,12 @@ class AudioFileSource(Block):
     """Decode an audio file into f32 samples (parity: audio/file_source.rs
     — rodio decodes mp3/flac there). PCM WAV decodes in-process via the
     stdlib; IMA ADPCM WAV (format 0x11 — a real 4:1 compressed format)
-    decodes in-process via :mod:`futuresdr_tpu.dsp.adpcm`; other
-    compressed formats (mp3/flac/ogg/…) decode through
-    :func:`_decode_via_ffmpeg` when ffmpeg is on PATH."""
+    decodes in-process via :mod:`futuresdr_tpu.dsp.adpcm`; IEEE-float
+    WAV (format 3, f32/f64), G.711 A-law/µ-law (formats 6/7, via
+    :mod:`futuresdr_tpu.dsp.g711` — byte-exact vs audioop) and 24-bit
+    PCM decode in-process too; other compressed formats (mp3/flac/
+    ogg/…) decode through :func:`_decode_via_ffmpeg` when ffmpeg is on
+    PATH."""
 
     def __init__(self, path, repeat: bool = False, name: Optional[str] = None):
         super().__init__(name)
@@ -197,6 +246,10 @@ class AudioFileSource(Block):
             data, self.sample_rate, self.channels = read_ima_wav(
                 self.path
             )
+        elif self._wav_format_tag() in (3, 6, 7):
+            data, self.sample_rate, self.channels = _read_wav_raw(
+                self.path
+            )
         else:
             with wave.open(str(self.path), "rb") as w:
                 self.sample_rate = w.getframerate()
@@ -211,6 +264,15 @@ class AudioFileSource(Block):
                 data = (
                     np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0
                 ) / 128.0
+            elif width == 3:
+                b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+                v = (
+                    b[:, 0].astype(np.int32)
+                    | (b[:, 1].astype(np.int32) << 8)
+                    | (b[:, 2].astype(np.int32) << 16)
+                )
+                v -= (v & 0x800000) << 1  # sign-extend 24-bit
+                data = v.astype(np.float32) / 2**23
             elif width == 4:
                 data = (
                     np.frombuffer(raw, np.int32).astype(np.float32) / 2**31

@@ -353,3 +353,96 @@ def test_adpcm_truncated_file_errors(tmp_path):
     (tmp_path / "cut.wav").write_bytes(raw[:20])  # inside the header
     with pytest.raises(ValueError):
         read_ima_wav(tmp_path / "cut.wav")
+
+
+def _write_wav(path, tag, rate, channels, bits, payload: bytes):
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    with open(path, "wb") as f:
+        total = 4 + 8 + len(fmt) + 8 + len(payload)
+        f.write(b"RIFF" + struct.pack("<I", total) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+
+
+def test_g711_codecs_match_audioop():
+    """dsp/g711 decode AND encode byte-exact vs CPython's audioop over
+    the entire int16 / code domains."""
+    import audioop
+    import warnings
+
+    from futuresdr_tpu.dsp import g711
+
+    warnings.filterwarnings("ignore", category=DeprecationWarning)
+    codes = bytes(range(256))
+    np.testing.assert_array_equal(
+        g711.ulaw_decode(codes),
+        np.frombuffer(audioop.ulaw2lin(codes, 2), np.int16),
+    )
+    np.testing.assert_array_equal(
+        g711.alaw_decode(codes),
+        np.frombuffer(audioop.alaw2lin(codes, 2), np.int16),
+    )
+    pcm = np.arange(-32768, 32768, dtype=np.int16)
+    assert g711.ulaw_encode(pcm) == audioop.lin2ulaw(pcm.tobytes(), 2)
+    assert g711.alaw_encode(pcm) == audioop.lin2alaw(pcm.tobytes(), 2)
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_audio_file_source_g711_wav(tmp_path, law):
+    """G.711 WAV (formats 6/7) decodes in-process through the source."""
+    from futuresdr_tpu.dsp import g711
+
+    tone = (
+        0.4 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000) * 32767
+    ).astype(np.int16)
+    enc = getattr(g711, f"{law}_encode")(tone)
+    dec = getattr(g711, f"{law}_decode")(enc).astype(np.float32) / 32768.0
+    tag = 7 if law == "ulaw" else 6
+    path = tmp_path / f"{law}.wav"
+    _write_wav(path, tag, 8000, 1, 8, enc)
+
+    src = audio_mod.AudioFileSource(path)
+    assert src.sample_rate == 8000
+    got = src.host_produce(8000)
+    np.testing.assert_allclose(got, dec, atol=0)
+    # SNR sanity: 8-bit companded speech codec ≈ 35+ dB on a tone
+    err = got - tone.astype(np.float32) / 32768.0
+    snr = 10 * np.log10(np.mean((tone / 32768.0) ** 2) / np.mean(err**2))
+    assert snr > 30.0
+
+
+def test_audio_file_source_float_and_24bit_wav(tmp_path):
+    """IEEE-float (tag 3) and 24-bit PCM WAVs decode in-process."""
+    import struct as _struct
+
+    tone = (0.6 * np.sin(2 * np.pi * 220 * np.arange(4000) / 8000)).astype(
+        np.float32
+    )
+    fpath = tmp_path / "f32.wav"
+    _write_wav(fpath, 3, 8000, 1, 32, tone.tobytes())
+    src = audio_mod.AudioFileSource(fpath)
+    np.testing.assert_array_equal(src.host_produce(4000), tone)
+
+    v = np.clip(np.round(tone * 2**23), -(2**23), 2**23 - 1).astype(
+        np.int32
+    )
+    b = np.zeros((len(v), 3), np.uint8)
+    b[:, 0] = v & 0xFF
+    b[:, 1] = (v >> 8) & 0xFF
+    b[:, 2] = (v >> 16) & 0xFF
+    p24 = tmp_path / "p24.wav"
+    import wave as _wave
+
+    with _wave.open(str(p24), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(b.tobytes())
+    src24 = audio_mod.AudioFileSource(p24)
+    got = src24.host_produce(4000)
+    np.testing.assert_allclose(got, tone, atol=1.5 / 2**23)
