@@ -74,6 +74,11 @@ def main() -> None:
     handle.wait()
 
     y = np.asarray(snk.data())
+    if len(y) - n_before < 100_000:
+        raise SystemExit(
+            f"only {len(y) - n_before} post-retune samples — backend too "
+            "slow to judge the flip; re-run"
+        )
     before = y[2048 : n_before - 2048]
     after = y[-(len(y) - n_before) // 2 :]
     print(

@@ -136,6 +136,11 @@ def _read_wav_raw(path: Path):
                 )
             elif cid == b"data":
                 data = f.read(size)
+                if len(data) != size:
+                    raise ValueError(
+                        f"{path}: data chunk truncated "
+                        f"({len(data)} of {size} bytes)"
+                    )
                 f.seek(size & 1, 1)
             else:
                 f.seek(size + (size & 1), 1)
@@ -236,17 +241,22 @@ class AudioFileSource(Block):
         self.path = Path(path)
         self.repeat = repeat
         self.is_blocking = True
-        if self.path.suffix.lower() != ".wav":
+        tag = (
+            self._wav_format_tag()
+            if self.path.suffix.lower() == ".wav"
+            else None
+        )
+        if tag is None:
             data, self.sample_rate, self.channels = _decode_via_ffmpeg(
                 self.path
             )
-        elif self._wav_format_tag() == 0x11:
+        elif tag == 0x11:
             from futuresdr_tpu.dsp.adpcm import read_ima_wav
 
             data, self.sample_rate, self.channels = read_ima_wav(
                 self.path
             )
-        elif self._wav_format_tag() in (3, 6, 7):
+        elif tag in (3, 6, 7):
             data, self.sample_rate, self.channels = _read_wav_raw(
                 self.path
             )

@@ -362,15 +362,26 @@ class SoapyClient:
         self.channel = int(channel)
         self.dev = SoapySDR.Device(dict(soapy_args))
         self.timeout_us = int(timeout_s * 1e6)
-        self.dev.setSampleRate(self._rx, self.channel, float(sample_rate))
-        self.dev.setFrequency(self._rx, self.channel, float(frequency))
-        self.set_gain(gain)
-        self._stream = self.dev.setupStream(
-            self._rx, SoapySDR.SOAPY_SDR_CF32, [self.channel]
-        )
-        self.dev.activateStream(self._stream)
+        self._stream = None
+        try:
+            self.dev.setSampleRate(
+                self._rx, self.channel, float(sample_rate)
+            )
+            self.dev.setFrequency(self._rx, self.channel, float(frequency))
+            self.set_gain(gain)
+            self._stream = self.dev.setupStream(
+                self._rx, SoapySDR.SOAPY_SDR_CF32, [self.channel]
+            )
+            self.dev.activateStream(self._stream)
+        except BaseException:
+            # release the (possibly exclusive) device claim so a retry
+            # with corrected args does not hit 'device busy'
+            self.close()
+            self.dev = None
+            raise
         self.overflows = 0
         self.underflows = 0
+        self.max_consecutive_timeouts = 5  # bounds a dead TX stream
 
     def set_freq(self, hz: float) -> None:
         self.dev.setFrequency(self._rx, self.channel, float(hz))
@@ -387,6 +398,16 @@ class SoapyClient:
             self.dev.setGainMode(self._rx, self.channel, False)
             self.dev.setGain(self._rx, self.channel, float(db))
 
+    def valid_antenna(self, name: str) -> bool:
+        """True when the device cannot enumerate antennas (no way to
+        pre-check) or the name is in its list — used by the cmd
+        bundle's validate-before-apply pass."""
+        try:
+            names = list(self.dev.listAntennas(self._rx, self.channel))
+        except Exception:  # noqa: BLE001 - enumeration unsupported
+            return True
+        return not names or str(name) in names
+
     def set_antenna(self, name: str) -> None:
         self.dev.setAntenna(self._rx, self.channel, str(name))
 
@@ -400,7 +421,9 @@ class SoapyClient:
         ret = int(sr.ret)
         if ret > 0:
             return buf[:ret]
-        if ret == self._sdr.SOAPY_SDR_TIMEOUT:
+        if ret == 0 or ret == self._sdr.SOAPY_SDR_TIMEOUT:
+            # 0 elements is a legal 'nothing right now' return on some
+            # drivers (remote/audio shims) — retry like a timeout
             return np.zeros(0, np.complex64)
         if ret == self._sdr.SOAPY_SDR_OVERFLOW:
             self.overflows += 1
@@ -412,6 +435,7 @@ class SoapyClient:
         remainder retried; other negative codes are fatal)."""
         buf = np.ascontiguousarray(samples, np.complex64)
         off = 0
+        stalls = 0  # consecutive no-progress cycles (dead-stream bound)
         while off < len(buf):
             sr = self.dev.writeStream(
                 self._stream,
@@ -422,11 +446,24 @@ class SoapyClient:
             ret = int(sr.ret)
             if ret > 0:
                 off += ret
-            elif ret in (
+                stalls = 0
+            elif ret == 0 or ret in (
                 self._sdr.SOAPY_SDR_TIMEOUT,
                 getattr(self._sdr, "SOAPY_SDR_UNDERFLOW", -9999),
             ):
-                self.underflows += ret != self._sdr.SOAPY_SDR_TIMEOUT
+                self.underflows += ret == getattr(
+                    self._sdr, "SOAPY_SDR_UNDERFLOW", -9999
+                )
+                stalls += 1
+                if stalls > self.max_consecutive_timeouts:
+                    # a live TX stream drains continuously; prolonged
+                    # no-progress = dead device, surface it instead of
+                    # hanging the executor forever (the rtl_tcp
+                    # no-data-timeout discipline)
+                    raise ConnectionError(
+                        f"SoapySDR TX made no progress across "
+                        f"{stalls} consecutive write timeouts"
+                    )
             else:
                 raise ConnectionError(
                     f"SoapySDR writeStream fatal error {ret}"
@@ -434,10 +471,33 @@ class SoapyClient:
 
     def close(self) -> None:
         try:
-            self.dev.deactivateStream(self._stream)
-            self.dev.closeStream(self._stream)
+            if self._stream is not None and self.dev is not None:
+                self.dev.deactivateStream(self._stream)
+                self.dev.closeStream(self._stream)
         except Exception:  # noqa: BLE001 - shutdown path
             pass
+        self._stream = None
+
+
+_BUILDER_OWNED_KEYS = frozenset(
+    # args the Builder/other drivers consume — never forwarded to
+    # SoapySDR.Device (a leaked key is silently ignored by some Soapy
+    # drivers and misconfigures others)
+    {"driver", "host", "port", "path", "fmt", "url", "channel", "channels"}
+)
+
+
+def _soapy_dev_args(extra_args: Optional[Dict[str, str]]) -> Dict[str, str]:
+    """Builder args → SoapySDR.Device args: strip the ``soapy_`` prefix,
+    re-map ``soapy_driver`` → ``driver``, drop keys other drivers own."""
+    out: Dict[str, str] = {}
+    for k, v in (extra_args or {}).items():
+        if k in _BUILDER_OWNED_KEYS:
+            continue
+        out[k[len("soapy_") :] if k.startswith("soapy_") else k] = v
+    if "soapy_driver" in (extra_args or {}):
+        out["driver"] = extra_args["soapy_driver"]
+    return out
 
 
 def _parse_args(args: Optional[str]) -> Dict[str, str]:
@@ -476,6 +536,7 @@ class SeifySource(Block):
         tone_offset: float = 100e3,
         noise_power: float = 1e-4,
         channels=None,
+        antenna: Optional[str] = None,
         extra_args: Optional[Dict[str, str]] = None,
         name: Optional[str] = None,
     ):
@@ -488,7 +549,7 @@ class SeifySource(Block):
         self.gain = None if gain is None else float(gain)
         self.tone_offset = float(tone_offset)
         self.noise_power = float(noise_power)
-        self.antenna: Optional[str] = None
+        self.antenna = None if antenna is None else str(antenna)
         self.is_blocking = True
         self.message_outputs = ["overflows"]
         if channels is None:
@@ -521,21 +582,16 @@ class SeifySource(Block):
         if driver == "soapy":
             # generic hardware layer (the reference's primary driver);
             # extra Builder args (driver=soapy,soapy_driver=rtlsdr,...)
-            # pass straight through to SoapySDR.Device
-            dev_args = {
-                k[len("soapy_") :] if k.startswith("soapy_") else k: v
-                for k, v in (extra_args or {}).items()
-            }
-            dev_args.pop("driver", None)
-            if "soapy_driver" in (extra_args or {}):
-                dev_args["driver"] = extra_args["soapy_driver"]
+            # pass through to SoapySDR.Device via _soapy_dev_args
             self._soapy = SoapyClient(
-                dev_args,
+                _soapy_dev_args(extra_args),
                 channel=self.channels[0],
                 sample_rate=self.sample_rate,
                 frequency=self.frequency,
                 gain=self.gain,
             )
+            if self.antenna is not None:
+                self._soapy.set_antenna(self.antenna)
         elif driver == "aaronia_http":
             base = url or (
                 f"http://{host or '127.0.0.1'}:{int(port or 54664)}"
@@ -663,6 +719,15 @@ class SeifySource(Block):
                     float(cfg[k])  # type-check before ANY field applies
             if cfg.get("gain") is not None:
                 float(cfg["gain"])
+            ant = cfg.get("antenna")
+            if (
+                ant is not None
+                and self._soapy is not None
+                and not self._soapy.valid_antenna(str(ant))
+            ):
+                raise ValueError(
+                    f"antenna {ant!r} is not offered by this device"
+                )
             for k, v in cfg.items():
                 if k in ("freq", "frequency"):
                     self._freq(Pmt.from_py(v))
@@ -672,10 +737,11 @@ class SeifySource(Block):
                     self._rate(Pmt.from_py(v))
                 elif k == "antenna":
                     # soapy has a real antenna switch; the other shipped
-                    # drivers record it and report via the config query
-                    self.antenna = None if v is None else str(v)
+                    # drivers record it and report via the config query.
+                    # Record only AFTER the hardware accepted it.
                     if self._soapy is not None and v is not None:
                         self._soapy.set_antenna(str(v))
+                    self.antenna = None if v is None else str(v)
         return Pmt.ok()
 
     @message_handler("terminate")
@@ -865,6 +931,7 @@ class SeifySink(Block):
         frequency: float = 100e6,
         sample_rate: float = 1e6,
         gain: Optional[float] = None,
+        antenna: Optional[str] = None,
         extra_args: Optional[Dict[str, str]] = None,
         name: Optional[str] = None,
     ):
@@ -873,7 +940,7 @@ class SeifySink(Block):
         self.frequency = float(frequency)
         self.sample_rate = float(sample_rate)
         self.gain = None if gain is None else float(gain)
-        self.antenna: Optional[str] = None
+        self.antenna = None if antenna is None else str(antenna)
         self.is_blocking = True
         self.stream_inputs = [PortSpec("in", np.complex64)]
         self.rate_in = (1,)
@@ -881,21 +948,16 @@ class SeifySink(Block):
         self.n_sent = 0
         self._soapy: Optional[SoapyClient] = None
         if driver == "soapy":
-            dev_args = {
-                k[len("soapy_") :] if k.startswith("soapy_") else k: v
-                for k, v in (extra_args or {}).items()
-            }
-            dev_args.pop("driver", None)
-            if "soapy_driver" in (extra_args or {}):
-                dev_args["driver"] = extra_args["soapy_driver"]
             self._soapy = SoapyClient(
-                dev_args,
+                _soapy_dev_args(extra_args),
                 channel=0,
                 sample_rate=self.sample_rate,
                 frequency=self.frequency,
                 gain=self.gain,
                 tx=True,
             )
+            if self.antenna is not None:
+                self._soapy.set_antenna(self.antenna)
         elif driver != "dummy":
             raise ValueError(
                 f"sink driver {driver!r} not available — use 'dummy' or "
@@ -953,6 +1015,15 @@ class SeifySink(Block):
                     float(cfg[k])
             if cfg.get("gain") is not None:
                 float(cfg["gain"])
+            ant = cfg.get("antenna")
+            if (
+                ant is not None
+                and self._soapy is not None
+                and not self._soapy.valid_antenna(str(ant))
+            ):
+                raise ValueError(
+                    f"antenna {ant!r} is not offered by this device"
+                )
             for k, v in cfg.items():
                 if k in ("freq", "frequency"):
                     self._freq(Pmt.from_py(v))
@@ -961,9 +1032,9 @@ class SeifySink(Block):
                 elif k == "sample_rate":
                     self._rate(Pmt.from_py(v))
                 elif k == "antenna":
-                    self.antenna = None if v is None else str(v)
                     if self._soapy is not None and v is not None:
                         self._soapy.set_antenna(str(v))
+                    self.antenna = None if v is None else str(v)
         return Pmt.ok()
 
     @message_handler("config")
@@ -994,6 +1065,15 @@ class Builder:
         self._rate = 1e6
         self._gain: Optional[float] = None  # None = AGC
         self._channels = [0]
+        self._antenna: Optional[str] = None
+        # channel selection may also ride the args string
+        # ("driver=soapy,channel=1" / "channels=0;2")
+        if "channel" in self._cfg:
+            self._channels = [int(self._cfg["channel"])]
+        elif "channels" in self._cfg:
+            self._channels = [
+                int(c) for c in self._cfg["channels"].split(";")
+            ]
 
     def channel(self, c: int) -> "Builder":
         self._channels = [int(c)]
@@ -1015,7 +1095,10 @@ class Builder:
         self._gain = float(g)
         return self
 
-    def antenna(self, _a) -> "Builder":
+    def antenna(self, a) -> "Builder":
+        """Applied at build time (a real switch on the soapy driver;
+        recorded and reported by the config query on the others)."""
+        self._antenna = None if a is None else str(a)
         return self
 
     def build_source(self) -> SeifySource:
@@ -1030,6 +1113,7 @@ class Builder:
             fmt=self._cfg.get("fmt"),
             url=self._cfg.get("url"),
             channels=self._channels,
+            antenna=self._antenna,
             extra_args=dict(self._cfg),
         )
 
@@ -1039,5 +1123,6 @@ class Builder:
             frequency=self._freq,
             sample_rate=self._rate,
             gain=self._gain,
+            antenna=self._antenna,
             extra_args=dict(self._cfg),
         )

@@ -446,3 +446,17 @@ def test_audio_file_source_float_and_24bit_wav(tmp_path):
     src24 = audio_mod.AudioFileSource(p24)
     got = src24.host_produce(4000)
     np.testing.assert_allclose(got, tone, atol=1.5 / 2**23)
+
+
+def test_wav_raw_truncated_data_errors(tmp_path):
+    """A G.711/float WAV whose data chunk is cut short raises, matching
+    the ADPCM path's truncation discipline."""
+    import struct
+
+    tone = np.zeros(1000, np.float32)
+    path = tmp_path / "trunc.wav"
+    _write_wav(path, 3, 8000, 1, 32, tone.tobytes())
+    raw = path.read_bytes()
+    path.write_bytes(raw[:-500])  # chop the data chunk
+    with pytest.raises(ValueError, match="truncated"):
+        audio_mod.AudioFileSource(path)

@@ -206,3 +206,58 @@ def test_soapy_tx_sink(fake_soapy):
         assert getattr(dev, "closed", False)
     finally:
         del _FakeDevice.writeStream
+
+
+def test_soapy_builder_channel_arg_and_antenna(fake_soapy):
+    """channel= in the args string selects the RX channel; .antenna()
+    applies at build; builder-owned keys never leak into Device args."""
+    from futuresdr_tpu.blocks.seify import Builder
+
+    _FakeDevice.listAntennas = lambda self, d, ch: ["RX1", "RX2"]
+    try:
+        src = (
+            Builder("driver=soapy,soapy_driver=uhd,channel=1")
+            .antenna("RX2")
+            .build_source()
+        )
+        dev = fake_soapy._devices[0]
+        assert dev.args == {"driver": "uhd"}  # channel= consumed, not leaked
+        assert dev.stream_chans == [1]
+        assert dev.antenna == "RX2" and src.antenna == "RX2"
+
+        # invalid antenna in a cmd bundle: rejected BEFORE anything applies
+        from futuresdr_tpu.blocks.seify import Config
+
+        f0 = src.frequency
+        with pytest.raises(ValueError, match="antenna"):
+            src.call_handler(
+                "cmd", Config(frequency=1e9, antenna="BOGUS").to_pmt()
+            )
+        assert src.frequency == f0 and dev.antenna == "RX2"
+    finally:
+        del _FakeDevice.listAntennas
+
+
+def test_soapy_zero_return_and_tx_stall_bound(fake_soapy):
+    """ret == 0 is a legal 'nothing now' (retry, not fatal); a TX stream
+    that never makes progress raises instead of hanging the executor."""
+    from futuresdr_tpu.blocks.seify import Builder
+
+    src = Builder("driver=soapy").build_source()
+    dev = fake_soapy._devices[0]
+    dev._inject = [0]
+    assert len(src.host_produce(64)) == 0  # zero return → retry
+
+    fake_soapy.SOAPY_SDR_TX = 2
+    fake_soapy.SOAPY_SDR_UNDERFLOW = -5
+
+    def writeStream(self, st, bufs, n, timeoutUs=0):
+        return _FakeStreamResult(SOAPY_SDR_TIMEOUT)  # never progresses
+
+    _FakeDevice.writeStream = writeStream
+    try:
+        snk = Builder("driver=soapy").build_sink()
+        with pytest.raises(ConnectionError, match="no progress"):
+            snk._soapy.write(np.zeros(256, np.complex64))
+    finally:
+        del _FakeDevice.writeStream
