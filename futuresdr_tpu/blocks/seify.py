@@ -348,6 +348,7 @@ class SoapyClient:
         gain: Optional[float],
         timeout_s: float = 2.0,
         tx: bool = False,
+        start_time_ns: Optional[int] = None,
     ):
         try:
             import SoapySDR  # noqa: PLC0415 - optional hardware dep
@@ -372,7 +373,17 @@ class SoapyClient:
             self._stream = self.dev.setupStream(
                 self._rx, SoapySDR.SOAPY_SDR_CF32, [self.channel]
             )
-            self.dev.activateStream(self._stream)
+            if start_time_ns is None:
+                self.dev.activateStream(self._stream)
+            else:
+                # hardware-timed activation (parity: builder.rs:118
+                # start_time → activate_at, source.rs:263); flag
+                # SOAPY_SDR_HAS_TIME = (1 << 1)
+                self.dev.activateStream(
+                    self._stream,
+                    getattr(SoapySDR, "SOAPY_SDR_HAS_TIME", 2),
+                    int(start_time_ns),
+                )
         except BaseException:
             # release the (possibly exclusive) device claim so a retry
             # with corrected args does not hit 'device busy'
@@ -537,6 +548,7 @@ class SeifySource(Block):
         noise_power: float = 1e-4,
         channels=None,
         antenna: Optional[str] = None,
+        start_time_ns: Optional[int] = None,
         extra_args: Optional[Dict[str, str]] = None,
         name: Optional[str] = None,
     ):
@@ -589,6 +601,7 @@ class SeifySource(Block):
                 sample_rate=self.sample_rate,
                 frequency=self.frequency,
                 gain=self.gain,
+                start_time_ns=start_time_ns,
             )
             if self.antenna is not None:
                 self._soapy.set_antenna(self.antenna)
@@ -932,6 +945,7 @@ class SeifySink(Block):
         sample_rate: float = 1e6,
         gain: Optional[float] = None,
         antenna: Optional[str] = None,
+        start_time_ns: Optional[int] = None,
         extra_args: Optional[Dict[str, str]] = None,
         name: Optional[str] = None,
     ):
@@ -955,6 +969,7 @@ class SeifySink(Block):
                 frequency=self.frequency,
                 gain=self.gain,
                 tx=True,
+                start_time_ns=start_time_ns,
             )
             if self.antenna is not None:
                 self._soapy.set_antenna(self.antenna)
@@ -1066,6 +1081,7 @@ class Builder:
         self._gain: Optional[float] = None  # None = AGC
         self._channels = [0]
         self._antenna: Optional[str] = None
+        self._start_time_ns: Optional[int] = None
         # channel selection may also ride the args string
         # ("driver=soapy,channel=1" / "channels=0;2")
         if "channel" in self._cfg:
@@ -1101,6 +1117,12 @@ class Builder:
         self._antenna = None if a is None else str(a)
         return self
 
+    def start_time(self, ns: int) -> "Builder":
+        """Hardware-timed stream activation (parity: builder.rs:118 —
+        soapy driver only; the software drivers start immediately)."""
+        self._start_time_ns = int(ns)
+        return self
+
     def build_source(self) -> SeifySource:
         return SeifySource(
             driver=self._cfg.get("driver", "dummy"),
@@ -1114,6 +1136,7 @@ class Builder:
             url=self._cfg.get("url"),
             channels=self._channels,
             antenna=self._antenna,
+            start_time_ns=self._start_time_ns,
             extra_args=dict(self._cfg),
         )
 
@@ -1124,5 +1147,6 @@ class Builder:
             sample_rate=self._rate,
             gain=self._gain,
             antenna=self._antenna,
+            start_time_ns=self._start_time_ns,
             extra_args=dict(self._cfg),
         )

@@ -261,3 +261,22 @@ def test_soapy_zero_return_and_tx_stall_bound(fake_soapy):
             snk._soapy.write(np.zeros(256, np.complex64))
     finally:
         del _FakeDevice.writeStream
+
+
+def test_soapy_timed_activation(fake_soapy):
+    """Builder.start_time(ns) → hardware-timed activateStream (parity:
+    builder.rs start_time → activate_at)."""
+    from futuresdr_tpu.blocks.seify import Builder
+
+    acts = []
+
+    def activateStream(self, st, flags=0, timeNs=0):
+        acts.append((flags, timeNs))
+        self._active = True
+
+    _FakeDevice.activateStream = activateStream
+    try:
+        Builder("driver=soapy").start_time(123_456_789).build_source()
+        assert acts == [(2, 123_456_789)]
+    finally:
+        del _FakeDevice.activateStream
