@@ -466,39 +466,94 @@ class FileSink(Block):
 
 
 class WavSink(Block):
-    """16-bit PCM WAV sink (parity: audio/wav_sink.rs via hound; here the
-    stdlib ``wave`` module). Input is f32 in [-1, 1]."""
+    """WAV sink (parity: audio/wav_sink.rs via hound; here the stdlib
+    ``wave`` module). Input is f32 in [-1, 1]. ``encoding`` selects
+    16-bit PCM (default) or G.711 ``"ulaw"``/``"alaw"`` (formats 7/6,
+    via :mod:`futuresdr_tpu.dsp.g711` — the telephony-archive formats
+    ``AudioFileSource`` reads back)."""
 
     def __init__(
         self,
         path,
         sample_rate: int,
         channels: int = 1,
+        encoding: str = "pcm16",
         name: Optional[str] = None,
     ):
         super().__init__(name)
+        if encoding not in ("pcm16", "ulaw", "alaw"):
+            raise ValueError(
+                f"encoding must be 'pcm16', 'ulaw' or 'alaw', "
+                f"got {encoding!r}"
+            )
         self.path = Path(path)
         self.sample_rate = int(sample_rate)
         self.channels = int(channels)
+        self.encoding = encoding
         self.is_blocking = True
         self.stream_inputs = [PortSpec("in", np.float32)]
         self.rate_in = (1,)
+        self._closed = False
         # open eagerly so a bad path fails at construction, not after the
         # whole run; frames stream incrementally
-        self._w = wave.open(str(self.path), "wb")
-        self._w.setnchannels(self.channels)
-        self._w.setsampwidth(2)
-        self._w.setframerate(self.sample_rate)
-        self._closed = False
+        if encoding == "pcm16":
+            self._w = wave.open(str(self.path), "wb")
+            self._w.setnchannels(self.channels)
+            self._w.setsampwidth(2)
+            self._w.setframerate(self.sample_rate)
+        else:
+            # stdlib wave writes only PCM; emit the RIFF header by hand
+            # and patch the sizes at close
+            self._f = open(self.path, "wb")
+            import struct
+
+            tag = 7 if encoding == "ulaw" else 6
+            fmt = struct.pack(
+                "<HHIIHH",
+                tag,
+                self.channels,
+                self.sample_rate,
+                self.sample_rate * self.channels,
+                self.channels,
+                8,
+            )
+            self._f.write(b"RIFF\x00\x00\x00\x00WAVE")
+            self._f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+            self._f.write(b"data\x00\x00\x00\x00")
+            self._n_bytes = 0
 
     def host_consume(self, arr: np.ndarray, tags, port: int = 0) -> None:
         pcm = np.clip(arr * 32767.0, -32768, 32767).astype(np.int16)
-        self._w.writeframes(pcm.tobytes())
+        if self.encoding == "pcm16":
+            self._w.writeframes(pcm.tobytes())
+        else:
+            from futuresdr_tpu.dsp import g711
+
+            enc = (
+                g711.ulaw_encode(pcm)
+                if self.encoding == "ulaw"
+                else g711.alaw_encode(pcm)
+            )
+            self._f.write(enc)
+            self._n_bytes += len(enc)
 
     def on_finish(self) -> None:
-        if not self._closed:
+        if self._closed:
+            return
+        self._closed = True
+        if self.encoding == "pcm16":
             self._w.close()
-            self._closed = True
+            return
+        import struct
+
+        f = self._f
+        f.seek(4)
+        f.write(struct.pack("<I", 4 + 8 + 16 + 8 + self._n_bytes))
+        f.seek(0, 2)
+        end = f.tell()
+        f.seek(end - self._n_bytes - 4)
+        f.write(struct.pack("<I", self._n_bytes))
+        f.close()
 
 
 class ChannelSource(Block):

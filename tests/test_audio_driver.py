@@ -460,3 +460,33 @@ def test_wav_raw_truncated_data_errors(tmp_path):
     path.write_bytes(raw[:-500])  # chop the data chunk
     with pytest.raises(ValueError, match="truncated"):
         audio_mod.AudioFileSource(path)
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_wav_sink_g711_roundtrip(tmp_path, law):
+    """WavSink(encoding=ulaw/alaw) writes a valid G.711 WAV that
+    AudioFileSource reads back (full flowgraph-level roundtrip)."""
+    from futuresdr_tpu import Flowgraph, Runtime, connect
+    from futuresdr_tpu.blocks import SignalSource, Head, VectorSink, WavSink
+
+    path = tmp_path / f"out_{law}.wav"
+    fg = Flowgraph()
+    snk = WavSink(path, 8000, encoding=law)
+    connect(
+        fg,
+        SignalSource(440.0, 8000.0, kind="sin"),
+        Head(16000, np.float32),
+        snk,
+    )
+    Runtime(chunk_size=2048).run(fg)
+
+    src = audio_mod.AudioFileSource(path)
+    assert src.sample_rate == 8000
+    got = np.asarray(src.host_produce(16000))
+    assert len(got) == 16000
+    t = np.arange(16000) / 8000
+    ref = np.sin(2 * np.pi * 440 * t)
+    fit = 2 * np.mean(got * ref)
+    err = got - fit * ref
+    snr = 10 * np.log10(np.mean((fit * ref) ** 2) / np.mean(err**2))
+    assert abs(fit - 1.0) < 0.05 and snr > 30  # 8-bit companded tone
